@@ -1,0 +1,198 @@
+"""Bonded + chiral term consistency vs the reference's pure-JAX oracle.
+
+Mirrors the reference test strategy (tests/test_bonded.py,
+test_chiral_restraints.py): random geometries, energies AND gradients agree.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from timemachine_tpu.ops import bonded, chiral
+
+from .reference_loader import load_reference_module
+
+ref_bonded = load_reference_module("timemachine.potentials.bonded")
+ref_chiral = load_reference_module("timemachine.potentials.chiral_restraints")
+
+
+def random_conf(rng, n):
+    return rng.uniform(0, 2.0, (n, 3))
+
+
+def check_match(u_mine, u_ref, conf, *args, rtol=1e-10):
+    mine = float(u_mine(conf, *args))
+    ref = float(u_ref(conf, *args))
+    np.testing.assert_allclose(mine, ref, rtol=rtol)
+    g_mine = jax.grad(u_mine)(conf, *args)
+    g_ref = jax.grad(u_ref)(conf, *args)
+    np.testing.assert_allclose(np.asarray(g_mine), np.asarray(g_ref), rtol=1e-8, atol=1e-10)
+
+
+def test_harmonic_bond(rng):
+    n = 20
+    conf = jnp.asarray(random_conf(rng, n))
+    idxs = np.array([[i, (i + 1) % n] for i in range(n)], dtype=np.int32)
+    params = jnp.asarray(rng.uniform(1, 100, (n, 2)))
+    check_match(
+        lambda c, p: bonded.harmonic_bond(c, p, None, idxs),
+        lambda c, p: ref_bonded.harmonic_bond(c, p, None, idxs),
+        conf,
+        params,
+    )
+
+
+def test_harmonic_bond_zero_r0(rng):
+    conf = jnp.asarray(random_conf(rng, 4))
+    idxs = np.array([[0, 1], [2, 3]], dtype=np.int32)
+    params = jnp.array([[10.0, 0.0], [5.0, 0.1]])
+    check_match(
+        lambda c, p: bonded.harmonic_bond(c, p, None, idxs),
+        lambda c, p: ref_bonded.harmonic_bond(c, p, None, idxs),
+        conf,
+        params,
+    )
+
+
+def test_harmonic_bond_padding(rng):
+    """-1 padded rows are inert (TPU static-shape convention; no ref analog)."""
+    conf = jnp.asarray(random_conf(rng, 6))
+    idxs = np.array([[0, 1], [2, 3]], dtype=np.int32)
+    params = jnp.asarray(rng.uniform(1, 100, (2, 2)))
+    base = bonded.harmonic_bond(conf, params, None, idxs)
+    padded_idxs = np.vstack([idxs, [[-1, -1], [-1, -1]]]).astype(np.int32)
+    padded_params = jnp.vstack([params, jnp.ones((2, 2)) * 1e6])
+    padded = bonded.harmonic_bond(conf, padded_params, None, padded_idxs)
+    np.testing.assert_allclose(float(base), float(padded), rtol=1e-12)
+
+
+def test_harmonic_angle(rng):
+    n = 12
+    conf = jnp.asarray(random_conf(rng, n))
+    idxs = np.array([[i, (i + 1) % n, (i + 2) % n] for i in range(n)], dtype=np.int32)
+    params = jnp.asarray(np.column_stack([rng.uniform(10, 100, n), rng.uniform(0.5, 3.0, n), np.zeros(n)]))
+    check_match(
+        lambda c, p: bonded.harmonic_angle(c, p, None, idxs),
+        lambda c, p: ref_bonded.harmonic_angle(c, p, None, idxs),
+        conf,
+        params,
+    )
+
+
+def test_harmonic_angle_eps_stabilized(rng):
+    conf = jnp.asarray(random_conf(rng, 3))
+    idxs = np.array([[0, 1, 2]], dtype=np.int32)
+    params = jnp.array([[50.0, 1.9, 1e-3]])
+    check_match(
+        lambda c, p: bonded.harmonic_angle(c, p, None, idxs),
+        lambda c, p: ref_bonded.harmonic_angle(c, p, None, idxs),
+        conf,
+        params,
+    )
+
+
+def test_periodic_torsion(rng):
+    n = 16
+    conf = jnp.asarray(random_conf(rng, n))
+    idxs = np.array([[i, (i + 1) % n, (i + 2) % n, (i + 3) % n] for i in range(n)], dtype=np.int32)
+    params = jnp.asarray(
+        np.column_stack([rng.uniform(1, 20, n), rng.uniform(-np.pi, np.pi, n), rng.integers(1, 6, n).astype(float)])
+    )
+    check_match(
+        lambda c, p: bonded.periodic_torsion(c, p, None, idxs),
+        lambda c, p: ref_bonded.periodic_torsion(c, p, None, idxs),
+        conf,
+        params,
+    )
+
+
+def test_flat_bottom_bond(rng):
+    n = 10
+    conf = jnp.asarray(random_conf(rng, n))
+    box = jnp.eye(3) * 3.0
+    idxs = np.array([[i, (i + 3) % n] for i in range(n)], dtype=np.int32)
+    params = jnp.asarray(np.column_stack([rng.uniform(100, 1000, n), rng.uniform(0.1, 0.3, n), rng.uniform(0.4, 0.6, n)]))
+    check_match(
+        lambda c, p: bonded.flat_bottom_bond(c, p, box, idxs),
+        lambda c, p: ref_bonded.flat_bottom_bond(c, p, box, idxs),
+        conf,
+        params,
+    )
+
+
+def test_log_flat_bottom_bond(rng):
+    n = 6
+    conf = jnp.asarray(random_conf(rng, n))
+    box = jnp.eye(3) * 3.0
+    idxs = np.array([[i, (i + 2) % n] for i in range(n)], dtype=np.int32)
+    # keep r outside the flat bottom so 1 - exp(-beta*U) > 0
+    params = jnp.asarray(np.column_stack([rng.uniform(100, 1000, n), np.full(n, 1e-4), np.full(n, 2e-4)]))
+    beta = 1.0 / 2.494
+    check_match(
+        lambda c, p: bonded.log_flat_bottom_bond(c, p, box, idxs, beta),
+        lambda c, p: ref_bonded.log_flat_bottom_bond(c, p, box, idxs, beta),
+        conf,
+        params,
+    )
+
+
+def test_centroid_restraint(rng):
+    conf = jnp.asarray(random_conf(rng, 10))
+    ga = np.arange(4, dtype=np.int32)
+    gb = np.arange(4, 10, dtype=np.int32)
+    check_match(
+        lambda c, p: bonded.centroid_restraint(c, p, None, ga, gb, 25.0, 0.4),
+        lambda c, p: ref_bonded.centroid_restraint(c, p, None, ga, gb, 25.0, 0.4),
+        conf,
+        jnp.zeros(1),
+    )
+    check_match(
+        lambda c, p: bonded.centroid_restraint(c, p, None, ga, gb, 25.0, 0.0),
+        lambda c, p: ref_bonded.centroid_restraint(c, p, None, ga, gb, 25.0, 0.0),
+        conf,
+        jnp.zeros(1),
+    )
+
+
+def test_chiral_atom_restraint(rng):
+    n = 8
+    conf = jnp.asarray(random_conf(rng, n))
+    idxs = np.array([[0, 1, 2, 3], [4, 5, 6, 7], [1, 0, 3, 2]], dtype=np.int32)
+    params = jnp.asarray(rng.uniform(100, 1000, 3))
+    check_match(
+        lambda c, p: chiral.chiral_atom_restraint(c, p, None, idxs),
+        lambda c, p: ref_chiral.chiral_atom_restraint(c, p, None, idxs),
+        conf,
+        params,
+    )
+
+
+def test_chiral_bond_restraint(rng):
+    n = 8
+    conf = jnp.asarray(random_conf(rng, n))
+    idxs = np.array([[0, 1, 2, 3], [4, 5, 6, 7]], dtype=np.int32)
+    signs = np.array([1, -1], dtype=np.int32)
+    params = jnp.asarray(rng.uniform(100, 1000, 2))
+    check_match(
+        lambda c, p: chiral.chiral_bond_restraint(c, p, None, idxs, signs),
+        lambda c, p: ref_chiral.chiral_bond_restraint(c, p, None, idxs, signs),
+        conf,
+        params,
+    )
+
+
+def test_empty_terms():
+    conf = jnp.zeros((4, 3))
+    assert float(bonded.harmonic_bond(conf, jnp.zeros((0, 2)), None, np.zeros((0, 2), dtype=np.int32))) == 0.0
+    assert float(bonded.periodic_torsion(conf, jnp.zeros((0, 3)), None, np.zeros((0, 4), dtype=np.int32))) == 0.0
+    assert float(chiral.chiral_atom_restraint(conf, jnp.zeros(0), None, np.zeros((0, 4), dtype=np.int32))) == 0.0
+
+
+def test_positional_restraint(rng):
+    conf = jnp.asarray(random_conf(rng, 5))
+    conf2 = conf + 0.05 * jnp.asarray(rng.normal(size=(5, 3)))
+    box = jnp.eye(3) * 3.0
+    mine = bonded.harmonic_positional_restraint(conf, conf2, box, k=100.0)
+    ref = ref_bonded.harmonic_positional_restraint(conf, conf2, box, k=100.0)
+    np.testing.assert_allclose(float(mine), float(ref), rtol=1e-10)

@@ -1,0 +1,157 @@
+"""Bonded (valence) energy terms.
+
+Parity target: reference `timemachine/potentials/bonded.py` and the CUDA
+kernels `timemachine/cpp/src/k_harmonic_bond.cuh` etc. All functions take
+(conf, params, box, idxs) and return a scalar energy in kJ/mol; all are
+jit/grad/vmap-safe with static shapes. Empty index arrays return 0.
+
+A per-term mask convention: rows of `idxs` equal to -1 (any slot) are padding
+and contribute zero energy. This lets alchemical systems keep static shapes
+across λ states — the TPU analog of the reference's dynamically-sized lists.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from timemachine_tpu.constants import DEFAULT_POSITIONAL_RESTRAINT_K
+from timemachine_tpu.ops.pbc import periodic_delta
+
+
+def _pad_mask(idxs):
+    """True for real rows, False for -1 padded rows."""
+    return jnp.all(idxs >= 0, axis=-1)
+
+
+def _safe_gather(conf, idxs):
+    """Gather conf rows, mapping padding (-1) to row 0 to keep indices valid."""
+    return conf[jnp.where(idxs >= 0, idxs, 0)]
+
+
+def harmonic_bond(conf, params, box, bond_idxs):
+    """U = Σ k/2 (|ri - rj| - r0)²; params rows (k, r0).
+
+    The r0==0 case falls back to k/2 d² to keep the derivative finite at
+    d == 0 (ref bonded.py:60-79). Not periodic (bonds never cross the box).
+    """
+    if bond_idxs.shape[0] == 0:
+        return jnp.asarray(0.0, dtype=conf.dtype)
+    mask = _pad_mask(bond_idxs)
+    ci = _safe_gather(conf, bond_idxs[:, 0])
+    cj = _safe_gather(conf, bond_idxs[:, 1])
+    dx = ci - cj
+    d2 = jnp.sum(dx * dx, axis=-1)
+    safe_d2 = jnp.where(d2 > 0, d2, 1.0)
+    d = jnp.where(d2 > 0, jnp.sqrt(safe_d2), 0.0)
+    k, r0 = params[:, 0], params[:, 1]
+    e = jnp.where(r0 == 0, 0.5 * k * d2, 0.5 * k * (d - r0) ** 2)
+    return jnp.sum(jnp.where(mask, e, 0.0))
+
+
+def stable_angle(ci, cj, ck, eps):
+    """Angle at j spanned by j->i and j->k, computed via the half-angle
+    (Kahan) formulation 2·atan2(|n_jk r_ji − n_ji r_jk|, |n_jk r_ji + n_ji r_jk|),
+    stabilized by appending eps as an extra vector component so the angle is
+    defined even when r_ji or r_jk collapses (ref bonded.py:82-98)."""
+    rji = jnp.concatenate([ci - cj, eps[..., None]], axis=-1)
+    rjk = jnp.concatenate([ck - cj, eps[..., None]], axis=-1)
+    nji = jnp.linalg.norm(rji, axis=-1, keepdims=True)
+    njk = jnp.linalg.norm(rjk, axis=-1, keepdims=True)
+    y = jnp.linalg.norm(njk * rji - nji * rjk, axis=-1)
+    x = jnp.linalg.norm(njk * rji + nji * rjk, axis=-1)
+    return 2.0 * jnp.arctan2(y, x)
+
+
+def harmonic_angle(conf, params, box, angle_idxs):
+    """U = Σ k/2 (θ - θ0)²; params rows (k, θ0, eps) — eps is the numerical
+    stabilizer threaded through `stable_angle` (ref bonded.py:101-138)."""
+    if angle_idxs.shape[0] == 0:
+        return jnp.asarray(0.0, dtype=conf.dtype)
+    mask = _pad_mask(angle_idxs)
+    ci = _safe_gather(conf, angle_idxs[:, 0])
+    cj = _safe_gather(conf, angle_idxs[:, 1])
+    ck = _safe_gather(conf, angle_idxs[:, 2])
+    k, a0, eps = params[:, 0], params[:, 1], params[:, 2]
+    theta = stable_angle(ci, cj, ck, eps)
+    e = 0.5 * k * (theta - a0) ** 2
+    return jnp.sum(jnp.where(mask, e, 0.0))
+
+
+def signed_torsion_angle(ci, cj, ck, cl):
+    """Signed dihedral i-j-k-l via the atan2 formulation (numerically stable
+    at 0; ref bonded.py:141-174)."""
+    rij = cj - ci
+    rkj = cj - ck
+    rkl = cl - ck
+    n1 = jnp.cross(rij, rkj)
+    n2 = jnp.cross(rkj, rkl)
+    rkj_unit = rkj / jnp.linalg.norm(rkj, axis=-1, keepdims=True)
+    y = jnp.sum(jnp.cross(n1, n2) * rkj_unit, axis=-1)
+    x = jnp.sum(n1 * n2, axis=-1)
+    return jnp.arctan2(y, x)
+
+
+def periodic_torsion(conf, params, box, torsion_idxs):
+    """U = Σ k (1 + cos(n φ - phase)); params rows (k, phase, n)
+    (ref bonded.py:177-216). Only the first 3 coordinates are used."""
+    if torsion_idxs.shape[0] == 0:
+        return jnp.asarray(0.0, dtype=conf.dtype)
+    mask = _pad_mask(torsion_idxs)
+    conf3 = conf[:, :3]
+    ci = _safe_gather(conf3, torsion_idxs[:, 0])
+    cj = _safe_gather(conf3, torsion_idxs[:, 1])
+    ck = _safe_gather(conf3, torsion_idxs[:, 2])
+    cl = _safe_gather(conf3, torsion_idxs[:, 3])
+    k, phase, period = params[:, 0], params[:, 1], params[:, 2]
+    angle = signed_torsion_angle(ci, cj, ck, cl)
+    e = k * (1.0 + jnp.cos(period * angle - phase))
+    return jnp.sum(jnp.where(mask, e, 0.0))
+
+
+def _flat_bottom_terms(conf, params, box, bond_idxs):
+    """Per-pair quartic flat-bottom restraint:
+    U = k/4 (r - r_max)^4 for r > r_max; k/4 (r - r_min)^4 for r < r_min
+    (ref bonded.py:219-232). Periodic-aware."""
+    i, j = bond_idxs[:, 0], bond_idxs[:, 1]
+    d = periodic_delta(_safe_gather(conf, i), _safe_gather(conf, j), box)
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    k, r_min, r_max = params[:, 0], params[:, 1], params[:, 2]
+    over = jnp.where(r > r_max, r - r_max, 0.0)
+    under = jnp.where(r < r_min, r - r_min, 0.0)
+    return 0.25 * k * (over**4 + under**4)
+
+
+def flat_bottom_bond(conf, params, box, bond_idxs):
+    if bond_idxs.shape[0] == 0:
+        return jnp.asarray(0.0, dtype=conf.dtype)
+    e = _flat_bottom_terms(conf, params, box, bond_idxs)
+    return jnp.sum(jnp.where(_pad_mask(bond_idxs), e, 0.0))
+
+
+def log_flat_bottom_bond(conf, params, box, bond_idxs, beta):
+    """-1/β Σ log(1 - exp(-β U_fb)): the log-inverse flat-bottom used for
+    probabilistic free-region selection in local MD (ref bonded.py:245-253)."""
+    if bond_idxs.shape[0] == 0:
+        return jnp.asarray(0.0, dtype=conf.dtype)
+    u = _flat_bottom_terms(conf, params, box, bond_idxs)
+    log_terms = -jnp.log(1.0 - jnp.exp(-beta * u))
+    return jnp.sum(jnp.where(_pad_mask(bond_idxs), log_terms, 0.0)) / beta
+
+
+def centroid_restraint(conf, params, box, group_a_idxs, group_b_idxs, kb, b0):
+    """U = kb (|c_a - c_b| - b0)² between geometric centroids; the b0 == 0
+    branch avoids the sqrt singularity (ref bonded.py:8-31). params/box unused."""
+    ca = jnp.mean(conf[group_a_idxs], axis=0)
+    cb = jnp.mean(conf[group_b_idxs], axis=0)
+    dx = ca - cb
+    d2 = jnp.sum(dx * dx)
+    safe_d2 = jnp.where(d2 > 0, d2, 1.0)
+    d = jnp.where(d2 > 0, jnp.sqrt(safe_d2), 0.0)
+    return jnp.where(b0 == 0, kb * d2, kb * (d - b0) ** 2)
+
+
+def harmonic_positional_restraint(x_init, x_new, box, k=DEFAULT_POSITIONAL_RESTRAINT_K):
+    """PBC-aware k/2 Σ |x_new - x_init|², for minimization tethering
+    (ref bonded.py:256-269)."""
+    d2 = jnp.sum(periodic_delta(x_new, x_init, box) ** 2, axis=-1)
+    return jnp.sum(0.5 * k * d2)

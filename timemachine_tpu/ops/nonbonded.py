@@ -1,0 +1,342 @@
+"""Nonbonded energy: Lennard-Jones + reaction-field (erfc-switched) Coulomb,
+with 4D alchemical lifting.
+
+Parity target: reference `timemachine/potentials/nonbonded.py` (JAX math) and
+the CUDA kernel family `timemachine/cpp/src/kernels/k_nonbonded.cuh`. Model:
+
+* electrostatics = q_i q_j erfc(β d) / d, multiplied by a C² switching
+  function that zeroes {f, f', f''} at the cutoff (β=2.0 is the real-space
+  part of PME; ref nonbonded.py:23-77, README.md:100)
+* LJ with Lorentz-Berthelot combining, pre-transformed parameters:
+  sigma stored as σ/2 (so σ_ij = s_i + s_j) and epsilon stored as √ε
+  (so ε_ij = e_i e_j) — ref nonbonded.py:42-55
+* pair distance is 4D: d = sqrt(|Δr_3d|² + (w_i - w_j)²); the per-atom w
+  coordinate implements softcore decoupling (ref nonbonded.py:221-272)
+
+Per-atom parameter rows: [q·√(138.935456), σ/2, √ε, w] (constants.NBParamIdx).
+
+All forms here are pure JAX with static shapes. The O(N) production path
+(neighborlisted tiles, Pallas) lives in ops/neighborlist.py + ops/pallas/.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import erfc
+
+from timemachine_tpu.ops.pbc import lifted_distance_on_pairs, periodic_delta
+
+# The switch function's cutoff is pinned at 1.2 nm in the reference regardless
+# of the interaction cutoff (nonbonded.py:23-39); we keep that contract.
+SWITCH_CUTOFF = 1.2
+
+
+def switch_fn(dij, cutoff=SWITCH_CUTOFF):
+    """cos^3((π/2)(d/c)^8) for d < c else 0: keeps erfc(βd)·switch close to
+    erfc(βd) on [0, c) while sending {f, f', f''} to 0 at c
+    (ref nonbonded.py:23-39; cutoff intentionally pinned)."""
+    del cutoff
+    c = SWITCH_CUTOFF
+    f = jnp.cos(0.5 * jnp.pi * (dij / c) ** 8) ** 3
+    return jnp.where(dij < c, f, 0.0)
+
+
+def combine_sigma(sig_half_i, sig_half_j):
+    """Lorentz-Berthelot arithmetic mean, on σ/2-stored params."""
+    return sig_half_i + sig_half_j
+
+
+def combine_epsilon(sqrt_eps_i, sqrt_eps_j):
+    """Lorentz-Berthelot geometric mean, on √ε-stored params."""
+    return sqrt_eps_i * sqrt_eps_j
+
+
+def lennard_jones(dij, sig_ij, eps_ij):
+    """4 ε ((σ/d)^12 - (σ/d)^6). Caller guarantees dij > 0 where eps != 0."""
+    sig6 = (sig_ij / dij) ** 6
+    return 4.0 * eps_ij * (sig6 * sig6 - sig6)
+
+
+def direct_space_pme(dij, qij, beta):
+    """q_ij erfc(β d) / d — the real-space Ewald/PME term
+    (ref nonbonded.py:66-72)."""
+    return qij * erfc(beta * dij) / dij
+
+
+def switched_direct_space_pme(dij, qij, beta, cutoff):
+    return direct_space_pme(dij, qij, beta) * switch_fn(dij, cutoff)
+
+
+def validate_coulomb_cutoff(cutoff=1.0, beta=2.0, threshold=1e-2):
+    import warnings
+
+    tail = float(erfc(beta * cutoff))
+    if tail > threshold:
+        warnings.warn(f"erfc(beta * cutoff) = {tail} > threshold = {threshold}")
+
+
+def exclusions_to_rescale_masks(exclusion_idxs, scale_factors, n):
+    """Dense (N, N) multiplicative masks from the exclusion list: mask = 1 - scale.
+
+    Host-side (numpy). Column 0 of scale_factors scales charge, column 1 LJ
+    (ref nonbonded.py:159-173).
+    """
+    charge_mask = np.ones((n, n))
+    lj_mask = np.ones((n, n))
+    for (i, j), (q_scale, lj_scale) in zip(np.asarray(exclusion_idxs), np.asarray(scale_factors)):
+        charge_mask[i, j] = charge_mask[j, i] = 1.0 - q_scale
+        lj_mask[i, j] = lj_mask[j, i] = 1.0 - lj_scale
+    return charge_mask, lj_mask
+
+
+def filter_exclusions(atom_idxs, exclusion_idxs, scale_factors, update_idxs=False):
+    """Drop exclusions touching atoms outside atom_idxs; optionally remap
+    indices into the compacted frame (ref nonbonded.py:176-218). Host-side."""
+    keep = set(int(a) for a in atom_idxs)
+    remap = {int(j): i for i, j in enumerate(atom_idxs)}
+    out_idxs, out_scales = [], []
+    for (i, j), sf in zip(np.asarray(exclusion_idxs), np.asarray(scale_factors)):
+        i, j = int(i), int(j)
+        if i not in keep or j not in keep:
+            continue
+        if update_idxs:
+            i, j = remap[i], remap[j]
+        out_idxs.append((i, j))
+        out_scales.append(sf)
+    out_idxs_arr = np.array(out_idxs, dtype=np.int32).reshape(-1, 2)
+    out_scales_arr = np.array(out_scales).reshape(-1, np.asarray(scale_factors).shape[1] if len(out_scales) == 0 else -1)
+    if len(out_scales):
+        out_scales_arr = np.array(out_scales)
+    return out_idxs_arr, out_scales_arr
+
+
+def nonbonded_block_unsummed(xi, xj, box, params_i, params_j, beta, cutoff):
+    """(N, M) energy block between two disjoint particle sets, no exclusions
+    (ref nonbonded.py:80-149). Used for host-guest coupling and tests."""
+    dr = periodic_delta(xi[:, None, :], xj[None, :, :], box)
+    dw = params_i[:, 3][:, None] - params_j[:, 3][None, :]
+    dij = jnp.sqrt(jnp.sum(dr * dr, axis=-1) + dw * dw)
+
+    sig_ij = combine_sigma(params_i[:, 1][:, None], params_j[:, 1][None, :])
+    eps_ij = combine_epsilon(params_i[:, 2][:, None], params_j[:, 2][None, :])
+    qij = params_i[:, 0][:, None] * params_j[:, 0][None, :]
+
+    es = switched_direct_space_pme(dij, qij, beta, cutoff)
+    lj = lennard_jones(dij, sig_ij, eps_ij)
+    return jnp.where(dij < cutoff, es + lj, 0.0)
+
+
+def nonbonded_block(xi, xj, box, params_i, params_j, beta, cutoff):
+    return jnp.sum(nonbonded_block_unsummed(xi, xj, box, params_i, params_j, beta, cutoff))
+
+
+def nonbonded_all_pairs_dense(
+    conf,
+    params,
+    box,
+    charge_rescale_mask,
+    lj_rescale_mask,
+    beta,
+    cutoff,
+    atom_mask=None,
+):
+    """Dense O(N²) all-pairs energy with exclusion masks.
+
+    TPU-facing variant of ref nonbonded.py:221-339: instead of filtering a
+    dynamic atom subset, `atom_mask` (N,) multiplicatively deactivates atoms —
+    static shapes, jit-stable. Exclusion semantics: each pair's ES/LJ terms
+    are scaled by (1 - scale) masks built by `exclusions_to_rescale_masks`.
+    """
+    n = conf.shape[0]
+    charges, sig, eps, w = params[:, 0], params[:, 1], params[:, 2], params[:, 3]
+
+    sig_ij = combine_sigma(sig[None, :], sig[:, None])
+    eps_ij = combine_epsilon(eps[None, :], eps[:, None])
+
+    dr = periodic_delta(conf[:, None, :], conf[None, :, :], box)
+    d2 = jnp.sum(dr * dr, axis=-1)
+    dw = w[:, None] - w[None, :]
+    d2 = d2 + dw * dw
+
+    eye = jnp.eye(n, dtype=bool)
+    keep = ~eye
+    if atom_mask is not None:
+        pair_active = (atom_mask[:, None] > 0) & (atom_mask[None, :] > 0)
+        keep = keep & pair_active
+
+    d2 = jnp.where(eye, 1.0, d2)  # keep sqrt grad finite on the diagonal
+    dij = jnp.sqrt(d2)
+
+    in_range = keep & (dij < cutoff)
+
+    eps_eff = jnp.where(in_range, eps_ij, 0.0)
+    sig_eff = jnp.where(in_range, sig_ij, 0.0)
+    lj = jnp.where(eps_eff != 0, lennard_jones(jnp.where(in_range, dij, 1.0), sig_eff, eps_eff), 0.0)
+
+    qij = jnp.where(in_range, charges[:, None] * charges[None, :], 0.0)
+    es = jnp.where(in_range, switched_direct_space_pme(jnp.where(in_range, dij, 1.0), qij, beta, cutoff), 0.0)
+
+    total = lj * lj_rescale_mask + es * charge_rescale_mask
+    return 0.5 * jnp.sum(total)
+
+
+def nonbonded_on_specific_pairs(conf, params, box, pairs, beta, cutoff=None, rescale_mask=None, pair_mask=None):
+    """Per-pair (vdW, electrostatics) energies over an explicit pair list
+    (ref nonbonded.py:342-400).
+
+    pairs: (P, 2). rescale_mask: (P, 2) multiplicative [q, lj] factors.
+    pair_mask: optional (P,) bool — padding rows (also implied by idx < 0).
+    Returns two (P,) arrays (caller sums), so exclusion potentials can negate.
+    """
+    if pairs.shape[0] == 0:
+        z = jnp.zeros((1,), dtype=conf.dtype)
+        return z, z
+
+    valid = jnp.all(pairs >= 0, axis=-1)
+    if pair_mask is not None:
+        valid = valid & pair_mask
+    safe_pairs = jnp.where(pairs >= 0, pairs, 0)
+    inds_l, inds_r = safe_pairs[:, 0], safe_pairs[:, 1]
+
+    charges, sig, eps, w = params[:, 0], params[:, 1], params[:, 2], params[:, 3]
+    w_offsets = w[inds_l] - w[inds_r]
+    dij = lifted_distance_on_pairs(conf[inds_l], conf[inds_r], box, w_offsets)
+    cutoff_val = jnp.inf if cutoff is None else cutoff
+    keep = valid & (dij < cutoff_val)
+    dij_safe = jnp.where(dij > 0, dij, 1.0)
+
+    sig_ij = jnp.where(keep, combine_sigma(sig[inds_l], sig[inds_r]), 0.0)
+    eps_ij = jnp.where(keep, combine_epsilon(eps[inds_l], eps[inds_r]), 0.0)
+    vdW = jnp.where(eps_ij != 0, lennard_jones(dij_safe, sig_ij, eps_ij), 0.0)
+
+    qij = jnp.where(keep, charges[inds_l] * charges[inds_r], 0.0)
+    electrostatics = jnp.where(keep, switched_direct_space_pme(dij_safe, qij, beta, cutoff_val), 0.0)
+
+    if rescale_mask is not None:
+        vdW = jnp.where(rescale_mask[:, 1] != 0, vdW * rescale_mask[:, 1], 0.0)
+        electrostatics = jnp.where(rescale_mask[:, 0] != 0, electrostatics * rescale_mask[:, 0], 0.0)
+
+    return vdW, electrostatics
+
+
+def nonbonded_on_precomputed_pairs(conf, params, box, pairs, beta, cutoff=None):
+    """Pair list with pre-combined parameters per pair:
+    params rows (q_ij, σ_ij, ε_ij, Δw_ij) — the intramolecular ligand term
+    (ref nonbonded.py:403-446)."""
+    if pairs.shape[0] == 0:
+        z = jnp.zeros((1,), dtype=conf.dtype)
+        return z, z
+
+    valid = jnp.all(pairs >= 0, axis=-1)
+    safe_pairs = jnp.where(pairs >= 0, pairs, 0)
+    inds_l, inds_r = safe_pairs[:, 0], safe_pairs[:, 1]
+    q_ij, sig_ij, eps_ij, offsets = params[:, 0], params[:, 1], params[:, 2], params[:, 3]
+
+    dij = lifted_distance_on_pairs(conf[inds_l], conf[inds_r], box, offsets)
+    cutoff_val = jnp.inf if cutoff is None else cutoff
+    keep = valid & (dij < cutoff_val)
+    dij_safe = jnp.where(dij > 0, dij, 1.0)
+
+    q_eff = jnp.where(keep, q_ij, 0.0)
+    sig_eff = jnp.where(keep, sig_ij, 0.0)
+    eps_eff = jnp.where(keep, eps_ij, 0.0)
+
+    vdW = jnp.where(eps_eff != 0, lennard_jones(dij_safe, sig_eff, eps_eff), 0.0)
+    electrostatics = jnp.where(q_eff != 0, switched_direct_space_pme(dij_safe, q_eff, beta, cutoff_val), 0.0)
+    return vdW, electrostatics
+
+
+def validate_interaction_group_idxs(n_atoms, a_idxs, b_idxs):
+    a, b = set(map(int, a_idxs)), set(map(int, b_idxs))
+    ab = a | b
+    assert a.isdisjoint(b)
+    assert max(ab) < n_atoms and min(ab) >= 0
+    assert len(a_idxs) == len(a) and len(b_idxs) == len(b)
+
+
+def nonbonded_interaction_groups(conf, params, box, a_idxs, b_idxs, beta, cutoff=None):
+    """All (i in A) × (j in B) interactions (ref nonbonded.py:460-481).
+    Returns per-pair (vdW, es) arrays."""
+    from timemachine_tpu.ops.pbc import interaction_group_idxs
+
+    n = conf.shape[0]
+    if b_idxs is None:
+        b_idxs = np.setdiff1d(np.arange(n), np.asarray(a_idxs))
+    validate_interaction_group_idxs(n, a_idxs, b_idxs)
+    pairs = interaction_group_idxs(a_idxs, b_idxs)
+    return nonbonded_on_specific_pairs(conf, params, box, jnp.asarray(pairs), beta, cutoff)
+
+
+# ---------------------------------------------------------------------------
+# Prefactor machinery for fast reweighting over charge / LJ parameters
+# (linear-basis trick; ref nonbonded.py:491-885). Energies of the
+# ligand-environment interaction group become dot products in the ligand
+# parameters, so a trajectory can be re-scored for new parameters in O(T·N_lig).
+# ---------------------------------------------------------------------------
+
+
+def coulomb_prefactors_on_snapshot(x_ligand, x_env, q_env, box=None, beta=2.0, cutoff=jnp.inf):
+    """prefactor_i = Σ_j q_j erfc(β d_ij) switch(d_ij) / d_ij
+    (ref nonbonded.py:497-543)."""
+    from timemachine_tpu.ops.pbc import distances_from_point
+
+    def per_atom(x_i):
+        d = distances_from_point(x_i, x_env, box, cutoff)
+        return jnp.sum(q_env / d * erfc(beta * d) * switch_fn(d, cutoff))
+
+    import jax
+
+    return jax.vmap(per_atom)(x_ligand)
+
+
+def coulomb_interaction_group_energy(q_ligand, q_prefactors):
+    return jnp.dot(q_prefactors, q_ligand)
+
+
+def _lj_basis_powers(power):
+    exponents = power - np.arange(power + 1)
+    from scipy.special import binom
+
+    coeffs = binom(power, exponents)
+    return exponents, coeffs
+
+
+def basis_expand_lj_env(sig_env, eps_env, r_env):
+    """[20] basis vector summarizing the environment for the Naden-Shirts
+    linear-basis LJ expansion (ref nonbonded.py:690-751)."""
+    parts = []
+    for power, sign in ((12, 1.0), (6, -1.0)):
+        exps, coeffs = _lj_basis_powers(power)
+        r_inv = r_env ** (-power)
+        raised = sig_env ** jnp.asarray(exps)[:, None]
+        h = jnp.sum(4.0 * r_inv * raised * jnp.asarray(coeffs)[:, None] * eps_env[None, :], axis=1)
+        parts.append(sign * h)
+    return jnp.concatenate(parts)
+
+
+def basis_expand_lj_atom(sig, eps):
+    """[20] projection of one atom's (σ, ε) onto the basis
+    (ref nonbonded.py:754-776)."""
+    exponents = jnp.concatenate([jnp.arange(13.0), jnp.arange(7.0)])
+    return eps * sig**exponents
+
+
+def lj_prefactors_on_snapshot(x_ligand, x_env, sig_env, eps_env, box=None, cutoff=jnp.inf):
+    """(N_lig, 20) environment prefactors (ref nonbonded.py:779-831)."""
+    from timemachine_tpu.ops.pbc import distances_from_point
+
+    import jax
+
+    def per_atom(x_i):
+        r = distances_from_point(x_i, x_env, box, cutoff)
+        return basis_expand_lj_env(sig_env, eps_env, r)
+
+    return jax.vmap(per_atom)(x_ligand)
+
+
+def lj_interaction_group_energy(sig_ligand, eps_ligand, lj_prefactors):
+    import jax
+
+    projection = jax.vmap(basis_expand_lj_atom)(sig_ligand, eps_ligand)
+    return jnp.sum(projection * lj_prefactors)
