@@ -1,0 +1,245 @@
+"""Context: the MD hot loop as one jitted `lax.scan`.
+
+Parity target: reference `custom_ops.Context` (`timemachine/cpp/src/
+context.cu:216-277`) — `multiple_steps(n_steps, store_x_interval)`, movers
+firing on their intervals, frame downloads, and coordinate/box sanity checks.
+
+TPU design:
+* state pytree (x, v, box, step, rng_key, mover_states) scanned over steps;
+  XLA fuses integrator + all potential terms into one program — the analog
+  of the reference's per-potential CUDA streams is free here.
+* movers (barostat, exchange) run under `lax.cond` on the global step index,
+  so their two extra energy evaluations cost nothing on non-firing steps.
+* frames are emitted as scan outputs every `store_x_interval` steps (outer
+  scan over frames, inner scan over steps) — one device→host copy per call.
+* per-step randomness: threefry `fold_in(base_key, global_step)`, so a
+  trajectory is bitwise reproducible from (initial state, seed) regardless
+  of how steps are chunked into frames — replacing cuRAND offset bookkeeping
+  (ref langevin_integrator.cu:74-87).
+* `set_params` is recompile-free: parameters are scan inputs, not constants.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timemachine_tpu.integrators import LangevinIntegrator, VelocityVerletIntegrator
+from timemachine_tpu.potentials import BoundPotential
+
+
+class Context:
+    def __init__(
+        self,
+        x0,
+        v0,
+        box0,
+        integrator,
+        bps: Sequence[BoundPotential],
+        movers: Sequence = (),
+        rng_seed: Optional[int] = None,
+    ):
+        self._x = np.asarray(x0)
+        self._v = np.asarray(v0)
+        self._box = np.asarray(box0)
+        assert self._x.shape == self._v.shape
+        assert self._box.shape == (3, 3)
+        self.integrator = integrator
+        self.potentials = [bp.potential for bp in bps]
+        self._params = [jnp.asarray(bp.params) for bp in bps]
+        self.movers = list(movers)
+        self._mover_states = [m.init_state() for m in self.movers]
+        seed = rng_seed if rng_seed is not None else getattr(integrator, "seed", 0)
+        self._base_key = jax.random.key(seed)
+        self._step = 0
+        self._runner_cache: dict = {}
+
+        def energy_fn(x, box, params_list):
+            total = 0.0
+            for pot, p in zip(self.potentials, params_list):
+                total = total + pot(x, p, box)
+            return total
+
+        self._energy_fn = energy_fn
+
+    # -- observers (ref custom_ops.pyi Context surface) ---------------------
+
+    def get_x_t(self) -> np.ndarray:
+        return np.array(self._x)
+
+    def get_v_t(self) -> np.ndarray:
+        return np.array(self._v)
+
+    def get_box(self) -> np.ndarray:
+        return np.array(self._box)
+
+    def set_x_t(self, x):
+        self._x = np.asarray(x)
+
+    def set_v_t(self, v):
+        self._v = np.asarray(v)
+
+    def set_box(self, box):
+        self._box = np.asarray(box)
+
+    def get_params(self):
+        return [np.asarray(p) for p in self._params]
+
+    def set_params(self, params_list):
+        """Swap potential parameters without recompiling (HREX replica swap
+        path; ref free_energy.py:1485-1531)."""
+        assert len(params_list) == len(self._params)
+        self._params = [jnp.asarray(p) for p in params_list]
+
+    def get_barostat(self):
+        from timemachine_tpu.md.barostat import MonteCarloBarostat
+
+        for m, s in zip(self.movers, self._mover_states):
+            if isinstance(m, MonteCarloBarostat):
+                return m, s
+        return None
+
+    def compute_u_t(self) -> float:
+        return float(self._energy_fn(jnp.asarray(self._x), jnp.asarray(self._box), self._params))
+
+    # -- stepping ------------------------------------------------------------
+
+    def _make_step_fn(self, free_mask=None):
+        """One global MD step: integrator update then movers on their
+        intervals (ref context.cu:262-277)."""
+        if isinstance(self.integrator, VelocityVerletIntegrator):
+            raise NotImplementedError("use multiple_steps with LangevinIntegrator; Verlet via md.moves")
+        assert isinstance(self.integrator, LangevinIntegrator)
+        energy_fn = self._energy_fn
+
+        def force_fn_builder(params_list):
+            def force_fn(x, box):
+                return -jax.grad(energy_fn)(x, box, params_list)
+
+            return force_fn
+
+        ca, cb, cc = self.integrator.coefficients(free_mask)
+        dt = self.integrator.dt
+
+        def step_fn(carry, params_list):
+            x, v, box, t, mover_states = carry
+            key_t = jax.random.fold_in(self._base_key, t)
+            k_int, k_movers = jax.random.split(key_t)
+
+            force = -jax.grad(energy_fn)(x, box, params_list)
+            noise = jax.random.normal(k_int, x.shape, dtype=x.dtype)
+            v_mid = v + jnp.asarray(cb, x.dtype) * force
+            v = ca * v_mid + jnp.asarray(cc, x.dtype) * noise
+            x = x + 0.5 * dt * (v_mid + v)
+
+            new_mover_states = []
+            for i, mover in enumerate(self.movers):
+                mk = jax.random.fold_in(k_movers, i)
+                move_fn = mover.make_move_fn(lambda xx, bb: energy_fn(xx, bb, params_list))
+                interval = mover.interval
+                due = (t + 1) % interval == 0
+
+                def do_move(args):
+                    st, xx, vv, bb = args
+                    return move_fn(st, xx, vv, bb, mk)
+
+                def skip(args):
+                    return args
+
+                st, x, v, box = jax.lax.cond(due, do_move, skip, (mover_states[i], x, v, box))
+                new_mover_states.append(st)
+
+            return (x, v, box, t + 1, tuple(new_mover_states)), None
+
+        return step_fn
+
+    def _get_runner(self, steps_per_frame: int, n_frames: int, free_mask_key=None, free_mask=None):
+        cache_key = (steps_per_frame, n_frames, free_mask_key)
+        if cache_key in self._runner_cache:
+            return self._runner_cache[cache_key]
+
+        step_fn = self._make_step_fn(free_mask)
+
+        @jax.jit
+        def run(x, v, box, t0, mover_states, params_list):
+            def frame_body(carry, _):
+                def step_body(c, _):
+                    return step_fn(c, params_list)
+
+                carry, _ = jax.lax.scan(step_body, carry, None, length=steps_per_frame)
+                x_f, v_f, box_f, _, _ = carry
+                return carry, (x_f, box_f)
+
+            carry = (x, v, box, t0, mover_states)
+            carry, (xs, boxes) = jax.lax.scan(frame_body, carry, None, length=n_frames)
+            return carry, xs, boxes
+
+        self._runner_cache[cache_key] = run
+        return run
+
+    def multiple_steps(self, n_steps: int, store_x_interval: int = 0):
+        """Advance n_steps; return (frames, boxes) sampled every
+        store_x_interval steps (0 ⇒ final frame only), matching
+        Context::multiple_steps (context.cu:216-238)."""
+        return self._multiple_steps_impl(n_steps, store_x_interval, free_mask_key=None, free_mask=None)
+
+    def _multiple_steps_impl(self, n_steps, store_x_interval, free_mask_key, free_mask):
+        interval = store_x_interval if store_x_interval > 0 else n_steps
+        if n_steps % interval != 0:
+            # match reference: frames at k*interval <= n_steps, plus warn-free tail handling
+            n_frames = n_steps // interval
+            tail = n_steps - n_frames * interval
+        else:
+            n_frames = n_steps // interval
+            tail = 0
+
+        mover_states = tuple(self._mover_states)
+        xs_out, boxes_out = [], []
+        x, v, box = jnp.asarray(self._x), jnp.asarray(self._v), jnp.asarray(self._box)
+        t0 = jnp.asarray(self._step, dtype=jnp.int64)
+
+        if n_frames > 0:
+            run = self._get_runner(interval, n_frames, free_mask_key, free_mask)
+            carry, xs, boxes = run(x, v, box, t0, mover_states, self._params)
+            x, v, box, t0, mover_states = carry
+            xs_out.append(np.asarray(xs))
+            boxes_out.append(np.asarray(boxes))
+        if tail > 0:
+            run = self._get_runner(tail, 1, free_mask_key, free_mask)
+            carry, xs, boxes = run(x, v, box, t0, mover_states, self._params)
+            x, v, box, t0, mover_states = carry
+
+        self._x = np.asarray(x)
+        self._v = np.asarray(v)
+        self._box = np.asarray(box)
+        self._step = int(t0)
+        self._mover_states = list(mover_states)
+
+        self._validate_state()
+
+        if xs_out:
+            return np.concatenate(xs_out), np.concatenate(boxes_out)
+        return np.zeros((0, *self._x.shape)), np.zeros((0, 3, 3))
+
+    def step(self):
+        """Single unstored step (ref Context::step)."""
+        self._multiple_steps_impl(1, 1, None, None)
+
+    def _validate_state(self):
+        """Coordinate / box sanity checks (ref context.cu:52-78)."""
+        if not np.all(np.isfinite(self._x)):
+            raise RuntimeError("Context: coordinates are not finite (simulation blew up)")
+        max_coord = np.max(np.abs(self._x))
+        if max_coord > 1e5:
+            raise RuntimeError(f"Context: coordinates exploded (|x|max = {max_coord})")
+        box_diag = np.diagonal(self._box)
+        cutoffs = [getattr(p, "cutoff", None) for p in self.potentials]
+        cutoffs = [c for c in cutoffs if c is not None]
+        if cutoffs and np.any(box_diag < 2 * max(cutoffs)):
+            raise RuntimeError(
+                f"Context: box dimensions {box_diag} smaller than twice the nonbonded cutoff {max(cutoffs)}"
+            )
