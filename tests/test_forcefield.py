@@ -1,0 +1,181 @@
+"""Forcefield handler assignment tests (mirrors reference tests/test_handlers.py
+strategy: structural invariants + known-molecule spot checks, minus the
+RDKit/OpenEye oracles)."""
+
+import numpy as np
+import pytest
+
+from timemachine_tpu import constants
+from timemachine_tpu.chem import mol_from_smiles
+from timemachine_tpu.ff import Forcefield
+from timemachine_tpu.ff.handlers import (
+    apply_bond_charge_corrections,
+    generate_exclusion_idxs,
+    generate_nonbonded_idxs,
+)
+from timemachine_tpu.ff.serialize import deserialize_handlers
+
+
+@pytest.fixture(scope="module")
+def ff():
+    return Forcefield.load_default()
+
+
+def test_load_all_builtins():
+    from timemachine_tpu.ff.serialize import builtin_params_dir
+
+    for f in sorted(builtin_params_dir().glob("*.json")):
+        ff = Forcefield.load_from_file(f.stem)
+        assert ff.hb_handle is not None or f.stem == "placeholder_ff"
+
+
+def test_load_by_reference_name():
+    ff = Forcefield.load_from_file("smirnoff_2_0_0_ccc.py")
+    assert len(ff.hb_handle.smirks) > 50
+
+
+def test_harmonic_bond_covers_all_bonds(ff):
+    mol = mol_from_smiles("CC(=O)Nc1ccc(O)cc1", add_hs=True, name="acetaminophen")
+    params, idxs = ff.hb_handle.parameterize(mol)
+    mol_bonds = {tuple(sorted((b.src, b.dst))) for b in mol.bonds}
+    ff_bonds = {tuple(sorted(map(int, row))) for row in idxs}
+    assert mol_bonds == ff_bonds
+    assert np.all(np.asarray(params)[:, 0] > 0)
+    assert np.all(np.asarray(params)[:, 1] > 0.05)
+
+
+def test_angle_and_torsion_counts(ff):
+    mol = mol_from_smiles("CCO", add_hs=True)
+    _, angle_idxs = ff.ha_handle.parameterize(mol)
+    # CCO with H: angles = sum over atoms of C(deg, 2)
+    expected_angles = sum(
+        len(mol.neighbors(i)) * (len(mol.neighbors(i)) - 1) // 2 for i in range(mol.num_atoms)
+    )
+    assert len(angle_idxs) == expected_angles
+    _, proper_idxs = ff.pt_handle.parameterize(mol)
+    assert len(proper_idxs) > 0
+    # every proper torsion's middle bond is a real bond
+    bonds = {tuple(sorted((b.src, b.dst))) for b in mol.bonds}
+    for i, j, k, l in proper_idxs:
+        assert tuple(sorted((int(j), int(k)))) in bonds
+
+
+def test_ethane_bond_param_spot_check(ff):
+    """[#6X4:1]-[#6X4:2] params land on the ethane C-C bond."""
+    mol = mol_from_smiles("CC", add_hs=True)
+    params, idxs = ff.hb_handle.parameterize(mol)
+    expected = ff.hb_handle.lookup_smirks("[#6X4:1]-[#6X4:2]")
+    cc_rows = [r for r, (i, j) in enumerate(idxs) if mol.atoms[i].atomic_num == 6 and mol.atoms[j].atomic_num == 6]
+    assert len(cc_rows) == 1
+    np.testing.assert_allclose(np.asarray(params)[cc_rows[0]], expected)
+
+
+def test_lj_params_positive(ff):
+    mol = mol_from_smiles("c1ccc2ccccc2c1", add_hs=True)
+    lj = np.asarray(ff.lj_handle.parameterize(mol))
+    assert lj.shape == (mol.num_atoms, 2)
+    assert np.all(lj > 0)
+
+
+def test_exclusions_ethane():
+    mol = mol_from_smiles("CC", add_hs=True)
+    idxs, scales = generate_exclusion_idxs(mol, 1.0, 1.0, 0.5, 0.5)
+    # ethane: 7 bonds (1-2), 12 angles pairs (1-3), 9 torsion pairs (1-4)
+    by_scale = {}
+    g = mol.to_nx()
+    import networkx as nx
+
+    for (i, j), (sq, slj) in zip(idxs, scales):
+        d = nx.shortest_path_length(g, int(i), int(j))
+        by_scale.setdefault(d, []).append((sq, slj))
+    assert len(by_scale[1]) == 7
+    assert len(by_scale[2]) == 12
+    assert len(by_scale[3]) == 9
+    assert all(s == (1.0, 1.0) for s in by_scale[1])
+    assert all(s == (0.5, 0.5) for s in by_scale[3])
+
+
+def test_charges_net_conserved(ff):
+    for smi, total in [("CCO", 0), ("CC(=O)[O-]", -1), ("C[NH3+]", 1)]:
+        mol = mol_from_smiles(smi, add_hs=True)
+        with pytest.warns(UserWarning, match="Gasteiger"):
+            q = np.asarray(ff.q_handle.parameterize(mol))
+        net = q.sum() / np.sqrt(constants.ONE_4PI_EPS0)
+        np.testing.assert_allclose(net, total, atol=1e-8)
+
+
+def test_charge_cache_roundtrip(ff):
+    mol = mol_from_smiles("CCO", add_hs=True)
+    with pytest.warns(UserWarning):
+        q1 = np.asarray(ff.q_handle.parameterize(mol))
+    # second call reads from cache, no warning, identical values
+    q2 = np.asarray(ff.q_handle.parameterize(mol))
+    np.testing.assert_array_equal(q1, q2)
+
+
+def test_bcc_differentiability(ff):
+    """du/d(bcc params) is exact — the charge-training contract."""
+    import jax
+
+    mol = mol_from_smiles("CCO", add_hs=True)
+    with pytest.warns(UserWarning):
+        ff.q_handle.parameterize(mol)  # populate caches
+
+    def net_abs_charge(params):
+        q = ff.q_handle.partial_parameterize(params, mol)
+        return (q**2).sum()
+
+    g = jax.grad(net_abs_charge)(ff.q_handle.params)
+    assert np.asarray(g).shape == ff.q_handle.params.shape
+    assert np.any(np.asarray(g) != 0)
+
+
+def test_apply_bond_charge_corrections_invariance(rng):
+    q0 = rng.normal(size=10)
+    bond_idxs = np.array([[0, 1], [2, 3], [1, 5]])
+    deltas = np.asarray(rng.normal(size=3))
+    q1 = np.asarray(apply_bond_charge_corrections(q0, bond_idxs, deltas))
+    np.testing.assert_allclose(q1.sum(), q0.sum(), atol=1e-12)
+    np.testing.assert_allclose(q1[0], q0[0] + deltas[0])
+    np.testing.assert_allclose(q1[1], q0[1] - deltas[0] + deltas[2])
+
+
+def test_serialize_roundtrip(ff):
+    text = ff.serialize(fmt="python")
+    handlers, protein_ff, water_ff = deserialize_handlers(text)
+    assert protein_ff == ff.protein_ff
+    ff2 = Forcefield.from_handlers(handlers, protein_ff, water_ff)
+    np.testing.assert_allclose(ff2.hb_handle.params, ff.hb_handle.params)
+    np.testing.assert_allclose(ff2.q_handle.params, ff.q_handle.params)
+    assert ff2.hb_handle.smirks == list(ff.hb_handle.smirks)
+
+    text_json = ff.serialize(fmt="json")
+    handlers3, _, _ = deserialize_handlers(text_json)
+    ff3 = Forcefield.from_handlers(handlers3, protein_ff, water_ff)
+    np.testing.assert_allclose(ff3.pt_handle.params, ff.pt_handle.params)
+
+
+def test_improper_trefoil(ff):
+    mol = mol_from_smiles("CC(=O)N", add_hs=True)  # acetamide: sp2 C and N centers
+    params, idxs = ff.it_handle.parameterize(mol)
+    assert len(idxs) % 3 == 0
+    assert len(idxs) > 0
+    # center atom (index 1 position) is repeated 3x per improper
+    centers = [int(r[1]) for r in idxs]
+    from collections import Counter
+
+    assert all(v % 3 == 0 for v in Counter(centers).values())
+
+
+def test_proper_torsion_multiplicity(ff):
+    mol = mol_from_smiles("CCCC", add_hs=True)
+    params, idxs = ff.pt_handle.parameterize(mol)
+    # the C-C-C-C torsion should expand to 3 periodicity terms under openff-2.0
+    cccc = [
+        r
+        for r, (i, j, k, l) in enumerate(idxs)
+        if all(mol.atoms[int(a)].atomic_num == 6 for a in (i, j, k, l))
+    ]
+    assert len(cccc) == 3
+    periods = sorted(np.asarray(params)[cccc][:, 2])
+    assert periods == [1.0, 2.0, 3.0]
