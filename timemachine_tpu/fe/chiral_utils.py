@@ -1,0 +1,165 @@
+"""Chirality bookkeeping for alchemical transformations.
+
+Parity target: reference timemachine/fe/chiral_utils.py — find chiral atoms/
+bonds, set up restraint index tuples from a conformer, and check atom maps
+for chiral conflicts. Uses this framework's native SMARTS engine."""
+
+from __future__ import annotations
+
+import itertools
+from enum import Enum
+
+import numpy as np
+
+from timemachine_tpu.chem.mol import Mol
+from timemachine_tpu.chem.smarts import match_smarts
+from timemachine_tpu.ff.handlers import canonicalize_bond
+from timemachine_tpu.ops.chiral import pyramidal_volume, torsion_volume
+
+
+class ChiralCheckMode(Enum):
+    FLIP = 1
+    UNDEFINED = 2
+
+
+def find_chiral_atoms(mol: Mol) -> set[int]:
+    """Atoms with non-invertible pyramidal geometry (incl. CH4-like centers)
+    (ref chiral_utils.py:124-160)."""
+    chiral_patterns = [
+        "[X4:1]",
+        "[#16X3,#15X3:1]",
+        "[#7X3:1](~F)(~F)~F",
+    ]
+    chiral_atoms = set()
+    for patt in chiral_patterns:
+        for m in match_smarts(mol, patt):
+            chiral_atoms.add(m[0])
+    return chiral_atoms
+
+
+def setup_chiral_atom_restraints(mol: Mol, conf, a_idx: int):
+    """For each 3-combination of neighbors, orient the tuple so the current
+    geometry has negative pyramidal volume (ref chiral_utils.py:29-65)."""
+    nbs = mol.neighbors(a_idx)
+    restr_idxs = []
+    for i, j, k in itertools.combinations(nbs, 3):
+        vol = float(pyramidal_volume(conf[a_idx], conf[i], conf[j], conf[k]))
+        if vol < 0:
+            restr_idxs.append((a_idx, i, j, k))
+        else:
+            restr_idxs.append((a_idx, j, i, k))
+    return restr_idxs
+
+
+def setup_all_chiral_atom_restr_idxs(mol: Mol, conf) -> list[tuple]:
+    chiral_atom_set = find_chiral_atoms(mol)
+    out: list[tuple] = []
+    for a_idx in sorted(chiral_atom_set):
+        for ii in setup_chiral_atom_restraints(mol, conf, a_idx):
+            assert ii not in out
+            out.append(ii)
+    return out
+
+
+def find_chiral_bonds(mol: Mol) -> set[tuple[int, int]]:
+    """Double bonds + amides: high-rotational-barrier bonds
+    (ref chiral_utils.py:306-336)."""
+    chiral_patterns = [
+        "[X2,X3:1]=[X2,X3:2]",
+        "[NX3,NX2:1][CX3:2](=[OX1])",
+    ]
+    chiral_bonds = set()
+    for patt in chiral_patterns:
+        for m in match_smarts(mol, patt):
+            chiral_bonds.add(tuple(sorted((m[0], m[1]))))
+    return chiral_bonds
+
+
+def setup_chiral_bond_restraints(mol: Mol, conf, src_idx: int, dst_idx: int):
+    """(ref chiral_utils.py:68-121)"""
+    src_nbs = list(mol.neighbors(src_idx))
+    dst_nbs = list(mol.neighbors(dst_idx))
+    assert src_idx in dst_nbs and dst_idx in src_nbs
+    src_nbs.remove(dst_idx)
+    dst_nbs.remove(src_idx)
+    restr_idxs, signs = [], []
+    b, c = src_idx, dst_idx
+    for a in src_nbs:
+        for d in dst_nbs:
+            vol = float(torsion_volume(conf[a], conf[b], conf[c], conf[d]))
+            restr_idxs.append((a, b, c, d))
+            signs.append(1 if vol < 0 else -1)
+    return restr_idxs, signs
+
+
+def find_canonical_amide_bonds(mol: Mol) -> set:
+    return {
+        tuple(canonicalize_bond((m[0], m[1])))
+        for m in match_smarts(mol, "[NX3][CX3](=[OX1])[#6]")
+    }
+
+
+class ChiralRestrIdxSet:
+    """Fast chirality-consistency checks for trial 4-tuples
+    (ref chiral_utils.py:175-210)."""
+
+    def __init__(self, restr_idxs):
+        self.restr_idxs = [tuple(map(int, r)) for r in restr_idxs]
+        self.allowed_set, self.disallowed_set = self.expand_symmetries()
+
+    @classmethod
+    def from_mol(cls, mol: Mol, conf):
+        return cls(setup_all_chiral_atom_restr_idxs(mol, conf))
+
+    def expand_symmetries(self):
+        allowed, disallowed = set(), set()
+        for center, i, j, k in self.restr_idxs:
+            allowed.add((center, i, j, k))
+            allowed.add((center, j, k, i))
+            allowed.add((center, k, i, j))
+            disallowed.add((center, i, k, j))
+            disallowed.add((center, j, i, k))
+            disallowed.add((center, k, j, i))
+        assert allowed.isdisjoint(disallowed)
+        return allowed, disallowed
+
+    def defines(self, trial_tuple) -> bool:
+        return trial_tuple in self.allowed_set or trial_tuple in self.disallowed_set
+
+    def disallows(self, trial_tuple) -> bool:
+        return trial_tuple in self.disallowed_set
+
+
+def _find_atom_map_chiral_conflicts_one_direction(core, chiral_set_a, chiral_set_b, mode=ChiralCheckMode.FLIP):
+    if mode == ChiralCheckMode.FLIP:
+        conflict_fn = chiral_set_b.disallows
+    elif mode == ChiralCheckMode.UNDEFINED:
+        conflict_fn = lambda t: not chiral_set_b.defines(t)
+    else:
+        raise ValueError("invalid chiral check mode")
+
+    mapped_set_a = set(int(x) for x in core[:, 0])
+    mapping = {int(a): int(b) for a, b in core}
+    conflicts = set()
+    for restr_tuple_a in chiral_set_a.restr_idxs:
+        if set(restr_tuple_a).issubset(mapped_set_a):
+            mapped_b = tuple(mapping[x] for x in restr_tuple_a)
+            if conflict_fn(mapped_b):
+                conflicts.add((restr_tuple_a, mapped_b))
+    return conflicts
+
+
+def has_chiral_atom_flips(core, chiral_set_a: ChiralRestrIdxSet, chiral_set_b: ChiralRestrIdxSet) -> bool:
+    """core here is a dense a->b index map (ref chiral_utils.py:246-260)."""
+    for c_a, i_a, j_a, k_a in chiral_set_a.restr_idxs:
+        mapped = (core[c_a], core[i_a], core[j_a], core[k_a])
+        if chiral_set_b.disallows(mapped):
+            return True
+    return False
+
+
+def find_atom_map_chiral_conflicts(core, chiral_set_a, chiral_set_b, mode=ChiralCheckMode.FLIP):
+    core = np.asarray(core)
+    conflicts = _find_atom_map_chiral_conflicts_one_direction(core, chiral_set_a, chiral_set_b, mode)
+    conflicts_rev = _find_atom_map_chiral_conflicts_one_direction(core[:, ::-1], chiral_set_b, chiral_set_a, mode)
+    return conflicts | {(a, b) for (b, a) in conflicts_rev}

@@ -1,0 +1,154 @@
+"""System containers + convenience sampling (parity: reference
+timemachine/fe/system.py)."""
+
+from __future__ import annotations
+
+from abc import ABC
+from dataclasses import dataclass, fields
+
+import jax
+import numpy as np
+import scipy.optimize
+
+from timemachine_tpu.potentials import (
+    BoundPotential,
+    ChiralAtomRestraint,
+    ChiralBondRestraint,
+    HarmonicAngle,
+    HarmonicBond,
+    Nonbonded,
+    NonbondedInteractionGroup,
+    NonbondedPairListPrecomputed,
+    PeriodicTorsion,
+)
+
+
+def minimize_scipy(U_fn, x0, return_traj=False, seed=2024, method="BFGS"):
+    """Flattened scipy minimization of a jax potential (ref system.py:26-48;
+    BFGS instead of basinhopping by default — deterministic and much cheaper;
+    pass method="basinhopping" for the reference behavior)."""
+    shape = x0.shape
+
+    @jax.jit
+    def U_flat(x_flat):
+        return U_fn(x_flat.reshape(*shape))
+
+    grad_fn = jax.jit(jax.grad(U_flat))
+    traj = []
+
+    def callback(x):
+        traj.append(x.reshape(*shape))
+
+    if method == "basinhopping":
+        res = scipy.optimize.basinhopping(
+            U_flat, np.asarray(x0).reshape(-1), minimizer_kwargs={"jac": grad_fn, "callback": callback}, seed=seed
+        )
+    else:
+        res = scipy.optimize.minimize(U_flat, np.asarray(x0).reshape(-1), jac=grad_fn, method=method, callback=callback)
+    xi = res.x.reshape(*shape)
+    return traj if return_traj else xi
+
+
+def simulate_system(U_fn, x0, num_samples=20000, steps_per_batch=500, num_workers=None, minimize=True, temperature=300.0):
+    """Vacuum sampling for estimator tests: vmapped Langevin walkers on device
+    (replaces the reference's process-pool batch sampler, system.py:51-81 /
+    integrator.py:240)."""
+    import jax.numpy as jnp
+
+    from timemachine_tpu.integrators import langevin_coefficients
+
+    num_atoms = x0.shape[0]
+    seed = 2023
+    x_min = minimize_scipy(U_fn, x0, seed=seed) if minimize else x0
+
+    num_workers = num_workers or 8
+    samples_per_worker = int(np.ceil(num_samples / num_workers))
+    burn_in = samples_per_worker // 10 + 1
+
+    dt = 1.5e-3
+    masses = np.ones(num_atoms) * 4.0
+    ca, cb, cc = langevin_coefficients(temperature, dt, 1.0, masses)
+    cb = cb[:, None]
+    cc = cc[:, None]
+    grad_fn = jax.grad(U_fn)
+
+    def one_batch(carry, _):
+        x, v, key = carry
+        key, sub = jax.random.split(key)
+
+        def step(c, k):
+            x, v = c
+            force = -grad_fn(x)
+            noise = jax.random.normal(k, x.shape)
+            v_mid = v + cb * force
+            v2 = ca * v_mid + cc * noise
+            x2 = x + 0.5 * dt * (v_mid + v2)
+            return (x2, v2), None
+
+        keys = jax.random.split(sub, steps_per_batch)
+        (x, v), _ = jax.lax.scan(step, (x, v), keys)
+        return (x, v, key), x
+
+    def walker(key):
+        v0 = jnp.zeros_like(x_min)
+        (_, _, _), xs = jax.lax.scan(one_batch, (jnp.asarray(x_min), v0, key), None, length=samples_per_worker + burn_in)
+        return xs[burn_in:]
+
+    keys = jax.random.split(jax.random.key(seed), num_workers)
+    frames = jax.jit(jax.vmap(walker))(keys)
+    frames = np.asarray(frames).reshape(-1, num_atoms, 3)[:num_samples]
+    assert len(frames) == num_samples
+    return frames
+
+
+@dataclass
+class AbstractSystem(ABC):
+    def get_U_fn(self):
+        U_fns = self.get_U_fns()
+
+        def U_fn(x):
+            return sum(U(x, box=None) for U in U_fns)
+
+        return U_fn
+
+    def get_U_fns(self) -> list[BoundPotential]:
+        out = []
+        for f in fields(self):
+            bp = getattr(self, f.name)
+            # chiral bond restraints disabled pending validation (ref system.py:97-107)
+            if f.name != "chiral_bond":
+                out.append(bp)
+        return out
+
+
+@dataclass
+class HostSystem(AbstractSystem):
+    bond: BoundPotential
+    angle: BoundPotential
+    proper: BoundPotential
+    improper: BoundPotential
+    nonbonded_all_pairs: BoundPotential
+
+
+@dataclass
+class GuestSystem(AbstractSystem):
+    bond: BoundPotential
+    angle: BoundPotential
+    proper: BoundPotential
+    improper: BoundPotential
+    chiral_atom: BoundPotential
+    chiral_bond: BoundPotential
+    nonbonded_pair_list: BoundPotential
+
+
+@dataclass
+class HostGuestSystem(AbstractSystem):
+    bond: BoundPotential
+    angle: BoundPotential
+    proper: BoundPotential
+    improper: BoundPotential
+    chiral_atom: BoundPotential
+    chiral_bond: BoundPotential
+    nonbonded_pair_list: BoundPotential
+    nonbonded_all_pairs: BoundPotential
+    nonbonded_ixn_group: BoundPotential

@@ -49,6 +49,12 @@ class CentroidRescaler:
             n_atoms = int(max(int(np.max(np.asarray(g))) for g in group_idxs)) + 1
         self.scatter_idxs, self.group_sizes = scatter_idxs_from_group_idxs(group_idxs, n_atoms)
         self.num_groups = len(self.group_sizes)
+        # atoms not in any explicit group are NOT moved (the CUDA barostat only
+        # displaces grouped atoms; ref barostat.cu num_grouped_atoms_)
+        grouped = np.zeros(n_atoms, dtype=bool)
+        for g in group_idxs:
+            grouped[np.asarray(g)] = True
+        self.grouped_mask = grouped[:, None]
 
     def compute_centroids(self, coords):
         sums = jax.ops.segment_sum(coords, self.scatter_idxs, num_segments=self.num_groups)
@@ -57,7 +63,7 @@ class CentroidRescaler:
     def scale_centroids(self, coords, center, scale):
         centroids = self.compute_centroids(coords)
         displacement = (center + scale * (centroids - center)) - centroids
-        return coords + displacement[self.scatter_idxs]
+        return coords + jnp.where(self.grouped_mask, displacement[self.scatter_idxs], 0.0)
 
 
 class BarostatState(NamedTuple):

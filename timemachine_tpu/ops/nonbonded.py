@@ -105,9 +105,8 @@ def filter_exclusions(atom_idxs, exclusion_idxs, scale_factors, update_idxs=Fals
         out_idxs.append((i, j))
         out_scales.append(sf)
     out_idxs_arr = np.array(out_idxs, dtype=np.int32).reshape(-1, 2)
-    out_scales_arr = np.array(out_scales).reshape(-1, np.asarray(scale_factors).shape[1] if len(out_scales) == 0 else -1)
-    if len(out_scales):
-        out_scales_arr = np.array(out_scales)
+    n_cols = np.asarray(scale_factors).reshape(len(scale_factors), -1).shape[1] if len(scale_factors) else 2
+    out_scales_arr = np.array(out_scales, dtype=np.float64).reshape(-1, n_cols)
     return out_idxs_arr, out_scales_arr
 
 

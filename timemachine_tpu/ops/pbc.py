@@ -46,7 +46,9 @@ def lifted_distance_on_pairs(ri, rj, box=None, w_offsets=None):
     d2 = distance_sq(ri, rj, box)
     if w_offsets is not None:
         d2 = d2 + jnp.asarray(w_offsets) ** 2
-    return jnp.sqrt(d2)
+    # grad-safe sqrt: coincident points give d = 0 with zero (not NaN) gradient
+    safe = jnp.where(d2 > 0.0, d2, 1.0)
+    return jnp.where(d2 > 0.0, jnp.sqrt(safe), 0.0)
 
 
 def pairwise_distance_matrix(x, box=None, w=None):
