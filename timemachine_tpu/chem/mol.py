@@ -254,6 +254,16 @@ class Mol:
 
     # -- editing ---------------------------------------------------------------
 
+    def renumber(self, perm) -> "Mol":
+        """New Mol with atoms reordered: new index n holds old atom perm[n]
+        (RDKit RenumberAtoms semantics)."""
+        perm = list(map(int, perm))
+        assert sorted(perm) == list(range(self.num_atoms))
+        old_to_new = {old: new for new, old in enumerate(perm)}
+        atoms = [Atom(self.atoms[o].atomic_num, self.atoms[o].formal_charge, self.atoms[o].implicit_h, self.atoms[o].isotope) for o in perm]
+        bonds = [Bond(old_to_new[b.src], old_to_new[b.dst], b.order) for b in self.bonds]
+        return Mol(atoms, bonds, self.coords[perm], self.name, dict(self.props))
+
     def add_hydrogens(self) -> "Mol":
         """Materialize implicit hydrogens as explicit atoms (no coordinates
         generated; use embedding to place them)."""

@@ -130,6 +130,60 @@ class ChiralRestrIdxSet:
         return trial_tuple in self.disallowed_set
 
 
+def enumerate_simple_paths(graph, length: int):
+    """All simple paths of `length` nodes in the bond graph."""
+    import networkx as nx
+
+    paths = []
+    for src in graph.nodes:
+        stack = [(src,)]
+        while stack:
+            path = stack.pop()
+            if len(path) == length:
+                paths.append(path)
+                continue
+            for nb in graph.neighbors(path[-1]):
+                if nb not in path:
+                    stack.append(path + (nb,))
+    return paths
+
+
+def setup_find_flipped_planar_torsions(mol_a: Mol, mol_b: Mol):
+    """Returns core -> iterator of planar torsions (central bond double/
+    aromatic/amide) whose torsion-volume sign flips under the mapping
+    (ref chiral_utils.py:345-407)."""
+    import numpy as np
+
+    def enumerate_planar_torsions(mol):
+        conf = mol.get_conf()
+        graph = mol.to_nx()
+        idxs = {tuple(canonicalize_bond(list(p))) for p in enumerate_simple_paths(graph, 4)}
+        amide_bonds = find_canonical_amide_bonds(mol)
+        planar_torsions = {}
+        for i, j, k, l in idxs:
+            if tuple(canonicalize_bond((j, k))) not in amide_bonds:
+                bond = mol.get_bond(j, k)
+                is_aromatic = mol.is_aromatic_bond(j, k, "mdl")
+                if bond is None or (bond.order != 2 and not is_aromatic and bond.order != 4):
+                    continue
+            volume = float(torsion_volume(conf[i], conf[j], conf[k], conf[l]))
+            planar_torsions[(i, j, k, l)] = np.sign(volume)
+        return planar_torsions
+
+    planar_torsions_a = enumerate_planar_torsions(mol_a)
+    planar_torsions_b = enumerate_planar_torsions(mol_b)
+    planar_torsions_b.update({(l, k, j, i): s for (i, j, k, l), s in planar_torsions_b.items()})
+
+    def find_flipped(core):
+        for (ia, ja, ka, la), sign_a in planar_torsions_a.items():
+            idxs_b = (core[ia], core[ja], core[ka], core[la])
+            sign_b = planar_torsions_b.get(idxs_b)
+            if sign_b is not None and sign_a != sign_b:
+                yield ((ia, ja, ka, la), idxs_b)
+
+    return find_flipped
+
+
 def _find_atom_map_chiral_conflicts_one_direction(core, chiral_set_a, chiral_set_b, mode=ChiralCheckMode.FLIP):
     if mode == ChiralCheckMode.FLIP:
         conflict_fn = chiral_set_b.disallows
