@@ -1,0 +1,102 @@
+"""Headline benchmark: apo-MD throughput (ns/day) on a solvated box at
+DHFR scale (~23k atoms), NPT, dt = 2.5 fs with HMR — mirroring the
+reference's benchmark harness defaults (tests/test_benchmark.py:506-518,
+dt/friction/barostat-interval per BASELINE.md).
+
+Runs on whatever accelerator JAX exposes (the real TPU chip under the
+driver). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ns/day", "vs_baseline": N}
+
+vs_baseline normalizes against BASELINE_NS_PER_DAY — the reference publishes
+no numbers (BASELINE.md), so this is the commonly-reported CUDA throughput
+for a ~23k-atom unconstrained HMR system on a modern datacenter GPU.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_NS_PER_DAY = 500.0  # assumed CUDA reference (none published; see BASELINE.md)
+
+N_ATOMS_TARGET = 23_000
+DT_PS = 2.5e-3
+FRICTION = 1.0
+TEMP = 300.0
+PRESSURE = 1.013
+BAROSTAT_INTERVAL = 25
+
+
+def build_system():
+    from timemachine_tpu.fe.model_utils import apply_hmr
+    from timemachine_tpu.md.builders import build_water_system
+
+    box_width = (N_ATOMS_TARGET / 3 / 33.3) ** (1 / 3)
+    host_config = build_water_system(box_width)
+    bps = host_config.host_system.get_U_fns()
+
+    # production path: tiled O(N) nonbonded
+    nb = host_config.host_system.nonbonded_all_pairs.potential
+    nb.set_impl("tiled").configure_tiled(host_config.box, conf=host_config.conf)
+
+    bond_idxs = host_config.host_system.bond.potential.idxs
+    masses = apply_hmr(host_config.masses, bond_idxs)
+    return host_config, bps, masses
+
+
+def main():
+    import jax
+
+    from timemachine_tpu.integrators import LangevinIntegrator
+    from timemachine_tpu.md.barostat import MonteCarloBarostat
+    from timemachine_tpu.md.context import Context
+    from timemachine_tpu.md.fire import FireMinimizationConfig
+    from timemachine_tpu.md.fire import fire_minimize_jax
+    from timemachine_tpu.md.utils import sample_velocities
+
+    host_config, bps, masses = build_system()
+    n_atoms = host_config.conf.shape[0]
+    box = host_config.box
+
+    dtype = np.float32  # TPU-native precision for the hot loop
+    x0 = host_config.conf.astype(dtype)
+
+    # quick clash relaxation (the builder lattice is slightly strained)
+    import jax.numpy as jnp
+
+    u_fn = lambda x: sum(bp(x, jnp.asarray(box, dtype)) for bp in bps)
+    force = jax.jit(lambda x: -jax.grad(u_fn)(x))
+    x0 = np.asarray(fire_minimize_jax(jnp.asarray(x0), force, FireMinimizationConfig(400)))
+
+    intg = LangevinIntegrator(TEMP, DT_PS, FRICTION, masses, seed=2026)
+    groups = [np.arange(3 * w, 3 * w + 3) for w in range(n_atoms // 3)]
+    baro = MonteCarloBarostat(n_atoms, PRESSURE, TEMP, groups, BAROSTAT_INTERVAL, seed=2027)
+    v0 = sample_velocities(masses, TEMP, seed=2028).astype(dtype)
+
+    ctxt = Context(x0, v0, box.astype(dtype), intg, bps, movers=[baro])
+
+    # warmup (compile + equilibrate)
+    ctxt.multiple_steps(200)
+
+    n_steps = 2000
+    t0 = time.perf_counter()
+    ctxt.multiple_steps(n_steps)
+    elapsed = time.perf_counter() - t0
+
+    ns_simulated = n_steps * DT_PS / 1000.0
+    ns_per_day = ns_simulated / elapsed * 86_400.0
+
+    print(
+        json.dumps(
+            {
+                "metric": f"apo_md_water_npt_{n_atoms}atoms",
+                "value": round(ns_per_day, 3),
+                "unit": "ns/day",
+                "vs_baseline": round(ns_per_day / BASELINE_NS_PER_DAY, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

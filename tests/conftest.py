@@ -13,7 +13,16 @@ import os
 # start; overriding the config (not just the env var) after import is what
 # actually selects CPU here.
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+# --xla_backend_optimization_level=0: jax 0.9.0's XLA:CPU LLVM pipeline
+# miscompiles gather/select-heavy programs NONDETERMINISTICALLY at the default
+# optimization level (answers differ by O(0.1-1) kJ/mol between compilations of
+# the same trace; see tests/test_neighborlist.py::test_compilation_determinism).
+# Disabling backend optimization restores correctness on CPU. TPU execution
+# (bench.py, production) does not go through this code path.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8 --xla_backend_optimization_level=0"
+)
 
 import jax
 

@@ -169,6 +169,8 @@ class NonbondedAllPairs(Potential):
     atom_idxs: Optional[np.ndarray] = None
     impl: str = "dense"
     nblist_padding: float = 0.2
+    tiled_grid_dims: Optional[tuple] = None
+    tiled_capacity: Optional[int] = None
 
     def __post_init__(self):
         self._atom_mask = None
@@ -177,12 +179,29 @@ class NonbondedAllPairs(Potential):
             m[np.asarray(self.atom_idxs)] = 1.0
             self._atom_mask = m
 
+    def configure_tiled(self, box, conf=None):
+        """Fix the static cell grid from a concrete box (call before jit).
+        Pass a representative conf to size capacity from actual occupancy."""
+        from timemachine_tpu.ops.neighborlist import choose_capacity, choose_grid
+
+        self.tiled_grid_dims = choose_grid(np.diagonal(np.asarray(box)), self.cutoff)
+        self.tiled_capacity = choose_capacity(self.num_atoms, self.tiled_grid_dims, conf=conf, box=box)
+        return self
+
     def __call__(self, conf, params, box):
         if self.impl == "tiled":
             from timemachine_tpu.ops.neighborlist import nonbonded_all_pairs_tiled
 
             return nonbonded_all_pairs_tiled(
-                conf, params, box, self.beta, self.cutoff, atom_mask=self._atom_mask, padding=self.nblist_padding
+                conf,
+                params,
+                box,
+                self.beta,
+                self.cutoff,
+                atom_mask=self._atom_mask,
+                padding=self.nblist_padding,
+                grid_dims=self.tiled_grid_dims,
+                capacity=self.tiled_capacity,
             )
         n = conf.shape[0]
         ones = np.ones((n, n))
@@ -221,6 +240,16 @@ class Nonbonded(Potential):
             impl=self.impl,
             nblist_padding=self.nblist_padding,
         )
+
+    def configure_tiled(self, box, conf=None):
+        self._all_pairs.configure_tiled(box, conf=conf)
+        return self
+
+    def set_impl(self, impl: str):
+        """Switch between the dense O(N^2) and tiled O(N) evaluation paths."""
+        self.impl = impl
+        self._all_pairs.impl = impl
+        return self
 
     def __call__(self, conf, params, box):
         if self.impl == "tiled":
