@@ -35,9 +35,14 @@ def build_system():
     host_config = build_water_system(box_width)
     bps = host_config.host_system.get_U_fns()
 
-    # production path: tiled O(N) nonbonded
+    # production path: fused Pallas tile kernel
     nb = host_config.host_system.nonbonded_all_pairs.potential
-    nb.set_impl("tiled").configure_tiled(host_config.box, conf=host_config.conf)
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        nb.set_impl("tiled").configure_tiled(host_config.box, conf=host_config.conf)
+    else:
+        nb.configure_pallas(host_config.box, host_config.conf)
 
     bond_idxs = host_config.host_system.bond.potential.idxs
     masses = apply_hmr(host_config.masses, bond_idxs)
@@ -75,10 +80,12 @@ def main():
 
     ctxt = Context(x0, v0, box.astype(dtype), intg, bps, movers=[baro])
 
-    # warmup (compile + equilibrate)
-    ctxt.multiple_steps(200)
+    n_steps = 1000
+    # warmup (compile + equilibrate) — same (interval, n_frames) shape as the
+    # timed call so the jitted runner is reused, never recompiled in the
+    # timed region
+    ctxt.multiple_steps(n_steps)
 
-    n_steps = 2000
     t0 = time.perf_counter()
     ctxt.multiple_steps(n_steps)
     elapsed = time.perf_counter() - t0

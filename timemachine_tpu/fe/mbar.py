@@ -108,6 +108,21 @@ def solve_mbar(
     return _solve_mbar_fixed_point(u_kn, n_k, initial_f_k, relative_tolerance, maximum_iterations)
 
 
+def kln_to_kn(u_kln, N_k=None):
+    """Flatten a (K, K, N_max) u_kln (frames of k evaluated in state l) into
+    the (K, N_tot) u_kn layout MBAR consumes, dropping padding beyond N_k[k]
+    (ref fe/bar.py kln_to_kn / pymbar.utils.kln_to_kn conventions)."""
+    u_kln = np.asarray(u_kln)
+    K = u_kln.shape[0]
+    if N_k is None:
+        N_k = np.full(K, u_kln.shape[2], dtype=int)
+    N_k = np.asarray(N_k, dtype=int)
+    cols = []
+    for k in range(K):
+        cols.append(u_kln[k, :, : N_k[k]])  # (K, N_k[k]): frames of k in every state l
+    return np.concatenate(cols, axis=1)
+
+
 def mbar_weights(f_k, u_kn, n_k):
     """W[n, k] = exp(f_k - u_kn) / sum_l n_l exp(f_l - u_ln); columns sum to 1."""
     log_n_k = jnp.log(jnp.asarray(n_k, dtype=u_kn.dtype))

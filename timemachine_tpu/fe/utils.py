@@ -42,3 +42,11 @@ def read_sdf(path):
 
 def read_sdf_mols_by_name(path):
     return {get_mol_name(m): m for m in read_sdf(path)}
+
+
+def bytes_to_id(data: bytes) -> int:
+    """Deterministic 64-bit id from bytes (ref fe/utils.py:589-592); used to
+    derive per-window seeds symmetric under A->B vs B->A edge direction."""
+    import hashlib
+
+    return int(hashlib.sha256(data).hexdigest(), 16) % (2**64 - 1)

@@ -97,8 +97,10 @@ class MonteCarloBarostat:
     initial_volume_scale_factor: float = 0.0
 
     def init_state(self) -> BarostatState:
+        # default float dtype: f64 under x64 (CPU tests), f32 on TPU — forcing
+        # f64 on TPU would just emit truncation warnings
         return BarostatState(
-            volume_scale=jnp.asarray(self.initial_volume_scale_factor, dtype=jnp.float64),
+            volume_scale=jnp.asarray(self.initial_volume_scale_factor, dtype=jnp.result_type(float)),
             n_accepted=jnp.asarray(0, dtype=jnp.int32),
             n_attempted=jnp.asarray(0, dtype=jnp.int32),
             total_accepted=jnp.asarray(0, dtype=jnp.int32),
@@ -119,7 +121,7 @@ class MonteCarloBarostat:
             volume_scale = jnp.where(
                 adaptive & (state.volume_scale == 0.0), 0.01 * volume, state.volume_scale
             )
-            delta_volume = volume_scale * 2.0 * (jax.random.uniform(k1, dtype=jnp.float64) - 0.5)
+            delta_volume = volume_scale * 2.0 * (jax.random.uniform(k1, dtype=jnp.result_type(float)) - 0.5)
             new_volume = volume + delta_volume
             length_scale = jnp.cbrt(new_volume / volume)
 
@@ -133,7 +135,7 @@ class MonteCarloBarostat:
             du = jnp.where(jnp.isnan(du), jnp.inf, du)
 
             w = du + pressure_kj_nm3 * delta_volume - num_mols * kt * jnp.log(new_volume / volume)
-            u_rand = jax.random.uniform(k2, dtype=jnp.float64)
+            u_rand = jax.random.uniform(k2, dtype=jnp.result_type(float))
             rejected = (w > 0) & (u_rand > jnp.exp(-w / kt))
             accepted = ~rejected
 

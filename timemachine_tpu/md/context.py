@@ -103,6 +103,24 @@ class Context:
                 return m, s
         return None
 
+    def set_barostat_interval(self, interval: int) -> Optional[int]:
+        """Change the barostat firing interval (used to speed equilibration;
+        ref free_energy.py:700-710). Returns the previous interval, or None
+        if there is no barostat. Invalidates compiled runners (the interval
+        is baked into the traced step function)."""
+        from dataclasses import replace as dc_replace
+
+        from timemachine_tpu.md.barostat import MonteCarloBarostat
+
+        for i, m in enumerate(self.movers):
+            if isinstance(m, MonteCarloBarostat):
+                prev = m.interval
+                if prev != interval:
+                    self.movers[i] = dc_replace(m, interval=interval)
+                    self._runner_cache.clear()
+                return prev
+        return None
+
     def compute_u_t(self) -> float:
         return float(self._energy_fn(jnp.asarray(self._x), jnp.asarray(self._box), self._params))
 
@@ -125,12 +143,34 @@ class Context:
         ca, cb, cc = self.integrator.coefficients(free_mask)
         dt = self.integrator.dt
 
+        # split potentials into fused-force providers (e.g. the Pallas
+        # nonbonded kernel: one pass for u+f, no autodiff backward sweep) and
+        # grad-evaluated terms
+        fused_idx = [
+            i for i, p in enumerate(self.potentials) if getattr(p, "energy_force_fn", lambda: None)() is not None
+        ]
+        fused_fns = {i: self.potentials[i].energy_force_fn() for i in fused_idx}
+        grad_idx = [i for i in range(len(self.potentials)) if i not in fused_fns]
+
+        def total_force(x, box, params_list):
+            force = jnp.zeros_like(x)
+            if grad_idx:
+
+                def u_rest(xx):
+                    return sum(self.potentials[i](xx, params_list[i], box) for i in grad_idx)
+
+                force = force - jax.grad(u_rest)(x)
+            for i in fused_idx:
+                _, f = fused_fns[i](x, params_list[i], box)
+                force = force + f
+            return force
+
         def step_fn(carry, params_list):
             x, v, box, t, mover_states = carry
             key_t = jax.random.fold_in(self._base_key, t)
             k_int, k_movers = jax.random.split(key_t)
 
-            force = -jax.grad(energy_fn)(x, box, params_list)
+            force = total_force(x, box, params_list)
             noise = jax.random.normal(k_int, x.shape, dtype=x.dtype)
             v_mid = v + jnp.asarray(cb, x.dtype) * force
             v = ca * v_mid + jnp.asarray(cc, x.dtype) * noise
@@ -200,7 +240,9 @@ class Context:
         mover_states = tuple(self._mover_states)
         xs_out, boxes_out = [], []
         x, v, box = jnp.asarray(self._x), jnp.asarray(self._v), jnp.asarray(self._box)
-        t0 = jnp.asarray(self._step, dtype=jnp.int64)
+        # int32 holds ~2.1B steps (~5.4 µs of MD at 2.5 fs) — plenty for a
+        # single Context lifetime; avoids x64-truncation warnings on TPU
+        t0 = jnp.asarray(self._step, dtype=jnp.result_type(int))
 
         if n_frames > 0:
             run = self._get_runner(interval, n_frames, free_mask_key, free_mask)

@@ -188,7 +188,33 @@ class NonbondedAllPairs(Potential):
         self.tiled_capacity = choose_capacity(self.num_atoms, self.tiled_grid_dims, conf=conf, box=box)
         return self
 
+    def configure_pallas(self, box, conf, margin: float = 1.4, interpret: bool = False):
+        """Switch to the fused Pallas tile kernel (the production TPU MD
+        path), sizing the static tile budget from the actual geometry."""
+        from timemachine_tpu.ops.pallas.nonbonded_kernel import (
+            make_nonbonded_pallas,
+            make_nonbonded_pallas_energy_force,
+            suggest_max_tiles,
+        )
+
+        if self._atom_mask is not None:
+            raise NotImplementedError("pallas impl does not support atom subsets yet; use impl='tiled'")
+        self.impl = "pallas"
+        self.pallas_max_tiles = suggest_max_tiles(np.asarray(conf), np.asarray(box), self.cutoff, margin=margin)
+        self._pallas_energy = make_nonbonded_pallas(self.beta, self.cutoff, self.pallas_max_tiles, interpret=interpret)
+        self._pallas_energy_force = make_nonbonded_pallas_energy_force(
+            self.beta, self.cutoff, self.pallas_max_tiles, interpret=interpret
+        )
+        return self
+
+    def energy_force_fn(self):
+        """Fused (u, force) implementation if configured, else None. The MD
+        Context uses this to skip the autodiff backward sweep."""
+        return getattr(self, "_pallas_energy_force", None) if self.impl == "pallas" else None
+
     def __call__(self, conf, params, box):
+        if self.impl == "pallas":
+            return self._pallas_energy(conf, params, box)
         if self.impl == "tiled":
             from timemachine_tpu.ops.neighborlist import nonbonded_all_pairs_tiled
 
@@ -245,22 +271,50 @@ class Nonbonded(Potential):
         self._all_pairs.configure_tiled(box, conf=conf)
         return self
 
+    def configure_pallas(self, box, conf, margin: float = 1.4, interpret: bool = False):
+        self._all_pairs.configure_pallas(box, conf, margin=margin, interpret=interpret)
+        self.impl = "pallas"
+        return self
+
     def set_impl(self, impl: str):
         """Switch between the dense O(N^2) and tiled O(N) evaluation paths."""
         self.impl = impl
         self._all_pairs.impl = impl
         return self
 
+    def _exclusion_energy(self, conf, params, box):
+        exc_idxs, exc_scales = self._filtered
+        vdW, es = nonbonded.nonbonded_on_specific_pairs(
+            conf, params, box, jnp.asarray(exc_idxs), self.beta, self.cutoff, rescale_mask=jnp.asarray(exc_scales)
+        )
+        return jnp.sum(vdW) + jnp.sum(es)
+
+    def energy_force_fn(self):
+        """Fused (u, force) when the AllPairs term runs on the Pallas path;
+        the (small) exclusion correction goes through autodiff."""
+        ef = self._all_pairs.energy_force_fn()
+        if ef is None:
+            return None
+        exc_idxs, _ = self._filtered
+        has_exclusions = len(exc_idxs) > 0
+
+        def fn(conf, params, box):
+            u, f = ef(conf, params, box)
+            if has_exclusions:
+                u_exc, g_exc = jax.value_and_grad(self._exclusion_energy)(conf, params, box)
+                u = u - u_exc
+                f = f + g_exc
+            return u, f
+
+        return fn
+
     def __call__(self, conf, params, box):
-        if self.impl == "tiled":
+        if self.impl in ("tiled", "pallas"):
             u_all = self._all_pairs(conf, params, box)
             exc_idxs, exc_scales = self._filtered
             if len(exc_idxs) == 0:
                 return u_all
-            vdW, es = nonbonded.nonbonded_on_specific_pairs(
-                conf, params, box, jnp.asarray(exc_idxs), self.beta, self.cutoff, rescale_mask=jnp.asarray(exc_scales)
-            )
-            return u_all - (jnp.sum(vdW) + jnp.sum(es))
+            return u_all - self._exclusion_energy(conf, params, box)
         exc_idxs, exc_scales = self._filtered
         q_mask, lj_mask = _dense_masks(self.num_atoms, exc_idxs, exc_scales)
         mask = None if self._all_pairs._atom_mask is None else jnp.asarray(self._all_pairs._atom_mask, dtype=conf.dtype)
