@@ -365,6 +365,83 @@ def image_frames(initial_state: InitialState, frames, boxes) -> np.ndarray:
     return np.array(imaged_frames)
 
 
+class BaseFreeEnergy:
+    """(ref free_energy.py:418-437)"""
+
+    @staticmethod
+    def _get_system_params_and_potentials(ff_params, topology, lamb: float):
+        params_potential_pairs = [
+            topology.parameterize_harmonic_bond(ff_params.hb_params),
+            topology.parameterize_harmonic_angle(ff_params.ha_params),
+            topology.parameterize_proper_torsion(ff_params.pt_params),
+            topology.parameterize_improper_torsion(ff_params.it_params),
+            topology.parameterize_nonbonded(
+                ff_params.q_params,
+                ff_params.q_params_intra,
+                ff_params.lj_params,
+                ff_params.lj_params_intra,
+                lamb,
+            ),
+        ]
+        params, potentials = zip(*params_potential_pairs)
+        return params, potentials
+
+
+class AbsoluteFreeEnergy(BaseFreeEnergy):
+    """Absolute free energy of a molecule via 4D decoupling
+    (ref free_energy.py:440-559). Serializable."""
+
+    def __init__(self, mol, top):
+        self.mol = mol
+        self.top = top
+
+    def prepare_host_edge(self, ff, host_config, lamb: float):
+        """Returns (unbound_potentials, system_params, combined_masses)."""
+        from timemachine_tpu.fe import topology as topology_mod
+        from timemachine_tpu.fe.utils import get_mol_masses
+        from timemachine_tpu.potentials import SummedPotential
+
+        ligand_masses = get_mol_masses(self.mol)
+        ff_params = ff.get_params()
+        hgt = topology_mod.HostGuestTopology(
+            host_config.host_system.get_U_fns(), self.top, host_config.num_water_atoms, ff, host_config.host_topology
+        )
+
+        final_params: list = []
+        final_potentials: list = []
+        combined_params, combined_potentials = self._get_system_params_and_potentials(ff_params, hgt, lamb)
+        for params, pot in zip(combined_params, combined_potentials):
+            # flatten SummedPotentials so downstream type-based dispatch works
+            if isinstance(pot, SummedPotential):
+                for partial_params, sub_pot in zip(pot.params_init, pot.potentials):
+                    assert not isinstance(sub_pot, SummedPotential), "nested SummedPotential"
+                    final_params.append(partial_params)
+                    final_potentials.append(sub_pot)
+            else:
+                final_params.append(params)
+                final_potentials.append(pot)
+        combined_masses = self._combine(ligand_masses, np.array(host_config.masses))
+        return tuple(final_potentials), tuple(final_params), combined_masses
+
+    def prepare_vacuum_edge(self, ff):
+        from timemachine_tpu.fe.utils import get_mol_masses
+
+        ff_params = ff.get_params()
+        ligand_masses = get_mol_masses(self.mol)
+        final_params, final_potentials = self._get_system_params_and_potentials(ff_params, self.top, 0.0)
+        return final_potentials, final_params, ligand_masses
+
+    def prepare_combined_coords(self, host_coords=None):
+        from timemachine_tpu.fe.utils import get_romol_conf
+
+        return self._combine(get_romol_conf(self.mol), host_coords)
+
+    def _combine(self, ligand_values, host_values=None):
+        if host_values is None:
+            return ligand_values
+        return np.concatenate([host_values, ligand_values])
+
+
 def get_water_sampler_params(initial_state: InitialState) -> NDArray:
     """Nonbonded parameters of the full system as seen by the water sampler
     (ref free_energy.py:561-608): ligand params from NonbondedInteractionGroup,

@@ -61,8 +61,10 @@ def bisection_lambda_schedule(num_windows: int, lambda_interval=(0.0, 1.0)):
     return np.linspace(min_lamb, max_lamb, schedule_windows, dtype=np.float64)
 
 
-def construct_pre_optimized_absolute_lambda_schedule_solvent(num_windows: int, nonbonded_cutoff: float = 1.2):
+def construct_pre_optimized_absolute_lambda_schedule_solvent(num_windows=None, nonbonded_cutoff: float = 1.2):
     assert nonbonded_cutoff == 1.2
+    if num_windows is None:
+        return _SOLVENT_DECOUPLING_PROTOCOL.copy()
     return interpolate_pre_optimized_protocol(_SOLVENT_DECOUPLING_PROTOCOL, num_windows)
 
 

@@ -126,11 +126,25 @@ class NVTMove(Move[CoordsVelBox]):
     def _run(self, x: CoordsVelBox, n_steps: int) -> CoordsVelBox:
         from timemachine_tpu.md.context import Context
 
-        ctxt = Context(x.coords, x.velocities, x.box, self.integrator, self.bps, movers=self._movers)
+        # one persistent Context: its jitted runner is compiled once and
+        # reused across every move (state is swapped in, never retraced)
+        if not hasattr(self, "_ctxt"):
+            self._ctxt = Context(x.coords, x.velocities, x.box, self.integrator, self.bps, movers=self._movers)
+        ctxt = self._ctxt
+        ctxt.set_x_t(x.coords)
+        ctxt.set_v_t(x.velocities)
+        ctxt.set_box(x.box)
         ctxt._step = self._step_offset
         ctxt.multiple_steps(n_steps)
         self._step_offset = ctxt._step
         return CoordsVelBox(ctxt.get_x_t(), ctxt.get_v_t(), ctxt.get_box())
+
+    def set_params(self, params_list):
+        """Swap potential parameters (e.g. a new lambda window) without
+        recompiling the move's runner."""
+        self.bps = [bp.potential.bind(p) for bp, p in zip(self.bps, params_list)]
+        if hasattr(self, "_ctxt"):
+            self._ctxt.set_params(params_list)
 
     def move(self, x: CoordsVelBox) -> CoordsVelBox:
         return self._run(x, self.n_steps)
