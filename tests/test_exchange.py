@@ -1,0 +1,232 @@
+"""Water exchange movers: weight math, incremental consistency, acceptance
+semantics, and the scan-based production mover.
+
+Parity target: reference tests/test_exchange_mover.py strategy (weights vs
+brute force, incremental vs full recompute, ideal-gas occupancy statistics).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from timemachine_tpu.constants import BOLTZ
+from timemachine_tpu.md.exchange import exchange_mover as em
+from timemachine_tpu.md.exchange.targeted_insertion import TIBDExchangeMove as TIBDScanMove
+from timemachine_tpu.md.states import CoordsVelBox
+from timemachine_tpu.ops.nonbonded import nonbonded_block
+
+BETA = 2.0
+CUTOFF = 1.2
+TEMP = 300.0
+KT = BOLTZ * TEMP
+
+
+def make_water_box(n_waters: int, box_width: float, seed: int, charged=True):
+    """Rigid TIP3P-ish waters at random placements."""
+    rng = np.random.default_rng(seed)
+    water_template = np.array([[0.0, 0, 0], [0.09572, 0, 0], [-0.024, 0.0927, 0]])
+    coords = []
+    for _ in range(n_waters):
+        loc = rng.uniform(0, box_width, 3)
+        rot = em.random_rotation_matrix(rng)
+        coords.append(water_template @ rot.T + loc)
+    conf = np.concatenate(coords)
+    n = 3 * n_waters
+    params = np.zeros((n, 4))
+    if charged:
+        q = np.sqrt(138.935456)
+        params[0::3, 0] = -0.834 * q
+        params[1::3, 0] = 0.417 * q
+        params[2::3, 0] = 0.417 * q
+        params[0::3, 1] = 0.315 / 2
+        params[0::3, 2] = np.sqrt(0.635)
+    water_idxs = np.arange(n).reshape(n_waters, 3)
+    box = np.eye(3) * box_width
+    return conf, params, water_idxs, box
+
+
+def brute_force_weights(conf, params, water_idxs, box):
+    """beta * U_i for each water by direct interaction-group evaluation."""
+    n = conf.shape[0]
+    out = []
+    for g in water_idxs:
+        others = np.delete(np.arange(n), g)
+        u = nonbonded_block(conf[g], conf[others], box, params[g], params[others], BETA, CUTOFF)
+        out.append(float(u) / KT)
+    return np.array(out)
+
+
+def test_batch_log_weights_vs_brute_force():
+    conf, params, water_idxs, box = make_water_box(20, 2.0, seed=0)
+    batch_fn, _ = em.make_weight_fns(params, water_idxs, BETA, CUTOFF, KT)
+    weights = np.asarray(batch_fn(conf, box))
+    ref = brute_force_weights(conf, params, water_idxs, box)
+    np.testing.assert_allclose(weights, ref, rtol=1e-8)
+
+
+def test_incremental_weights_match_full_recompute():
+    conf, params, water_idxs, box = make_water_box(20, 2.0, seed=1)
+    batch_fn, incr_fn = em.make_weight_fns(params, water_idxs, BETA, CUTOFF, KT)
+    weights = np.asarray(batch_fn(conf, box))
+
+    rng = np.random.default_rng(2)
+    for trial in range(5):
+        chosen = rng.integers(0, 20)
+        new_pos = em.randomly_rotate_and_translate(conf[water_idxs[chosen]], rng.uniform(0, 2.0, 3), rng)
+        w_after, new_conf = incr_fn(conf, box, chosen, new_pos, weights)
+        w_full = np.asarray(batch_fn(np.asarray(new_conf), box))
+        np.testing.assert_allclose(np.asarray(w_after), w_full, rtol=1e-6, atol=1e-8)
+        conf = np.asarray(new_conf)
+        weights = w_full
+
+
+def test_bd_exchange_move_preserves_geometry():
+    conf, params, water_idxs, box = make_water_box(15, 2.0, seed=3)
+    mover = em.BDExchangeMove(BETA, CUTOFF, params, water_idxs, TEMP, seed=4)
+    x = CoordsVelBox(conf, np.zeros_like(conf), box)
+    d_ref = np.linalg.norm(conf[water_idxs][:, 1] - conf[water_idxs][:, 0], axis=-1)
+    for _ in range(20):
+        x = mover.move(x)
+    # rigid: intramolecular O-H distances unchanged through any accepted moves
+    d_new = np.sort(np.linalg.norm(x.coords[water_idxs][:, 1] - x.coords[water_idxs][:, 0], axis=-1))
+    np.testing.assert_allclose(d_new, np.sort(d_ref), atol=1e-10)
+    assert mover.n_proposed == 20
+
+
+def test_get_water_groups_partition():
+    conf, params, water_idxs, box = make_water_box(25, 2.5, seed=5)
+    center = np.array([1.25, 1.25, 1.25])
+    inner, outer = em.get_water_groups(conf, box, center, water_idxs, radius=0.8)
+    assert len(inner) + len(outer) == 25
+    centroids = conf[water_idxs].mean(axis=1)
+    for i in inner:
+        assert np.linalg.norm(em.delta_r_np(centroids[i], center, box)) < 0.8
+    for i in outer:
+        assert np.linalg.norm(em.delta_r_np(centroids[i], center, box)) >= 0.8
+
+
+def test_proposal_probability_corners():
+    assert em.compute_proposal_probabilities_given_counts(5, 5) == 0.5
+    assert em.compute_proposal_probabilities_given_counts(5, 0) == 1.0
+    assert em.compute_proposal_probabilities_given_counts(0, 5) == 1.0
+    with pytest.raises(AssertionError):
+        em.compute_proposal_probabilities_given_counts(0, 0)
+
+
+def test_tibd_move_runs_and_moves_waters():
+    conf, params, water_idxs, box = make_water_box(20, 2.0, seed=6)
+    ligand_idxs = water_idxs[0]  # treat water 0's atoms as the "ligand" center
+    sampler_waters = water_idxs[1:]
+    mover = em.TIBDExchangeMove(BETA, CUTOFF, params, sampler_waters, TEMP, ligand_idxs, radius=0.7, seed=7)
+    x = CoordsVelBox(conf, np.zeros_like(conf), box)
+    for _ in range(25):
+        x = mover.move(x)
+    assert mover.n_proposed == 25
+    assert np.all(np.isfinite(x.coords))
+
+
+def test_tibd_ideal_gas_occupancy():
+    """With all interactions off, TIBD equilibrium occupancy of the sphere is
+    W * vol_sphere / vol_box (ideal gas)."""
+    n_waters = 30
+    box_width = 2.2
+    conf, params, water_idxs, box = make_water_box(n_waters, box_width, seed=8, charged=False)
+    center_atoms = np.array([0, 1, 2])
+    sampler_waters = water_idxs[1:]
+    radius = 0.7
+    mover = em.TIBDExchangeMove(BETA, CUTOFF, params, sampler_waters, TEMP, center_atoms, radius, seed=9)
+    x = CoordsVelBox(conf, np.zeros_like(conf), box)
+
+    counts = []
+    for step in range(400):
+        x = mover.move(x)
+        if step >= 100:
+            center = x.coords[center_atoms].mean(0)
+            inner, _ = em.get_water_groups(x.coords, box, center, sampler_waters, radius)
+            counts.append(len(inner))
+
+    vol_sphere = 4 / 3 * np.pi * radius**3
+    expected = (n_waters - 1) * vol_sphere / box_width**3
+    observed = np.mean(counts)
+    # binomial stddev ~ sqrt(W p (1-p)) ~ 2; autocorrelated chain → loose tol
+    assert observed == pytest.approx(expected, abs=2.5), (observed, expected)
+    assert mover.n_accepted > 0
+
+
+def test_scan_mover_matches_weight_invariants():
+    """Production scan mover: counters advance, geometry stays rigid, and its
+    final weights equal a fresh full recompute."""
+    conf, params, water_idxs, box = make_water_box(18, 2.0, seed=10)
+    ligand_idxs = np.array([0, 1, 2], dtype=np.int32)
+    sampler_waters = [g for g in water_idxs[1:]]
+    mover = TIBDScanMove(
+        n_atoms=conf.shape[0],
+        ligand_idxs=ligand_idxs,
+        water_idxs=sampler_waters,
+        params=params,
+        temperature=TEMP,
+        beta=BETA,
+        cutoff=CUTOFF,
+        radius=0.7,
+        seed=11,
+        n_proposals=50,
+        interval=400,
+    )
+    state = mover.init_state()
+    move = mover.make_move_fn(None)
+    key = jax.random.key(12)
+    new_state, x_new, v_new, box_new = jax.jit(move)(state, jnp.asarray(conf), jnp.zeros_like(conf), jnp.asarray(box), key)
+
+    assert int(new_state.n_proposed) == 50
+    assert 0 <= int(new_state.n_accepted) <= 50
+    x_new = np.asarray(x_new)
+    assert np.all(np.isfinite(x_new))
+    # rigid waters
+    d_ref = np.sort(np.linalg.norm(conf[water_idxs][:, 2] - conf[water_idxs][:, 0], axis=-1))
+    d_new = np.sort(np.linalg.norm(x_new[water_idxs][:, 2] - x_new[water_idxs][:, 0], axis=-1))
+    np.testing.assert_allclose(d_new, d_ref, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(box_new), box)
+
+    # ligand untouched
+    np.testing.assert_array_equal(x_new[:3], conf[:3])
+
+
+def test_scan_mover_ideal_gas_occupancy():
+    """Equilibrium sphere occupancy for the jitted scan mover (ideal gas)."""
+    n_waters = 30
+    box_width = 2.2
+    conf, params, water_idxs, box = make_water_box(n_waters, box_width, seed=13, charged=False)
+    ligand_idxs = np.array([0, 1, 2], dtype=np.int32)
+    sampler_waters = [g for g in water_idxs[1:]]
+    radius = 0.7
+    mover = TIBDScanMove(
+        n_atoms=conf.shape[0],
+        ligand_idxs=ligand_idxs,
+        water_idxs=sampler_waters,
+        params=params,
+        temperature=TEMP,
+        beta=BETA,
+        cutoff=CUTOFF,
+        radius=radius,
+        seed=14,
+        n_proposals=200,
+        interval=400,
+    )
+    move = jax.jit(mover.make_move_fn(None))
+    state = mover.init_state()
+    x = jnp.asarray(conf)
+    counts = []
+    key = jax.random.key(15)
+    for i in range(12):
+        key, sub = jax.random.split(key)
+        state, x, _, _ = move(state, x, jnp.zeros_like(x), jnp.asarray(box), sub)
+        if i >= 2:
+            center = np.asarray(x)[ligand_idxs].mean(0)
+            inner, _ = em.get_water_groups(np.asarray(x), box, center, np.asarray(sampler_waters), radius)
+            counts.append(len(inner))
+
+    vol_sphere = 4 / 3 * np.pi * radius**3
+    expected = (n_waters - 1) * vol_sphere / box_width**3
+    assert np.mean(counts) == pytest.approx(expected, abs=2.5), (np.mean(counts), expected)
+    assert int(state.n_accepted) > 0

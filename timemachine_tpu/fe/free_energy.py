@@ -471,7 +471,7 @@ def get_context(initial_state: InitialState, md_params: Optional[MDParams] = Non
     if initial_state.barostat:
         movers.append(initial_state.barostat)
     if md_params is not None and md_params.water_sampling_params is not None:
-        from timemachine_tpu.md.exchange.exchange_mover import TIBDExchangeMove
+        from timemachine_tpu.md.exchange.targeted_insertion import TIBDExchangeMove
 
         hb_potential = get_bound_potential_by_type(initial_state.potentials, HarmonicBond).potential
         group_indices = get_group_indices(get_bond_list(hb_potential), len(initial_state.integrator.masses))
