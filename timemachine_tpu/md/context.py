@@ -271,6 +271,167 @@ class Context:
         """Single unstored step (ref Context::step)."""
         self._multiple_steps_impl(1, 1, None, None)
 
+    # -- local MD (ref context.cu multiple_steps_local + local_md_potentials.cu)
+
+    def setup_local_md(self, temperature: Optional[float] = None, freeze_reference: bool = True):
+        """Declare local-MD settings (ref Context::setup_local_md,
+        context.cu:90-100). On TPU there is nothing to pre-build: the free
+        selection is a runtime mask input to one compiled local runner."""
+        if not freeze_reference:
+            raise NotImplementedError(
+                "freeze_reference=False (log-flat-bottom reference restraint) not implemented yet"
+            )
+        self._local_md_temperature = temperature
+        self._local_md_freeze_reference = freeze_reference
+
+    def _get_local_runner(self, steps_per_frame: int, n_frames: int):
+        """Local-MD runner: like _get_runner but with a runtime (free-mask,
+        reference restraint) input so new particle selections never recompile.
+
+        TPU design note: the reference rebuilds the nonbonded potential on
+        the free-row subset (local_md_potentials.cu:225-260) because dynamic
+        index sets are cheap in CUDA. Under XLA, dynamic shapes force
+        recompilation, so instead the FULL force is evaluated and frozen
+        atoms are masked out of the integrator update — identical dynamics
+        for the free atoms (frozen-frozen forces are computed then
+        discarded)."""
+        cache_key = ("local", steps_per_frame, n_frames)
+        if cache_key in self._runner_cache:
+            return self._runner_cache[cache_key]
+
+        assert isinstance(self.integrator, LangevinIntegrator)
+        ca, cb, cc = self.integrator.coefficients(None)
+        dt = self.integrator.dt
+
+        fused_idx = [
+            i for i, p in enumerate(self.potentials) if getattr(p, "energy_force_fn", lambda: None)() is not None
+        ]
+        fused_fns = {i: self.potentials[i].energy_force_fn() for i in fused_idx}
+        grad_idx = [i for i in range(len(self.potentials)) if i not in fused_fns]
+
+        from timemachine_tpu.ops.pbc import lifted_distance_on_pairs
+
+        def total_force(x, box, params_list, ref_idx, free, k, radius):
+            force = jnp.zeros_like(x)
+            if grad_idx:
+
+                def u_rest(xx):
+                    return sum(self.potentials[i](xx, params_list[i], box) for i in grad_idx)
+
+                force = force - jax.grad(u_rest)(x)
+            for i in fused_idx:
+                _, f = fused_fns[i](x, params_list[i], box)
+                force = force + f
+
+            # flat-bottom restraint of each free atom to the reference
+            # (ref k_local_md.cuh k_construct_bonded_params: k, r_min=0, r_max=radius)
+            def u_restraint(xx):
+                d = lifted_distance_on_pairs(xx[ref_idx][None, :].repeat(xx.shape[0], 0), xx, box)
+                over = jnp.maximum(d - radius, 0.0)
+                return jnp.sum(free * (k / 4.0) * over**4)
+
+            return force - jax.grad(u_restraint)(x)
+
+        def step_fn(carry, params_list, ref_idx, free, k, radius):
+            x, v, box, t = carry
+            key_t = jax.random.fold_in(self._base_key, t)
+            force = total_force(x, box, params_list, ref_idx, free, k, radius)
+            noise = jax.random.normal(key_t, x.shape, dtype=x.dtype)
+            fm = free[:, None]
+            v_mid = v + jnp.asarray(cb, x.dtype) * fm * force
+            v_new = ca * v_mid + jnp.asarray(cc, x.dtype) * fm * noise
+            # frozen atoms: coordinates AND velocities untouched
+            x = x + jnp.where(fm > 0, 0.5 * dt * (v_mid + v_new), 0.0)
+            v = jnp.where(fm > 0, v_new, v)
+            return (x, v, box, t + 1), None
+
+        @jax.jit
+        def run(x, v, box, t0, params_list, ref_idx, free, k, radius):
+            def frame_body(carry, _):
+                def step_body(c, _):
+                    return step_fn(c, params_list, ref_idx, free, k, radius)
+
+                carry, _ = jax.lax.scan(step_body, carry, None, length=steps_per_frame)
+                x_f, _, box_f, _ = carry
+                return carry, (x_f, box_f)
+
+            carry = (x, v, box, t0)
+            carry, (xs, boxes) = jax.lax.scan(frame_body, carry, None, length=n_frames)
+            return carry, xs, boxes
+
+        self._runner_cache[cache_key] = run
+        return run
+
+    def multiple_steps_local(
+        self,
+        n_steps: int,
+        local_idxs,
+        k: float = 10_000.0,
+        radius: float = 1.0,
+        seed: int = 0,
+        store_x_interval: int = 0,
+        temperature: Optional[float] = None,
+        freeze_reference: bool = True,
+    ):
+        """Advance n_steps moving only a probabilistically-selected region
+        around a random atom of local_idxs (ref Context::multiple_steps_local,
+        context.cu:102-160; selection per k_log_probability_selection,
+        k_flat_bottom_bond.cuh:23-70). Movers do not fire during local MD.
+
+        Returns (frames, boxes) like multiple_steps."""
+        from timemachine_tpu.constants import BOLTZ
+
+        if not freeze_reference:
+            raise NotImplementedError("freeze_reference=False not implemented yet")
+        assert len(local_idxs) > 0
+        n_atoms = self._x.shape[0]
+        temperature = temperature if temperature is not None else getattr(self.integrator, "temperature", 300.0)
+        kBT = BOLTZ * temperature
+
+        rng = np.random.default_rng(seed)
+        reference_idx = int(np.asarray(local_idxs)[rng.integers(len(local_idxs))])
+
+        # selection: p_i = exp(-U_fb(d_i; 0, radius) / kBT), 1 inside radius
+        diff = self._x - self._x[reference_idx]
+        box_diag = np.diagonal(self._box)
+        diff -= box_diag * np.floor(diff / box_diag + 0.5)
+        d = np.linalg.norm(diff, axis=1)
+        over = np.maximum(d - radius, 0.0)
+        p_sel = np.exp(-(k / 4.0) * over**4 / kBT)
+        free = (rng.random(n_atoms) < p_sel).astype(np.float64)
+        free[reference_idx] = 0.0  # frozen reference
+        if free.sum() == 0:
+            raise RuntimeError("local MD selection has no free particles")
+
+        interval = store_x_interval if store_x_interval > 0 else n_steps
+        n_frames, tail = divmod(n_steps, interval)
+
+        x, v, box = jnp.asarray(self._x), jnp.asarray(self._v), jnp.asarray(self._box)
+        t0 = jnp.asarray(self._step, dtype=jnp.result_type(int))
+        freej = jnp.asarray(free, x.dtype)
+        xs_out, boxes_out = [], []
+
+        if n_frames > 0:
+            run = self._get_local_runner(interval, n_frames)
+            carry, xs, boxes = run(x, v, box, t0, self._params, reference_idx, freej, k, radius)
+            x, v, box, t0 = carry
+            xs_out.append(np.asarray(xs))
+            boxes_out.append(np.asarray(boxes))
+        if tail > 0:
+            run = self._get_local_runner(tail, 1)
+            carry, _, _ = run(x, v, box, t0, self._params, reference_idx, freej, k, radius)
+            x, v, box, t0 = carry
+
+        self._x = np.asarray(x)
+        self._v = np.asarray(v)
+        self._box = np.asarray(box)
+        self._step = int(t0)
+        self._validate_state()
+
+        if xs_out:
+            return np.concatenate(xs_out), np.concatenate(boxes_out)
+        return np.zeros((0, *self._x.shape)), np.zeros((0, 3, 3))
+
     def _validate_state(self):
         """Coordinate / box sanity checks (ref context.cu:52-78)."""
         if not np.all(np.isfinite(self._x)):
