@@ -24,9 +24,8 @@ def get_biphenyl():
     # ring A (atoms 0-5, F at 6 and 7 on the 2,6 positions), ring B (8-13), F at 14
     mol = _build("Fc1cccc(F)c1-c1ccccc1F", seed=7)
     # locate the inter-ring bond: the two aromatic atoms bonded across rings
-    rings = mol.rings() if hasattr(mol, "rings") else None
     inter = None
-    ring_sets = [set(r) for r in mol.sssr()] if hasattr(mol, "sssr") else []
+    ring_sets = [set(r) for r in mol.ring_info()]
     for b in mol.bonds:
         in_same = any(b.src in rs and b.dst in rs for rs in ring_sets)
         both_arom = b.src in mol.aromatic_atoms() and b.dst in mol.aromatic_atoms()
@@ -44,7 +43,7 @@ def get_biphenyl():
 def get_triphenyl():
     """Three-ring torsion system (ref ligands.py:67-145)."""
     mol = _build("Fc1cccc(F)c1-c1cc(F)ccc1-c1ccccc1F", seed=8)
-    ring_sets = [set(r) for r in mol.sssr()]
+    ring_sets = [set(r) for r in mol.ring_info()]
     arom = mol.aromatic_atoms()
     torsions = []
     for b in mol.bonds:
