@@ -57,6 +57,7 @@ class Context:
         self._base_key = jax.random.key(seed)
         self._step = 0
         self._runner_cache: dict = {}
+        self._stateful_provider_idx: list = []
 
         def energy_fn(x, box, params_list):
             total = 0.0
@@ -143,16 +144,26 @@ class Context:
         ca, cb, cc = self.integrator.coefficients(free_mask)
         dt = self.integrator.dt
 
-        # split potentials into fused-force providers (e.g. the Pallas
-        # nonbonded kernel: one pass for u+f, no autodiff backward sweep) and
-        # grad-evaluated terms
-        fused_idx = [
-            i for i, p in enumerate(self.potentials) if getattr(p, "energy_force_fn", lambda: None)() is not None
-        ]
-        fused_fns = {i: self.potentials[i].energy_force_fn() for i in fused_idx}
-        grad_idx = [i for i in range(len(self.potentials)) if i not in fused_fns]
+        # split potentials into three tiers:
+        # 1. stateful MD providers (Pallas nonbonded with amortized tile
+        #    rebuilds — state carried through the scan),
+        # 2. stateless fused (u, f) providers (one pass, no backward sweep),
+        # 3. grad-evaluated terms.
+        stateful: dict = {}
+        fused_fns: dict = {}
+        for i, p in enumerate(self.potentials):
+            mdp = getattr(p, "md_force_provider", None)
+            prov = mdp() if mdp is not None else None
+            if prov is not None:
+                stateful[i] = prov
+                continue
+            ef = getattr(p, "energy_force_fn", lambda: None)()
+            if ef is not None:
+                fused_fns[i] = ef
+        grad_idx = [i for i in range(len(self.potentials)) if i not in fused_fns and i not in stateful]
+        self._stateful_provider_idx = sorted(stateful.keys())
 
-        def total_force(x, box, params_list):
+        def total_force(x, box, params_list, prov_states, t):
             force = jnp.zeros_like(x)
             if grad_idx:
 
@@ -160,17 +171,22 @@ class Context:
                     return sum(self.potentials[i](xx, params_list[i], box) for i in grad_idx)
 
                 force = force - jax.grad(u_rest)(x)
-            for i in fused_idx:
+            for i in fused_fns:
                 _, f = fused_fns[i](x, params_list[i], box)
                 force = force + f
-            return force
+            new_states = []
+            for k, i in enumerate(self._stateful_provider_idx):
+                _, f, st = stateful[i][1](prov_states[k], x, params_list[i], box, t)
+                force = force + f
+                new_states.append(st)
+            return force, tuple(new_states)
 
         def step_fn(carry, params_list):
-            x, v, box, t, mover_states = carry
+            x, v, box, t, mover_states, prov_states = carry
             key_t = jax.random.fold_in(self._base_key, t)
             k_int, k_movers = jax.random.split(key_t)
 
-            force = total_force(x, box, params_list)
+            force, prov_states = total_force(x, box, params_list, prov_states, t)
             noise = jax.random.normal(k_int, x.shape, dtype=x.dtype)
             v_mid = v + jnp.asarray(cb, x.dtype) * force
             v = ca * v_mid + jnp.asarray(cc, x.dtype) * noise
@@ -193,9 +209,16 @@ class Context:
                 st, x, v, box = jax.lax.cond(due, do_move, skip, (mover_states[i], x, v, box))
                 new_mover_states.append(st)
 
-            return (x, v, box, t + 1, tuple(new_mover_states)), None
+            return (x, v, box, t + 1, tuple(new_mover_states), prov_states), None
 
         return step_fn
+
+    def _init_provider_states(self, x, box):
+        states = []
+        for i in self._stateful_provider_idx:
+            init_fn, _ = self.potentials[i].md_force_provider()
+            states.append(init_fn(x, self._params[i], box))
+        return tuple(states)
 
     def _get_runner(self, steps_per_frame: int, n_frames: int, free_mask_key=None, free_mask=None):
         cache_key = (steps_per_frame, n_frames, free_mask_key)
@@ -205,16 +228,16 @@ class Context:
         step_fn = self._make_step_fn(free_mask)
 
         @jax.jit
-        def run(x, v, box, t0, mover_states, params_list):
+        def run(x, v, box, t0, mover_states, prov_states, params_list):
             def frame_body(carry, _):
                 def step_body(c, _):
                     return step_fn(c, params_list)
 
                 carry, _ = jax.lax.scan(step_body, carry, None, length=steps_per_frame)
-                x_f, v_f, box_f, _, _ = carry
+                x_f, v_f, box_f, _, _, _ = carry
                 return carry, (x_f, box_f)
 
-            carry = (x, v, box, t0, mover_states)
+            carry = (x, v, box, t0, mover_states, prov_states)
             carry, (xs, boxes) = jax.lax.scan(frame_body, carry, None, length=n_frames)
             return carry, xs, boxes
 
@@ -244,16 +267,21 @@ class Context:
         # single Context lifetime; avoids x64-truncation warnings on TPU
         t0 = jnp.asarray(self._step, dtype=jnp.result_type(int))
 
+        # build the step fn (populates stateful-provider detection), then
+        # initialize provider states from the current coordinates
+        self._get_runner(interval if n_frames > 0 else tail, max(n_frames, 1), free_mask_key, free_mask)
+        prov_states = self._init_provider_states(x, box)
+
         if n_frames > 0:
             run = self._get_runner(interval, n_frames, free_mask_key, free_mask)
-            carry, xs, boxes = run(x, v, box, t0, mover_states, self._params)
-            x, v, box, t0, mover_states = carry
+            carry, xs, boxes = run(x, v, box, t0, mover_states, prov_states, self._params)
+            x, v, box, t0, mover_states, prov_states = carry
             xs_out.append(np.asarray(xs))
             boxes_out.append(np.asarray(boxes))
         if tail > 0:
             run = self._get_runner(tail, 1, free_mask_key, free_mask)
-            carry, xs, boxes = run(x, v, box, t0, mover_states, self._params)
-            x, v, box, t0, mover_states = carry
+            carry, xs, boxes = run(x, v, box, t0, mover_states, prov_states, self._params)
+            x, v, box, t0, mover_states, prov_states = carry
 
         self._x = np.asarray(x)
         self._v = np.asarray(v)

@@ -188,22 +188,35 @@ class NonbondedAllPairs(Potential):
         self.tiled_capacity = choose_capacity(self.num_atoms, self.tiled_grid_dims, conf=conf, box=box)
         return self
 
-    def configure_pallas(self, box, conf, margin: float = 1.4, interpret: bool = False):
+    def configure_pallas(self, box, conf, margin: float = 1.4, interpret: bool = False, cb: int = 2):
         """Switch to the fused Pallas tile kernel (the production TPU MD
-        path), sizing the static tile budget from the actual geometry."""
+        path), sizing the static tile budget from the actual geometry.
+
+        cb: column-tile width in units of 128 atoms. cb=2 (256-wide column
+        tiles) measured ~17% faster than cb=1 at 23k atoms on v5e — fewer
+        grid steps (~0.6 us fixed cost each) at ~8% more padded pair slots."""
         from timemachine_tpu.ops.pallas.nonbonded_kernel import (
             make_nonbonded_pallas,
             make_nonbonded_pallas_energy_force,
+            make_nonbonded_pallas_md,
             suggest_max_tiles,
         )
 
         if self._atom_mask is not None:
             raise NotImplementedError("pallas impl does not support atom subsets yet; use impl='tiled'")
+
         self.impl = "pallas"
-        self.pallas_max_tiles = suggest_max_tiles(np.asarray(conf), np.asarray(box), self.cutoff, margin=margin)
-        self._pallas_energy = make_nonbonded_pallas(self.beta, self.cutoff, self.pallas_max_tiles, interpret=interpret)
+        self.pallas_max_tiles = suggest_max_tiles(np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, cb=cb)
+        self._pallas_energy = make_nonbonded_pallas(self.beta, self.cutoff, self.pallas_max_tiles, interpret=interpret, cb=cb)
         self._pallas_energy_force = make_nonbonded_pallas_energy_force(
-            self.beta, self.cutoff, self.pallas_max_tiles, interpret=interpret
+            self.beta, self.cutoff, self.pallas_max_tiles, interpret=interpret, cb=cb
+        )
+        # stateful MD provider: tile list culled at cutoff+skin, rebuilt every
+        # rebuild_interval steps instead of per step
+        skin = 0.1
+        md_tiles = suggest_max_tiles(np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, cb=cb)
+        self._pallas_md = make_nonbonded_pallas_md(
+            self.beta, self.cutoff, md_tiles, skin=skin, rebuild_interval=20, interpret=interpret, cb=cb
         )
         return self
 
@@ -211,6 +224,11 @@ class NonbondedAllPairs(Potential):
         """Fused (u, force) implementation if configured, else None. The MD
         Context uses this to skip the autodiff backward sweep."""
         return getattr(self, "_pallas_energy_force", None) if self.impl == "pallas" else None
+
+    def md_force_provider(self):
+        """Stateful (init, apply) MD force provider with amortized tile
+        rebuilds, or None. apply(state, x, params, box, t) -> (u, f, state')."""
+        return getattr(self, "_pallas_md", None) if self.impl == "pallas" else None
 
     def __call__(self, conf, params, box):
         if self.impl == "pallas":
@@ -307,6 +325,26 @@ class Nonbonded(Potential):
             return u, f
 
         return fn
+
+    def md_force_provider(self):
+        """Stateful MD provider: Pallas AllPairs with amortized rebuilds plus
+        the autodiff exclusion correction."""
+        prov = self._all_pairs.md_force_provider()
+        if prov is None:
+            return None
+        init_ap, apply_ap = prov
+        exc_idxs, _ = self._filtered
+        has_exclusions = len(exc_idxs) > 0
+
+        def apply_fn(state, conf, params, box, t):
+            u, f, state = apply_ap(state, conf, params, box, t)
+            if has_exclusions:
+                u_exc, g_exc = jax.value_and_grad(self._exclusion_energy)(conf, params, box)
+                u = u - u_exc
+                f = f + g_exc
+            return u, f, state
+
+        return init_ap, apply_fn
 
     def __call__(self, conf, params, box):
         if self.impl in ("tiled", "pallas"):
