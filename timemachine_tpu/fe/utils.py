@@ -50,3 +50,165 @@ def bytes_to_id(data: bytes) -> int:
     import hashlib
 
     return int(hashlib.sha256(data).hexdigest(), 16) % (2**64 - 1)
+
+
+def convert_uIC50_to_kJ_per_mole(amount_in_uM: float, experiment_temp: float = None) -> float:
+    """IC50 in uM -> binding potency in kJ/mol (ref fe/utils.py:16-36)."""
+    from timemachine_tpu import constants
+
+    temp = experiment_temp if experiment_temp is not None else constants.DEFAULT_TEMP
+    RT = (constants.BOLTZ * temp) / constants.KCAL_TO_KJ
+    return RT * np.log(amount_in_uM * 1e-6) * constants.KCAL_TO_KJ
+
+
+def convert_uM_to_kJ_per_mole(amount_in_uM: float, experiment_temp: float = None) -> float:
+    """(ref fe/utils.py:38-56)"""
+    return convert_uIC50_to_kJ_per_mole(amount_in_uM, experiment_temp=experiment_temp)
+
+
+def recenter_mol(mol: Mol) -> Mol:
+    """Copy of mol with the conformer centered on its centroid
+    (ref fe/utils.py:125-136)."""
+    import copy
+
+    mol_copy = copy.deepcopy(mol)
+    conf = get_romol_conf(mol)
+    mol_copy.set_conf(conf - np.mean(conf, axis=0))
+    return mol_copy
+
+
+def score_2d(conf, norm=2):
+    """Goodness of a 2D depiction: low = atoms well spread (ref :137-147)."""
+    score = 0.0
+    for idx, (x0, y0, _) in enumerate(conf):
+        for x1, y1, _ in conf[idx + 1 :]:
+            score += 1 / ((x0 - x1) ** norm + (y0 - y1) ** norm)
+    return score / len(conf)
+
+
+def generate_good_rotations(mol_a, mol_b, num_rotations: int = 3, max_rotations: int = 1000, seed: int = 1234):
+    """Rotations minimizing 2D-projection clashes for both mols
+    (ref fe/utils.py:149-176)."""
+    assert num_rotations < max_rotations
+    conf_a = get_romol_conf(mol_a)
+    conf_b = get_romol_conf(mol_b)
+    rng = np.random.default_rng(seed)
+
+    def random_so3():
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        w, x, y, z = q
+        return np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+
+    scores, rotations = [], []
+    for _ in range(max_rotations):
+        r = random_so3()
+        scores.append(max(score_2d(conf_a @ r.T), score_2d(conf_b @ r.T)))
+        rotations.append(r)
+    perm = np.argsort(scores, kind="stable")
+    return np.array(rotations)[perm][:num_rotations]
+
+
+def rotate_mol(mol: Mol, rotation_matrix) -> Mol:
+    """(ref fe/utils.py:178-191)"""
+    mol_copy = recenter_mol(mol)
+    mol_copy.set_conf(get_romol_conf(mol_copy) @ np.asarray(rotation_matrix).T)
+    return mol_copy
+
+
+def plot_atom_mapping_grid(mol_a: Mol, mol_b: Mol, core, num_rotations: int = 3, seed: int = 2022) -> str:
+    """SVG grid of 2D projections of mol_a and mol_b with core atoms colored
+    consistently across both (native replacement of the RDKit-draw-based
+    ref fe/utils.py:211-275). Returns the SVG as a string."""
+    from timemachine_tpu.chem.periodic import symbol_of
+
+    core = np.asarray(core)
+    rotations = generate_good_rotations(mol_a, mol_b, num_rotations=num_rotations, seed=seed)
+
+    rng = np.random.default_rng(seed)
+    colors = {}
+    for (a_idx, b_idx) in core:
+        hue = rng.random()
+        colors[("a", int(a_idx))] = hue
+        colors[("b", int(b_idx))] = hue
+
+    cell_w, cell_h = 260.0, 260.0
+    rows = []
+
+    def hue_to_rgb(h):
+        import colorsys
+
+        r, g, b = colorsys.hsv_to_rgb(h, 0.55, 0.95)
+        return f"rgb({int(r * 255)},{int(g * 255)},{int(b * 255)})"
+
+    def render(mol, tag, rot, ox, oy):
+        conf = get_romol_conf(recenter_mol(mol)) @ rot.T
+        xy = conf[:, :2]
+        span = max(np.abs(xy).max(), 1e-6)
+        scale = (cell_w / 2 - 25) / span
+        pts = xy * scale + np.array([ox + cell_w / 2, oy + cell_h / 2])
+        parts = []
+        for b in mol.bonds:
+            p, q = pts[b.src], pts[b.dst]
+            parts.append(
+                f'<line x1="{p[0]:.1f}" y1="{p[1]:.1f}" x2="{q[0]:.1f}" y2="{q[1]:.1f}" stroke="#444" stroke-width="1.2"/>'
+            )
+        for i, atom in enumerate(mol.atoms):
+            p = pts[i]
+            key = (tag, i)
+            if key in colors:
+                parts.append(f'<circle cx="{p[0]:.1f}" cy="{p[1]:.1f}" r="8" fill="{hue_to_rgb(colors[key])}"/>')
+            parts.append(
+                f'<text x="{p[0]:.1f}" y="{p[1] + 3:.1f}" font-size="7" text-anchor="middle">'
+                f"{symbol_of(atom.atomic_num)}{i}</text>"
+            )
+        return "".join(parts)
+
+    for r_idx, rot in enumerate(rotations):
+        oy = r_idx * cell_h
+        rows.append(render(mol_a, "a", rot, 0, oy))
+        rows.append(render(mol_b, "b", rot, cell_w, oy))
+
+    width, height = 2 * cell_w, len(rotations) * cell_h
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width:.0f}" height="{height:.0f}" '
+        f'viewBox="0 0 {width:.0f} {height:.0f}"><rect width="100%" height="100%" fill="white"/>'
+        + "".join(rows)
+        + "</svg>"
+    )
+
+
+def sanitize_energies(full_us, lamb_idx, cutoff=10000):
+    """Replace energies differing from the reference window by > cutoff with
+    +inf (ref fe/utils.py:480-518)."""
+    ref_us = np.expand_dims(full_us[:, lamb_idx], axis=1)
+    abs_us = np.abs(full_us - ref_us)
+    return np.where(abs_us < cutoff, full_us, np.inf)
+
+
+def extract_delta_Us_from_U_knk(U_knk):
+    """(K-1, 2, N) fwd/rev delta-U pairs for BAR from a (K, N, K) energy
+    matrix (ref fe/utils.py:547-587)."""
+    U_knk = np.asarray(U_knk)
+    assert U_knk.shape[0] == U_knk.shape[-1]
+    K = U_knk.shape[0]
+
+    def delta_U(from_idx, to_idx):
+        current = U_knk[from_idx]
+        return current[:, to_idx] - current[:, from_idx]
+
+    delta_Us = []
+    for lambda_idx in range(K - 1):
+        delta_Us.append((delta_U(lambda_idx, lambda_idx + 1), delta_U(lambda_idx + 1, lambda_idx)))
+    return np.array(delta_Us)
+
+
+def get_romol_bonds(mol: Mol) -> np.ndarray:
+    """(B, 2) bond indices (ref fe/utils.py:437-445)."""
+    return np.array([[b.src, b.dst] for b in mol.bonds], dtype=np.int32)
