@@ -9,6 +9,8 @@ mismatch, mean-square distance).
 
 from __future__ import annotations
 
+import os
+import warnings
 from functools import partial
 from typing import Optional
 
@@ -206,7 +208,19 @@ def _get_cores_impl(
     def filter_fxn(trial_core):
         return all(f(trial_core) for f in filter_fxns)
 
-    all_cores, _, diagnostics = mcgregor.mcs(
+    # the native C++ search (timemachine_tpu/native/mcgregor.cpp) is the
+    # production path — the chiral/planar filters run as built-in hash-table
+    # checks instead of per-node Python callbacks (~40x end-to-end). The
+    # pure-Python module remains the executable spec and fallback
+    # (set TIMEMACHINE_TPU_PURE_PYTHON_MCS=1).
+    mcs_native = None
+    if not os.environ.get("TIMEMACHINE_TPU_PURE_PYTHON_MCS"):
+        try:
+            from timemachine_tpu.fe.mcgregor_native import mcs_native
+        except Exception as e:  # no toolchain: fall back silently
+            warnings.warn(f"native MCS unavailable ({e}); using the pure-Python search")
+
+    common_args = (
         mol_a.num_atoms,
         mol_b.num_atoms,
         priority_idxs,
@@ -219,8 +233,25 @@ def _get_cores_impl(
         min_connected_component_size,
         min_threshold,
         initial_mapping_p,
-        filter_fxn,
     )
+    if mcs_native is not None:
+        from timemachine_tpu.fe.chiral_utils import enumerate_planar_torsions
+
+        native_kwargs: dict = {}
+        if enforce_chiral:
+            native_kwargs["chiral_quartets_a"] = np.array(chiral_set_a.restr_idxs, dtype=np.int32).reshape(-1, 4)
+            native_kwargs["disallowed_quartets_b"] = sorted(chiral_set_b.disallowed_set)
+        if disallow_planar_torsion_flips:
+            pt_a = enumerate_planar_torsions(mol_a_p)
+            pt_b = dict(enumerate_planar_torsions(mol_b))
+            pt_b.update({(l, k, j, i): s for (i, j, k, l), s in list(pt_b.items())})
+            native_kwargs["planar_torsions_a"] = np.array(list(pt_a.keys()), dtype=np.int32).reshape(-1, 4)
+            native_kwargs["planar_signs_a"] = np.array(list(pt_a.values()), dtype=np.int8)
+            native_kwargs["planar_torsions_b"] = np.array(list(pt_b.keys()), dtype=np.int32).reshape(-1, 4)
+            native_kwargs["planar_signs_b"] = np.array(list(pt_b.values()), dtype=np.int8)
+        all_cores, _, diagnostics = mcs_native(*common_args, **native_kwargs)
+    else:
+        all_cores, _, diagnostics = mcgregor.mcs(*common_args, filter_fxn)
 
     all_cores = remove_cores_smaller_than_largest(all_cores)
     all_cores = _deduplicate_all_cores(all_cores)

@@ -14,7 +14,28 @@ import numpy as np
 from timemachine_tpu.chem.mol import Mol
 from timemachine_tpu.chem.smarts import match_smarts
 from timemachine_tpu.ff.handlers import canonicalize_bond
-from timemachine_tpu.ops.chiral import pyramidal_volume, torsion_volume
+
+
+# host-side (numpy) volume evaluations: the setup loops below call these per
+# quartet, and a jitted scalar op costs a full device round trip per call on
+# TPU (~0.3 s each through the tunnel — 60+ s per ligand before this change).
+# The jax twins for potentials live in ops/chiral.py.
+def _np_unit(x):
+    return x / np.linalg.norm(x)
+
+
+def pyramidal_volume(xc, x1, x2, x3) -> float:
+    v0 = _np_unit(np.asarray(x1) - np.asarray(xc))
+    v1 = _np_unit(np.asarray(x2) - np.asarray(xc))
+    v2 = _np_unit(np.asarray(x3) - np.asarray(xc))
+    return float(np.dot(np.cross(v0, v1), v2))
+
+
+def torsion_volume(ci, cj, ck, cl) -> float:
+    rij = _np_unit(np.asarray(cj) - np.asarray(ci))
+    rkj = _np_unit(np.asarray(cj) - np.asarray(ck))
+    rkl = _np_unit(np.asarray(cl) - np.asarray(ck))
+    return float(np.dot(np.cross(rij, rkj), np.cross(rkj, rkl)))
 
 
 class ChiralCheckMode(Enum):
@@ -148,28 +169,31 @@ def enumerate_simple_paths(graph, length: int):
     return paths
 
 
+def enumerate_planar_torsions(mol: Mol) -> dict:
+    """(i,j,k,l) -> sign(torsion volume) for torsions whose central bond is
+    double/aromatic/amide (ref chiral_utils.py:345-380)."""
+    import numpy as np
+
+    conf = mol.get_conf()
+    graph = mol.to_nx()
+    idxs = {tuple(canonicalize_bond(list(p))) for p in enumerate_simple_paths(graph, 4)}
+    amide_bonds = find_canonical_amide_bonds(mol)
+    planar_torsions = {}
+    for i, j, k, l in idxs:
+        if tuple(canonicalize_bond((j, k))) not in amide_bonds:
+            bond = mol.get_bond(j, k)
+            is_aromatic = mol.is_aromatic_bond(j, k, "mdl")
+            if bond is None or (bond.order != 2 and not is_aromatic and bond.order != 4):
+                continue
+        volume = float(torsion_volume(conf[i], conf[j], conf[k], conf[l]))
+        planar_torsions[(i, j, k, l)] = np.sign(volume)
+    return planar_torsions
+
+
 def setup_find_flipped_planar_torsions(mol_a: Mol, mol_b: Mol):
     """Returns core -> iterator of planar torsions (central bond double/
     aromatic/amide) whose torsion-volume sign flips under the mapping
     (ref chiral_utils.py:345-407)."""
-    import numpy as np
-
-    def enumerate_planar_torsions(mol):
-        conf = mol.get_conf()
-        graph = mol.to_nx()
-        idxs = {tuple(canonicalize_bond(list(p))) for p in enumerate_simple_paths(graph, 4)}
-        amide_bonds = find_canonical_amide_bonds(mol)
-        planar_torsions = {}
-        for i, j, k, l in idxs:
-            if tuple(canonicalize_bond((j, k))) not in amide_bonds:
-                bond = mol.get_bond(j, k)
-                is_aromatic = mol.is_aromatic_bond(j, k, "mdl")
-                if bond is None or (bond.order != 2 and not is_aromatic and bond.order != 4):
-                    continue
-            volume = float(torsion_volume(conf[i], conf[j], conf[k], conf[l]))
-            planar_torsions[(i, j, k, l)] = np.sign(volume)
-        return planar_torsions
-
     planar_torsions_a = enumerate_planar_torsions(mol_a)
     planar_torsions_b = enumerate_planar_torsions(mol_b)
     planar_torsions_b.update({(l, k, j, i): s for (i, j, k, l), s in planar_torsions_b.items()})
