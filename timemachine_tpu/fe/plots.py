@@ -315,3 +315,70 @@ def plot_as_png_fxn(f, *args, **kwargs) -> bytes:
     plt.close(fig)
     buffer.seek(0)
     return buffer.read()
+
+
+# -- single-topology interpolation schedules (ref plots.py:466-874) ----------
+
+
+def _st_systems_over_lambda(st, n_windows: int):
+    lambdas = np.linspace(0.0, 1.0, n_windows)
+    return lambdas, [st.setup_intermediate_state(lamb) for lamb in lambdas]
+
+
+def plot_interpolation_schedule(st, filter_fn, fig_title: str, n_windows: int = 48):
+    """Parameter trajectories vs lambda for every interpolated term class of
+    a SingleTopology, restricted to atoms passing filter_fn(atom_idx)
+    (compact equivalent of ref plots.py:466-874's per-term panels)."""
+    plt = _plt()
+    lambdas, systems = _st_systems_over_lambda(st, n_windows)
+
+    panels = [
+        ("bond k", lambda s: np.asarray(s.bond.params)[:, 0], lambda s: s.bond.potential.idxs),
+        ("bond b0", lambda s: np.asarray(s.bond.params)[:, 1], lambda s: s.bond.potential.idxs),
+        ("angle k", lambda s: np.asarray(s.angle.params)[:, 0], lambda s: s.angle.potential.idxs),
+        ("proper k", lambda s: np.asarray(s.proper.params)[:, 0], lambda s: s.proper.potential.idxs),
+        ("improper k", lambda s: np.asarray(s.improper.params)[:, 0], lambda s: s.improper.potential.idxs),
+        ("chiral atom k", lambda s: np.asarray(s.chiral_atom.params), lambda s: s.chiral_atom.potential.idxs),
+        ("nb pair q_ij", lambda s: np.asarray(s.nonbonded_pair_list.params)[:, 0], lambda s: s.nonbonded_pair_list.potential.idxs),
+        ("nb pair eps_ij", lambda s: np.asarray(s.nonbonded_pair_list.params)[:, 2], lambda s: s.nonbonded_pair_list.potential.idxs),
+        ("nb pair w", lambda s: np.asarray(s.nonbonded_pair_list.params)[:, 3], lambda s: s.nonbonded_pair_list.potential.idxs),
+    ]
+
+    fig, axes = plt.subplots(3, 3, figsize=(13, 10))
+    for ax, (name, get_params, get_idxs) in zip(axes.ravel(), panels):
+        idxs0 = np.asarray(get_idxs(systems[0]))
+        if idxs0.size == 0:
+            ax.set_title(f"{name} (none)")
+            continue
+        keep = [t for t, row in enumerate(np.atleast_2d(idxs0)) if any(filter_fn(int(a)) for a in np.ravel(row))]
+        if not keep:
+            ax.set_title(f"{name} (filtered out)")
+            continue
+        traj = np.stack([get_params(s) for s in systems])  # (L, T)
+        for t in keep:
+            ax.plot(lambdas, traj[:, t], lw=0.8)
+        ax.set_title(f"{name} ({len(keep)} terms)")
+        ax.set_xlabel("lambda")
+    fig.suptitle(fig_title)
+    fig.tight_layout()
+    return fig
+
+
+def plot_core_interpolation_schedule(st, n_windows: int = 48):
+    """(ref plots.py:864-866)"""
+    from timemachine_tpu.fe.single_topology import AtomMapFlags
+
+    core = {i for i, f in enumerate(st.c_flags) if f == AtomMapFlags.CORE}
+    return plot_interpolation_schedule(st, lambda a: a in core, "core interpolation schedule", n_windows)
+
+
+def plot_dummy_a_interpolation_schedule(st, n_windows: int = 48):
+    """(ref plots.py:868-870)"""
+    dummies = st.get_dummy_atoms_a()
+    return plot_interpolation_schedule(st, lambda a: a in dummies, "dummy A interpolation schedule", n_windows)
+
+
+def plot_dummy_b_interpolation_schedule(st, n_windows: int = 48):
+    """(ref plots.py:872-874)"""
+    dummies = st.get_dummy_atoms_b()
+    return plot_interpolation_schedule(st, lambda a: a in dummies, "dummy B interpolation schedule", n_windows)
