@@ -139,3 +139,29 @@ def test_pallas_lifted_w_coordinates():
     u_fn = make_nonbonded_pallas(BETA, CUTOFF, max_tiles, interpret=True)
     u = float(u_fn(jnp.asarray(conf, jnp.float32), jnp.asarray(params, jnp.float32), jnp.asarray(box, jnp.float32)))
     assert u == pytest.approx(u_ref, rel=3e-4)
+
+
+def test_pallas_atom_subset():
+    """Static atom subsets (host-only all-pairs in host-guest systems,
+    ref nonbonded_all_pairs.hpp:27) via invalid rows/cols."""
+    from timemachine_tpu.potentials import NonbondedAllPairs
+
+    conf, params, box = make_waterish_system(200, 2.8, seed=11)
+    subset = np.sort(np.random.default_rng(3).choice(200, size=150, replace=False)).astype(np.int32)
+
+    pot_ref = NonbondedAllPairs(num_atoms=200, beta=BETA, cutoff=CUTOFF, atom_idxs=subset)
+    u_ref = float(pot_ref(conf, params, box))
+    du_dx_ref = np.asarray(jax.grad(lambda x: pot_ref(x, params, box))(conf))
+
+    pot = NonbondedAllPairs(num_atoms=200, beta=BETA, cutoff=CUTOFF, atom_idxs=subset)
+    pot.configure_pallas(box, conf, interpret=True)
+    u = float(pot(jnp.asarray(conf, jnp.float32), jnp.asarray(params, jnp.float32), jnp.asarray(box, jnp.float32)))
+    assert u == pytest.approx(u_ref, rel=2e-4)
+
+    uf = pot.energy_force_fn()
+    _, f = uf(jnp.asarray(conf, jnp.float32), jnp.asarray(params, jnp.float32), jnp.asarray(box, jnp.float32))
+    scale = np.abs(du_dx_ref).max()
+    np.testing.assert_allclose(-np.asarray(f), du_dx_ref, atol=2e-4 * scale)
+    # excluded atoms feel zero force
+    excluded = np.setdiff1d(np.arange(200), subset)
+    np.testing.assert_array_equal(np.asarray(f)[excluded], 0.0)

@@ -467,6 +467,20 @@ def get_context(initial_state: InitialState, md_params: Optional[MDParams] = Non
     the sum of the state's potentials directly, and `set_params` takes the
     per-potential params list (flat concatenation also accepted via
     `set_flat_params`)."""
+    # large condensed-phase hosts: route the all-pairs term through the fused
+    # Pallas tile kernel (dense N^2 is fine for small/vacuum systems and on CPU)
+    try:
+        nb_bp = get_bound_potential_by_type(initial_state.potentials, Nonbonded)
+    except ValueError:
+        nb_bp = None
+    if (
+        nb_bp is not None
+        and nb_bp.potential.impl == "dense"
+        and nb_bp.potential.num_atoms >= 4096
+        and jax.default_backend() != "cpu"
+    ):
+        nb_bp.potential.configure_pallas(initial_state.box0, initial_state.x0)
+
     movers = []
     if initial_state.barostat:
         movers.append(initial_state.barostat)

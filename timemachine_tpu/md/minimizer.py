@@ -211,7 +211,10 @@ def pre_equilibrate_host(
     x = ctxt.get_x_t()
     box = ctxt.get_box()
 
-    assert np.all(x[num_host_atoms:] == np.concatenate(mol_coords)), "Ligand atoms unexpectedly moved"
+    # frozen ligand atoms are bitwise unmoved in the simulation dtype (which
+    # is f32 on TPU when x64 is disabled — compare after the same cast)
+    expected_ligand = np.concatenate(mol_coords).astype(x.dtype)
+    assert np.all(x[num_host_atoms:] == expected_ligand), "Ligand atoms unexpectedly moved"
 
     du_dx = jax.jit(jax.grad(lambda xx: sum(bp(xx, jnp.asarray(box)) for bp in bps)))(jnp.asarray(x))
     check_force_norm(-np.asarray(du_dx)[:num_host_atoms])

@@ -307,7 +307,7 @@ def nb_tiles_fused(atom_data, row_ids, col_ids, tile_valid, scalars, n_tiles: in
 
 
 @partial(jax.jit, static_argnames=("block", "max_tiles", "cell_size", "cb"))
-def build_block_tiles(conf, params, box, cutoff, block: int = BLOCK, max_tiles: int = 8192, cell_size: float = 0.65, cb: int = 1):
+def build_block_tiles(conf, params, box, cutoff, block: int = BLOCK, max_tiles: int = 8192, cell_size: float = 0.65, cb: int = 1, atom_mask=None):
     """Spatial sort (snake order) + block bounding boxes + FLAT compacted
     symmetric block-pair tile list (grouped by row block, every block present
     at least once via the diagonal).
@@ -351,7 +351,13 @@ def build_block_tiles(conf, params, box, cutoff, block: int = BLOCK, max_tiles: 
     q = params[pad_order, 0][None, :]
     sig = params[pad_order, 1][None, :]
     eps = params[pad_order, 2][None, :]
-    valid = jnp.concatenate([jnp.ones(n), jnp.zeros(n_pad - n)])[None, :]
+    if atom_mask is None:
+        valid_atoms = jnp.ones(n)
+    else:
+        # static atom subset (ref nonbonded_all_pairs.hpp:27): excluded atoms
+        # are invalid rows/cols — they join no tiles and no pairs
+        valid_atoms = jnp.asarray(atom_mask, jnp.float32)
+    valid = jnp.concatenate([valid_atoms[pad_order[:n]], jnp.zeros(n_pad - n)])[None, :]
     atom_data = jnp.concatenate([xyz, w, q, sig, eps, valid], axis=0).astype(jnp.float32)
 
     # block bounding boxes over wrapped coords
@@ -403,10 +409,10 @@ def build_block_tiles(conf, params, box, cutoff, block: int = BLOCK, max_tiles: 
     return atom_data, pad_order, row_ids, col_ids, tile_valid, overflow
 
 
-def _prep(conf, params, box, beta, cutoff, max_tiles, cb=1):
+def _prep(conf, params, box, beta, cutoff, max_tiles, cb=1, atom_mask=None):
     atom_data, pad_order, row_ids, col_ids, tile_valid, overflow = build_block_tiles(
         jnp.asarray(conf, jnp.float32), jnp.asarray(params, jnp.float32), jnp.asarray(box, jnp.float32), cutoff,
-        max_tiles=max_tiles, cb=cb,
+        max_tiles=max_tiles, cb=cb, atom_mask=atom_mask,
     )
     n = conf.shape[0]
     scalars = jnp.concatenate(
@@ -416,9 +422,9 @@ def _prep(conf, params, box, beta, cutoff, max_tiles, cb=1):
     return atom_data, row_ids, col_ids, tile_valid, scalars, inv, overflow
 
 
-def _run_uf(conf, params, box, beta, cutoff, max_tiles, interpret, es_coeffs=None, cb=1):
+def _run_uf(conf, params, box, beta, cutoff, max_tiles, interpret, es_coeffs=None, cb=1, atom_mask=None):
     """One fused pass: total energy + dU/dx (the MD hot path)."""
-    atom_data, row_ids, col_ids, tile_valid, scalars, inv, overflow = _prep(conf, params, box, beta, cutoff, max_tiles, cb=cb)
+    atom_data, row_ids, col_ids, tile_valid, scalars, inv, overflow = _prep(conf, params, box, beta, cutoff, max_tiles, cb=cb, atom_mask=atom_mask)
     out = nb_tiles_fused(atom_data, row_ids, col_ids, tile_valid, scalars, max_tiles, compute_dp=False, interpret=interpret, es_coeffs=es_coeffs, cb=cb)
     u = jnp.sum(out[0])
     # transpose-then-row-gather: lane-dimension gathers are pathologically
@@ -427,15 +433,15 @@ def _run_uf(conf, params, box, beta, cutoff, max_tiles, interpret, es_coeffs=Non
     return u, du_dx, overflow
 
 
-def _run_dp(conf, params, box, beta, cutoff, max_tiles, interpret, cb=1):
+def _run_dp(conf, params, box, beta, cutoff, max_tiles, interpret, cb=1, atom_mask=None):
     """Separate pass for dU/dp (dead-code-eliminated by XLA when the
     parameter cotangent is unused, e.g. in the MD loop)."""
-    atom_data, row_ids, col_ids, tile_valid, scalars, inv, _ = _prep(conf, params, box, beta, cutoff, max_tiles, cb=cb)
+    atom_data, row_ids, col_ids, tile_valid, scalars, inv, _ = _prep(conf, params, box, beta, cutoff, max_tiles, cb=cb, atom_mask=atom_mask)
     out = nb_tiles_fused(atom_data, row_ids, col_ids, tile_valid, scalars, max_tiles, compute_dp=True, interpret=interpret, cb=cb)
     return out.T[inv, 4:8]  # (n, 4)
 
 
-def make_nonbonded_pallas(beta: float, cutoff: float, max_tiles: int = 8192, interpret: bool = False, cb: int = 1):
+def make_nonbonded_pallas(beta: float, cutoff: float, max_tiles: int = 8192, interpret: bool = False, cb: int = 1, atom_mask=None):
     """Returns energy_fn(conf, params, box) with custom VJP: the forward runs
     ONE fused tile pass producing energy + analytic dU/dx (stashed as
     residuals); the backward is a trivial scale for dU/dx, and dU/dp comes
@@ -446,16 +452,16 @@ def make_nonbonded_pallas(beta: float, cutoff: float, max_tiles: int = 8192, int
 
     @jax.custom_vjp
     def energy(conf, params, box):
-        u, _, _ = _run_uf(conf, params, box, beta, cutoff, max_tiles, interpret, cb=cb)
+        u, _, _ = _run_uf(conf, params, box, beta, cutoff, max_tiles, interpret, cb=cb, atom_mask=atom_mask)
         return u
 
     def fwd(conf, params, box):
-        u, du_dx, _ = _run_uf(conf, params, box, beta, cutoff, max_tiles, interpret, cb=cb)
+        u, du_dx, _ = _run_uf(conf, params, box, beta, cutoff, max_tiles, interpret, cb=cb, atom_mask=atom_mask)
         return u, (du_dx, conf, params, box)
 
     def bwd(res, g):
         du_dx, conf, params, box = res
-        du_dp = _run_dp(conf, params, box, beta, cutoff, max_tiles, interpret, cb=cb)
+        du_dp = _run_dp(conf, params, box, beta, cutoff, max_tiles, interpret, cb=cb, atom_mask=atom_mask)
         return g * du_dx, g * du_dp, jnp.zeros_like(box)
 
     energy.defvjp(fwd, bwd)
@@ -463,7 +469,8 @@ def make_nonbonded_pallas(beta: float, cutoff: float, max_tiles: int = 8192, int
 
 
 def make_nonbonded_pallas_energy_force(
-    beta: float, cutoff: float, max_tiles: int = 8192, interpret: bool = False, es: str = "exact", cb: int = 1
+    beta: float, cutoff: float, max_tiles: int = 8192, interpret: bool = False, es: str = "exact", cb: int = 1,
+    atom_mask=None,
 ):
     """(conf, params, box) -> (u, force) in ONE fused tile pass — the MD hot
     path (force = -dU/dx). Use this from integrators; use
@@ -479,13 +486,13 @@ def make_nonbonded_pallas_energy_force(
         es_coeffs = es_switch_poly_coeffs(beta, cutoff)
 
     def energy_and_force(conf, params, box):
-        u, du_dx, _ = _run_uf(conf, params, box, beta, cutoff, max_tiles, interpret, es_coeffs=es_coeffs, cb=cb)
+        u, du_dx, _ = _run_uf(conf, params, box, beta, cutoff, max_tiles, interpret, es_coeffs=es_coeffs, cb=cb, atom_mask=atom_mask)
         return u, -du_dx
 
     return energy_and_force
 
 
-def _assemble_atom_data(conf, params, box, pad_order, n):
+def _assemble_atom_data(conf, params, box, pad_order, n, atom_mask=None):
     """Sorted (8, Npad) atom data from current coords with a CACHED sort
     order — the cheap per-step part of the tile build."""
     box_diag = jnp.diagonal(box)
@@ -496,8 +503,11 @@ def _assemble_atom_data(conf, params, box, pad_order, n):
     q = params[pad_order, 0][None, :]
     sig = params[pad_order, 1][None, :]
     eps = params[pad_order, 2][None, :]
-    valid = (jnp.arange(n_pad) < n).astype(jnp.float32)[None, :]
-    return jnp.concatenate([xyz, w, q, sig, eps, valid], axis=0).astype(jnp.float32)
+    valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
+    if atom_mask is not None:
+        pad_mask = jnp.concatenate([jnp.asarray(atom_mask, jnp.float32), jnp.zeros(n_pad - n)])
+        valid = valid * pad_mask[pad_order]
+    return jnp.concatenate([xyz, w, q, sig, eps, valid[None, :]], axis=0).astype(jnp.float32)
 
 
 def make_nonbonded_pallas_md(
@@ -508,6 +518,7 @@ def make_nonbonded_pallas_md(
     rebuild_interval: int = 20,
     interpret: bool = False,
     cb: int = 1,
+    atom_mask=None,
 ):
     """Stateful MD force provider with an amortized tile rebuild.
 
@@ -532,6 +543,7 @@ def make_nonbonded_pallas_md(
             cutoff + skin,
             max_tiles=max_tiles,
             cb=cb,
+            atom_mask=atom_mask,
         )
         n = conf.shape[0]
         inv = jnp.zeros(n, dtype=jnp.int32).at[pad_order[:n]].set(jnp.arange(n, dtype=jnp.int32))
@@ -549,7 +561,8 @@ def make_nonbonded_pallas_md(
         pad_order, inv, row_ids, col_ids, tile_valid, overflow = state
         n = conf.shape[0]
         atom_data = _assemble_atom_data(
-            jnp.asarray(conf, jnp.float32), jnp.asarray(params, jnp.float32), jnp.asarray(box, jnp.float32), pad_order, n
+            jnp.asarray(conf, jnp.float32), jnp.asarray(params, jnp.float32), jnp.asarray(box, jnp.float32), pad_order, n,
+            atom_mask=atom_mask,
         )
         scalars = jnp.concatenate(
             [
@@ -575,7 +588,7 @@ def nonbonded_pallas_overflow(conf, params, box, beta, cutoff, max_tiles):
     return int(overflow)
 
 
-def suggest_max_tiles(conf, box, cutoff, block: int = BLOCK, margin: float = 1.3, cb: int = 1) -> int:
+def suggest_max_tiles(conf, box, cutoff, block: int = BLOCK, margin: float = 1.3, cb: int = 1, atom_mask=None) -> int:
     """Host-side: measure the actual interacting-tile count and pad with
     margin (headroom for diffusion between rebuild checks)."""
     n_blocks = -(-conf.shape[0] // (block * cb)) * cb
@@ -587,6 +600,7 @@ def suggest_max_tiles(conf, box, cutoff, block: int = BLOCK, margin: float = 1.3
         cutoff,
         max_tiles=n_blocks * n_cols,
         cb=cb,
+        atom_mask=atom_mask,
     )
     count = int(np.asarray(tile_valid).sum())
     cap = int(np.ceil(count * margin / 128) * 128)

@@ -202,21 +202,27 @@ class NonbondedAllPairs(Potential):
             suggest_max_tiles,
         )
 
-        if self._atom_mask is not None:
-            raise NotImplementedError("pallas impl does not support atom subsets yet; use impl='tiled'")
+        mask = self._atom_mask  # static subset supported via invalid rows/cols
 
         self.impl = "pallas"
-        self.pallas_max_tiles = suggest_max_tiles(np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, cb=cb)
-        self._pallas_energy = make_nonbonded_pallas(self.beta, self.cutoff, self.pallas_max_tiles, interpret=interpret, cb=cb)
+        self.pallas_max_tiles = suggest_max_tiles(
+            np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, cb=cb, atom_mask=mask
+        )
+        self._pallas_energy = make_nonbonded_pallas(
+            self.beta, self.cutoff, self.pallas_max_tiles, interpret=interpret, cb=cb, atom_mask=mask
+        )
         self._pallas_energy_force = make_nonbonded_pallas_energy_force(
-            self.beta, self.cutoff, self.pallas_max_tiles, interpret=interpret, cb=cb
+            self.beta, self.cutoff, self.pallas_max_tiles, interpret=interpret, cb=cb, atom_mask=mask
         )
         # stateful MD provider: tile list culled at cutoff+skin, rebuilt every
         # rebuild_interval steps instead of per step
         skin = 0.1
-        md_tiles = suggest_max_tiles(np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, cb=cb)
+        md_tiles = suggest_max_tiles(
+            np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, cb=cb, atom_mask=mask
+        )
         self._pallas_md = make_nonbonded_pallas_md(
-            self.beta, self.cutoff, md_tiles, skin=skin, rebuild_interval=20, interpret=interpret, cb=cb
+            self.beta, self.cutoff, md_tiles, skin=skin, rebuild_interval=20, interpret=interpret, cb=cb,
+            atom_mask=mask,
         )
         return self
 
