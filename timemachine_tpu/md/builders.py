@@ -246,14 +246,100 @@ def strip_units(coords):
 
 
 def build_protein_system(host_pdbfile, protein_ff: str, water_ff: str, mols=None, box_margin: float = 0.0):
-    """Solvated protein system. Requires OpenMM (same dependency the
-    reference uses for host building, md/builders.py:197); a native
-    PDB + Amber-template pipeline is planned to remove the gate."""
+    """Solvated protein system with ~1 nm padding (ref md/builders.py:197-313).
+
+    Requires OpenMM — the same dependency the reference uses for protein
+    parameterization; the Amber residue templates ship with it. Water-only
+    hosts are fully native (build_water_system). NOTE: this path is only
+    exercised where OpenMM is installed (absent in this image's CI)."""
     try:
         import openmm  # noqa: F401
+        from openmm import app, unit
     except ImportError as e:
         raise NotImplementedError(
             "build_protein_system currently requires openmm for protein parameterization; "
             "water-only hosts are fully native (build_water_system)"
         ) from e
-    raise NotImplementedError("openmm-backed protein building not wired up in this environment")
+
+    from timemachine_tpu.ff.openmm_deserializer import deserialize_system
+
+    host_ff = app.ForceField(f"{protein_ff}.xml", f"{water_ff}.xml")
+    if isinstance(host_pdbfile, str):
+        host_pdb = app.PDBFile(host_pdbfile)
+    else:
+        host_pdb = host_pdbfile
+
+    modeller = app.Modeller(host_pdb.topology, host_pdb.positions)
+    host_coords = np.array([[v.x, v.y, v.z] for v in host_pdb.positions.value_in_unit(unit.nanometer)])
+    num_host_atoms = host_coords.shape[0]
+
+    padding = 1.0
+    box_lengths = np.amax(host_coords, axis=0) - np.amin(host_coords, axis=0) + padding + box_margin
+    modeller.addSolvent(
+        host_ff, boxSize=box_lengths.tolist() * unit.nanometer, model=water_ff.split("/")[-1].replace("tip3pfb", "tip3p")
+    )
+    solvated_coords = np.array([[v.x, v.y, v.z] for v in modeller.positions.value_in_unit(unit.nanometer)])
+
+    # delete added waters clashing with the ligands (native builder convention)
+    if mols is not None:
+        from timemachine_tpu.fe.utils import get_romol_conf
+
+        lig_coords = np.concatenate([get_romol_conf(m) for m in mols])
+        water_residues = [
+            res
+            for res in modeller.topology.residues()
+            if res.name == "HOH" and min(a.index for a in res.atoms()) >= num_host_atoms
+        ]
+        clashy = []
+        for res in water_residues:
+            idxs = [a.index for a in res.atoms()]
+            d = np.linalg.norm(solvated_coords[idxs][:, None, :] - lig_coords[None, :, :], axis=-1)
+            if d.min() < 0.21:
+                clashy.append(res)
+        if clashy:
+            modeller.delete(clashy)
+            solvated_coords = np.array([[v.x, v.y, v.z] for v in modeller.positions.value_in_unit(unit.nanometer)])
+
+    num_water_atoms = solvated_coords.shape[0] - num_host_atoms
+    print("building a protein system with", num_host_atoms, "protein atoms and", num_water_atoms, "water atoms")
+
+    solvated_omm_system = host_ff.createSystem(
+        modeller.topology, nonbondedMethod=app.NoCutoff, constraints=None, rigidWater=False
+    )
+    (bond, angle, proper, improper, nonbonded), masses = deserialize_system(solvated_omm_system, cutoff=1.2)
+
+    solvated_host_system = HostSystem(
+        bond=bond,
+        angle=angle,
+        proper=proper,
+        improper=improper,
+        nonbonded_all_pairs=nonbonded,
+    )
+
+    # native HostTopology record from the OpenMM topology
+    residues = []
+    for res in modeller.topology.residues():
+        atom_list = list(res.atoms())
+        atomic_nums = [a.element.atomic_number for a in atom_list]
+        idx_of = {a.index: k for k, a in enumerate(atom_list)}
+        res_bonds = [
+            (idx_of[b[0].index], idx_of[b[1].index])
+            for b in res.internal_bonds()
+        ]
+        residues.append(HostResidue(res.name, atomic_nums, res_bonds))
+    bond_list = [tuple(map(int, b)) for b in np.asarray(bond.potential.idxs)]
+    from timemachine_tpu.md.utils import get_group_indices
+
+    group_idxs = get_group_indices(bond_list, solvated_coords.shape[0])
+    host_topology = HostTopology(residues, group_idxs)
+
+    box = np.eye(3) * (np.amax(solvated_coords, axis=0) - np.amin(solvated_coords, axis=0))
+
+    return HostConfig(
+        host_system=solvated_host_system,
+        conf=solvated_coords,
+        box=box,
+        num_water_atoms=num_water_atoms,
+        host_topology=host_topology,
+        masses=masses,
+    )
