@@ -884,9 +884,19 @@ def run_sims_bisection(
     lambdas = list(initial_lambdas)
     get_initial_state = cache(make_initial_state)
 
+    # ONE Context reused across bisection states (see run_sims_sequential)
+    _ctxt_holder: list = []
+
     @cache
     def get_samples(lamb: float) -> Trajectory:
-        return sample(get_initial_state(lamb), md_params, max_buffer_frames=100)
+        initial_state = get_initial_state(lamb)
+        if not _ctxt_holder:
+            _ctxt_holder.append(get_context(initial_state, md_params))
+        ctxt = _ctxt_holder[0]
+        ctxt.reset_for_state(initial_state)
+        return sample_with_context(
+            ctxt, md_params, initial_state.integrator.temperature, initial_state.ligand_idxs, max_buffer_frames=100
+        )
 
     potentials_0 = get_initial_state(lambdas[0]).potentials
     pots = [bp.potential for bp in potentials_0]

@@ -104,6 +104,21 @@ class Context:
                 return m, s
         return None
 
+    def reset_for_state(self, initial_state, seed: Optional[int] = None):
+        """Re-point this Context at another compatible InitialState without
+        recompiling: swap coordinates, box, parameters, RNG seed, and reset
+        movers/step counter. States must be potentials-compatible (the HREX/
+        bisection contract, ref free_energy.py:1000-1004)."""
+        self.set_x_t(initial_state.x0)
+        self.set_v_t(initial_state.v0)
+        self.set_box(initial_state.box0)
+        self.set_params([np.asarray(bp.params) for bp in initial_state.potentials])
+        self._step = 0
+        self._mover_states = [m.init_state() for m in self.movers]
+        key_seed = seed if seed is not None else getattr(initial_state.integrator, "seed", 0)
+        self._base_key = jax.random.key(key_seed)
+        return self
+
     def set_barostat_interval(self, interval: int) -> Optional[int]:
         """Change the barostat firing interval (used to speed equilibration;
         ref free_energy.py:700-710). Returns the previous interval, or None

@@ -163,10 +163,11 @@ def _pair_terms(r2, dw, qq, sig, eps, beta, cutoff, mask, compute_dp: bool, es_c
         t2 = 2.0 * (2.0 * (r * inv_c) - 1.0)  # Clenshaw takes 2t
         h_val = _clenshaw(t2, h_coeffs)
         hp_val = _clenshaw(t2, hp_coeffs)
-        in_sw = r < SWITCH_CUTOFF
-        s_es_base = jnp.where(in_sw, h_val * inv_r, 0.0)  # = erfc(beta r) sw / r
+        # no in-switch select needed: the final `mask` (r < cutoff) zeroes
+        # out-of-range pairs, and cutoff == SWITCH_CUTOFF is asserted
+        s_es_base = h_val * inv_r  # = erfc(beta r) sw / r
         e_es = qq * s_es_base
-        des_r = jnp.where(in_sw, qq * inv_r2 * (hp_val * inv_c - h_val * inv_r), 0.0)
+        des_r = qq * inv_r2 * (hp_val * inv_c - h_val * inv_r)
         s_r_sw = s_es_base  # for du/dq
     else:
         # exact path: switch cos^3((pi/2)(r/c)^8) and erfc via A&S 7.1.26
@@ -178,10 +179,11 @@ def _pair_terms(r2, dw, qq, sig, eps, beta, cutoff, mask, compute_dp: bool, es_c
         cosu = jnp.cos(half_pi_u8)
         cos2 = cosu * cosu
         sinu = jnp.sqrt(jnp.maximum(1.0 - cos2, 0.0))  # u in [0, pi/2] within cutoff
-        in_sw = r < SWITCH_CUTOFF
-        sw = jnp.where(in_sw, cos2 * cosu, 0.0)
+        # no in-switch select: the final `mask` (r < cutoff) zeroes
+        # out-of-range pairs (cutoff == SWITCH_CUTOFF pinned)
+        sw = cos2 * cosu
         # dsw/dr = -12 pi (r^7/c^8) cos^2 sin = -12 pi u8 inv_r cos^2 sin
-        dsw_dr = jnp.where(in_sw, -12.0 * jnp.pi * u8 * inv_r * cos2 * sinu, 0.0)
+        dsw_dr = -12.0 * jnp.pi * u8 * inv_r * cos2 * sinu
 
         x = beta * r
         gauss = jnp.exp(-x * x)
@@ -220,6 +222,7 @@ def _nb_tile_kernel(
     compute_dp: bool,
     es_coeffs=None,
     cb: int = 1,
+    compute_u: bool = True,
 ):
     t = pl.program_id(0)
     i = row_ids_ref[t]
@@ -271,18 +274,18 @@ def _nb_tile_kernel(
             zeros = jnp.zeros((BLOCK,), jnp.float32)
             contrib = jnp.stack([zeros, zeros, zeros, zeros, dq, dsig, deps, dwp], axis=0)
         else:
-            u_row = 0.5 * jnp.sum(e, axis=1)
+            zeros = jnp.zeros((BLOCK,), jnp.float32)
+            u_row = 0.5 * jnp.sum(e, axis=1) if compute_u else zeros
             fx = jnp.sum(de_r * dx, axis=1)
             fy = jnp.sum(de_r * dy, axis=1)
             fz = jnp.sum(de_r * dz, axis=1)
-            zeros = jnp.zeros((BLOCK,), jnp.float32)
             contrib = jnp.stack([u_row, fx, fy, fz, zeros, zeros, zeros, zeros], axis=0)
 
         out_ref[:, :] = out_ref[:, :] + contrib
 
 
-@partial(jax.jit, static_argnames=("n_tiles", "compute_dp", "interpret", "es_coeffs", "cb"))
-def nb_tiles_fused(atom_data, row_ids, col_ids, tile_valid, scalars, n_tiles: int, compute_dp: bool = False, interpret: bool = False, es_coeffs=None, cb: int = 1):
+@partial(jax.jit, static_argnames=("n_tiles", "compute_dp", "interpret", "es_coeffs", "cb", "compute_u"))
+def nb_tiles_fused(atom_data, row_ids, col_ids, tile_valid, scalars, n_tiles: int, compute_dp: bool = False, interpret: bool = False, es_coeffs=None, cb: int = 1, compute_u: bool = True):
     """atom_data: (8, nB*BLOCK) sorted rows [x y z w q sig eps valid];
     flat tile list (row_ids, col_ids, tile_valid), sorted by row_ids with
     every block present at least once (so every output block is initialized).
@@ -299,11 +302,109 @@ def nb_tiles_fused(atom_data, row_ids, col_ids, tile_valid, scalars, n_tiles: in
         out_specs=pl.BlockSpec((8, BLOCK), lambda t, rows, cols, val: (0, rows[t])),
     )
     return pl.pallas_call(
-        partial(_nb_tile_kernel, compute_dp=compute_dp, es_coeffs=es_coeffs, cb=cb),
+        partial(_nb_tile_kernel, compute_dp=compute_dp, es_coeffs=es_coeffs, cb=cb, compute_u=compute_u),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(atom_data.shape, jnp.float32),
         interpret=interpret,
     )(row_ids, col_ids, tile_valid, atom_data, atom_data, scalars)
+
+
+def _nb_tile_kernel_vmem(
+    row_ids_ref,  # (T,) int32, scalar prefetch
+    col_ids_ref,  # (T,) int32, scalar prefetch
+    tile_valid_ref,  # (T,) int32, scalar prefetch
+    atom_ref,  # (8, Npad) — whole sorted atom array, resident in VMEM
+    scal_ref,  # (1, 8) SMEM
+    out_ref,  # (8, Npad) — whole output, resident in VMEM
+    *,
+    compute_dp: bool,
+    es_coeffs=None,
+    cb: int = 1,
+    compute_u: bool = True,
+):
+    """VMEM-resident variant: atom data and outputs live in VMEM for the
+    whole grid; row/col tiles are dynamic 128-aligned in-register slices.
+    Removes the per-grid-step HBM block DMAs that bound the blocked variant
+    (~8 KB/step x ~8k steps serialized at DMA latency)."""
+    t = pl.program_id(0)
+    i = row_ids_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    @pl.when(tile_valid_ref[t] > 0)
+    def _():
+        c = col_ids_ref[t]
+        box_x = scal_ref[0, 0]
+        box_y = scal_ref[0, 1]
+        box_z = scal_ref[0, 2]
+        beta = scal_ref[0, 3]
+        cutoff = scal_ref[0, 4]
+        CBT = BLOCK * cb
+
+        row = atom_ref[:, pl.ds(i * BLOCK, BLOCK)]
+        col = atom_ref[:, pl.ds(c * CBT, CBT)]
+
+        def outer(a, b):
+            return a.reshape(BLOCK, 1) - b.reshape(1, CBT)
+
+        dx = _min_image(outer(row[0], col[0]), box_x)
+        dy = _min_image(outer(row[1], col[1]), box_y)
+        dz = _min_image(outer(row[2], col[2]), box_z)
+        dw = outer(row[3], col[3])
+        r2 = dx * dx + dy * dy + dz * dz + dw * dw
+
+        qq = row[4].reshape(BLOCK, 1) * col[4].reshape(1, CBT)
+        sig = row[5].reshape(BLOCK, 1) + col[5].reshape(1, CBT)
+        eps = row[6].reshape(BLOCK, 1) * col[6].reshape(1, CBT)
+
+        row_ids = i * BLOCK + jax.lax.broadcasted_iota(jnp.int32, (BLOCK, CBT), 0)
+        col_ids = c * CBT + jax.lax.broadcasted_iota(jnp.int32, (BLOCK, CBT), 1)
+        pair_valid = (row[7].reshape(BLOCK, 1) > 0) & (col[7].reshape(1, CBT) > 0)
+        mask = pair_valid & (row_ids != col_ids) & (r2 < cutoff * cutoff)
+
+        e, de_r, dp = _pair_terms(r2, dw, qq, sig, eps, beta, cutoff, mask, compute_dp, es_coeffs)
+
+        if compute_dp:
+            s_es, d_eps_pair, d_sig_pair = dp
+            dq = jnp.sum(col[4].reshape(1, CBT) * s_es, axis=1)
+            dsig = jnp.sum(d_sig_pair, axis=1)
+            deps = jnp.sum(col[6].reshape(1, CBT) * d_eps_pair, axis=1)
+            dwp = jnp.sum(de_r * dw, axis=1)
+            zeros = jnp.zeros((BLOCK,), jnp.float32)
+            contrib = jnp.stack([zeros, zeros, zeros, zeros, dq, dsig, deps, dwp], axis=0)
+        else:
+            zeros = jnp.zeros((BLOCK,), jnp.float32)
+            u_row = 0.5 * jnp.sum(e, axis=1) if compute_u else zeros
+            fx = jnp.sum(de_r * dx, axis=1)
+            fy = jnp.sum(de_r * dy, axis=1)
+            fz = jnp.sum(de_r * dz, axis=1)
+            contrib = jnp.stack([u_row, fx, fy, fz, zeros, zeros, zeros, zeros], axis=0)
+
+        cur = out_ref[:, pl.ds(i * BLOCK, BLOCK)]
+        out_ref[:, pl.ds(i * BLOCK, BLOCK)] = cur + contrib
+
+
+@partial(jax.jit, static_argnames=("n_tiles", "compute_dp", "interpret", "es_coeffs", "cb", "compute_u"))
+def nb_tiles_fused_vmem(atom_data, row_ids, col_ids, tile_valid, scalars, n_tiles: int, compute_dp: bool = False, interpret: bool = False, es_coeffs=None, cb: int = 1, compute_u: bool = True):
+    """VMEM-resident tile sweep (see _nb_tile_kernel_vmem). Fits systems up
+    to ~1M atoms (atom_data + out = 64 B/atom of VMEM)."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(atom_data.shape, lambda t, rows, cols, val: (0, 0)),
+            pl.BlockSpec((1, 8), lambda t, rows, cols, val: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(atom_data.shape, lambda t, rows, cols, val: (0, 0)),
+    )
+    return pl.pallas_call(
+        partial(_nb_tile_kernel_vmem, compute_dp=compute_dp, es_coeffs=es_coeffs, cb=cb, compute_u=compute_u),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(atom_data.shape, jnp.float32),
+        interpret=interpret,
+    )(row_ids, col_ids, tile_valid, atom_data, scalars)
 
 
 @partial(jax.jit, static_argnames=("block", "max_tiles", "cell_size", "cb"))
@@ -398,9 +499,13 @@ def build_block_tiles(conf, params, box, cutoff, block: int = BLOCK, max_tiles: 
     big_key = n_blocks * n_cols
     flat_idx = jnp.arange(n_blocks * n_cols)
     keys = jnp.where(inter_flat, flat_idx, big_key + flat_idx)
-    sorted_idx = jnp.argsort(keys)[:max_tiles]
+    take = min(max_tiles, n_blocks * n_cols)
+    sorted_idx = jnp.argsort(keys)[:take]
     rows = (sorted_idx // n_cols).astype(jnp.int32)
     cols = (sorted_idx % n_cols).astype(jnp.int32)
+    if take < max_tiles:  # budget exceeds the total tile count: pad the tail
+        rows = jnp.concatenate([rows, jnp.zeros(max_tiles - take, jnp.int32)])
+        cols = jnp.concatenate([cols, jnp.zeros(max_tiles - take, jnp.int32)])
     tile_valid = (jnp.arange(max_tiles) < n_tiles_real).astype(jnp.int32)
     # park invalid tail tiles on the last row so they never re-init a row
     row_ids = jnp.where(tile_valid > 0, rows, n_blocks - 1)
@@ -571,10 +676,13 @@ def make_nonbonded_pallas_md(
                 jnp.zeros(2, jnp.float32),
             ]
         ).reshape(1, 8)
+        # force-only: the Context discards u on integrator steps; energy
+        # comes from __call__/custom_vjp when movers need it
         out = nb_tiles_fused(
-            atom_data, row_ids, col_ids, tile_valid, scalars, max_tiles, compute_dp=False, interpret=interpret, cb=cb
+            atom_data, row_ids, col_ids, tile_valid, scalars, max_tiles, compute_dp=False, interpret=interpret,
+            cb=cb, compute_u=False,
         )
-        u = jnp.sum(out[0])
+        u = jnp.sum(out[0])  # zero by construction
         force = -out.T[inv, 1:4]
         return u, force, state
 
