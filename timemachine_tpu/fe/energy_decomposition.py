@@ -28,25 +28,49 @@ class EnergyDecomposedState(Generic[Frames]):
     batch_u_fns: Sequence[Callable]
 
 
+_batched_u_cache: dict = {}
+
+
+def _batched_u_for(potential):
+    """One jitted batched-energy program per POTENTIAL (params is a traced
+    argument): building a fresh jit per (potential, params) pair — one per
+    lambda window — accumulates unbounded compile caches over long schedules
+    (observed mmap exhaustion after ~10 bisections)."""
+    if potential not in _batched_u_cache:
+
+        @jax.jit
+        def batched(xs, boxes, p):
+            def one(args):
+                x, box = args
+                return potential(x, p, box)
+
+            return jax.lax.map(one, (xs, boxes))
+
+        _batched_u_cache[potential] = batched
+    return _batched_u_cache[potential]
+
+
 def make_batch_u_fn(potential, params, kBT: float, chunk_size: int = 50):
     """(frames, boxes) -> reduced energies, evaluated as a jitted lax.map.
-    NaN energies (overflow semantics) pass through for the caller to inf-mask."""
+    NaN energies (overflow semantics) pass through for the caller to inf-mask.
+    The final chunk is padded to chunk_size so every call shares one compiled
+    shape."""
     params_j = jnp.asarray(params)
-
-    @jax.jit
-    def batched(xs, boxes):
-        def one(args):
-            x, box = args
-            return potential(x, params_j, box)
-
-        return jax.lax.map(one, (xs, boxes))
+    batched = _batched_u_for(potential)
 
     def batch_u_fn(xs, boxes):
         xs = np.asarray(xs)
         boxes = np.asarray(boxes)
         us = []
         for start in range(0, len(xs), chunk_size):
-            us.append(np.asarray(batched(jnp.asarray(xs[start : start + chunk_size]), jnp.asarray(boxes[start : start + chunk_size]))))
+            xs_c = xs[start : start + chunk_size]
+            boxes_c = boxes[start : start + chunk_size]
+            n_real = len(xs_c)
+            if n_real < chunk_size:  # pad to the shared shape
+                xs_c = np.concatenate([xs_c, np.repeat(xs_c[-1:], chunk_size - n_real, axis=0)])
+                boxes_c = np.concatenate([boxes_c, np.repeat(boxes_c[-1:], chunk_size - n_real, axis=0)])
+            out = np.asarray(batched(jnp.asarray(xs_c), jnp.asarray(boxes_c), params_j))
+            us.append(out[:n_real])
         return np.concatenate(us) / kBT
 
     return batch_u_fn

@@ -812,15 +812,21 @@ def generate_pair_bar_ulkns(
     n_comp = len(pots)
     kBT = temperature * BOLTZ
 
-    @cache
     def batch_u_comp(j: int):
+        # per-POTENTIAL shared jit (see energy_decomposition._batched_u_for):
+        # fresh jits per call would accumulate compile caches over a campaign
+        from timemachine_tpu.fe.energy_decomposition import _batched_u_cache
+
         pot = pots[j]
+        key = (pot, "vmap")
+        if key not in _batched_u_cache:
 
-        @jax.jit
-        def batched(xs, boxes, params):
-            return jax.vmap(lambda x, b: pot(x, params, b))(xs, boxes)
+            @jax.jit
+            def batched(xs, boxes, params):
+                return jax.vmap(lambda x, b: pot(x, params, b))(xs, boxes)
 
-        return batched
+            _batched_u_cache[key] = batched
+        return _batched_u_cache[key]
 
     n_states = len(initial_states)
     energies = np.zeros((n_states, n_states, n_comp), dtype=object)
