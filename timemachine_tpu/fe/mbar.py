@@ -28,11 +28,17 @@ def self_consistent_update(f_k, u_kn, log_n_k):
     return -logsumexp(-u_kn - log_denom_n[None, :], axis=1)
 
 
-def _solve_mbar_fixed_point(u_kn, n_k, initial_f_k, relative_tolerance, maximum_iterations):
+from functools import lru_cache, partial
+
+
+@partial(jax.jit, static_argnames=("maximum_iterations",))
+def _fixed_point_solve_jit(u_kn, n_k, f_k0, relative_tolerance, maximum_iterations):
+    """Jitted fixed-point iteration. Tolerances/iterations enter as traced/
+    static args so repeated calls (e.g. 100x bootstrap) reuse ONE compiled
+    program — fresh per-call while_loop closures were compiling each time and
+    exhausting the process mmap budget over long campaigns."""
     u_kn = jnp.asarray(u_kn)
-    k_states = u_kn.shape[0]
     log_n_k = jnp.log(jnp.asarray(n_k, dtype=u_kn.dtype))
-    f_k = jnp.zeros(k_states, dtype=u_kn.dtype) if initial_f_k is None else jnp.asarray(initial_f_k, dtype=u_kn.dtype)
 
     def cond(carry):
         f_k, f_prev, it = carry
@@ -46,8 +52,15 @@ def _solve_mbar_fixed_point(u_kn, n_k, initial_f_k, relative_tolerance, maximum_
         f_new = f_new - f_new[0]
         return f_new, f_k, it + 1
 
-    f_k, _, n_iter = jax.lax.while_loop(cond, body, (f_k, f_k + 1.0, jnp.asarray(0)))
+    f_k, _, n_iter = jax.lax.while_loop(cond, body, (f_k0, f_k0 + 1.0, jnp.asarray(0)))
     return f_k, n_iter
+
+
+def _solve_mbar_fixed_point(u_kn, n_k, initial_f_k, relative_tolerance, maximum_iterations):
+    u_kn = jnp.asarray(u_kn)
+    k_states = u_kn.shape[0]
+    f_k0 = jnp.zeros(k_states, dtype=u_kn.dtype) if initial_f_k is None else jnp.asarray(initial_f_k, dtype=u_kn.dtype)
+    return _fixed_point_solve_jit(u_kn, jnp.asarray(n_k), f_k0, relative_tolerance, maximum_iterations)
 
 
 @jax.custom_vjp
