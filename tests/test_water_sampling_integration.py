@@ -28,7 +28,10 @@ from timemachine_tpu.potentials import HarmonicBond, get_bound_potential_by_type
 
 HIF2A_SDF = Path("/root/reference/timemachine/testsystems/fep_benchmark/hif2a/ligands.sdf")
 
-pytestmark = pytest.mark.skipif(not HIF2A_SDF.exists(), reason="reference benchmark data absent")
+pytestmark = [
+    pytest.mark.nightly,  # ~15 min: FIRE-minimized solvated host fixture
+    pytest.mark.skipif(not HIF2A_SDF.exists(), reason="reference benchmark data absent"),
+]
 
 
 @pytest.fixture(scope="module")
