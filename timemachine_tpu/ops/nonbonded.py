@@ -27,6 +27,16 @@ from jax.scipy.special import erfc
 
 from timemachine_tpu.ops.pbc import lifted_distance_on_pairs, periodic_delta
 
+
+def _chebval(t, coeffs):
+    """Chebyshev series on t in [-1, 1] (Clenshaw; static float coeffs)."""
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    t2 = 2.0 * t
+    for ck in coeffs[:0:-1]:
+        b1, b2 = t2 * b1 - b2 + ck, b1
+    return t * b1 - b2 + coeffs[0]
+
 # The switch function's cutoff is pinned at 1.2 nm in the reference regardless
 # of the interaction cutoff (nonbonded.py:23-39); we keep that contract.
 SWITCH_CUTOFF = 1.2
@@ -180,12 +190,17 @@ def nonbonded_all_pairs_dense(
     return 0.5 * jnp.sum(total)
 
 
-def nonbonded_on_specific_pairs(conf, params, box, pairs, beta, cutoff=None, rescale_mask=None, pair_mask=None):
+def nonbonded_on_specific_pairs(conf, params, box, pairs, beta, cutoff=None, rescale_mask=None, pair_mask=None,
+                                es_poly_coeffs=None):
     """Per-pair (vdW, electrostatics) energies over an explicit pair list
     (ref nonbonded.py:342-400).
 
     pairs: (P, 2). rescale_mask: (P, 2) multiplicative [q, lj] factors.
     pair_mask: optional (P,) bool — padding rows (also implied by idx < 0).
+    es_poly_coeffs: optional Chebyshev series of the switched-erfc factor
+    h(u), u = d/SWITCH_CUTOFF on [0, 1] (rowscan kernel's polynomial ES) —
+    pass the kernel's own series so exclusion corrections cancel the
+    kernel's all-pairs term exactly rather than to polynomial-fit accuracy.
     Returns two (P,) arrays (caller sums), so exclusion potentials can negate.
     """
     if pairs.shape[0] == 0:
@@ -210,7 +225,12 @@ def nonbonded_on_specific_pairs(conf, params, box, pairs, beta, cutoff=None, res
     vdW = jnp.where(eps_ij != 0, lennard_jones(dij_safe, sig_ij, eps_ij), 0.0)
 
     qij = jnp.where(keep, charges[inds_l] * charges[inds_r], 0.0)
-    electrostatics = jnp.where(keep, switched_direct_space_pme(dij_safe, qij, beta, cutoff_val), 0.0)
+    if es_poly_coeffs is None:
+        electrostatics = jnp.where(keep, switched_direct_space_pme(dij_safe, qij, beta, cutoff_val), 0.0)
+    else:
+        t = 2.0 * (dij_safe / SWITCH_CUTOFF) - 1.0
+        h = _chebval(t, es_poly_coeffs)
+        electrostatics = jnp.where(keep, qij * h / dij_safe, 0.0)
 
     if rescale_mask is not None:
         vdW = jnp.where(rescale_mask[:, 1] != 0, vdW * rescale_mask[:, 1], 0.0)

@@ -1,0 +1,571 @@
+"""Rowscan nonbonded kernel (Pallas/TPU) — production MD hot path, v2.
+
+TPU-native replacement for the reference's warp-per-tile CUDA kernel
+(k_nonbonded.cuh:330-432) with a different decomposition than
+nonbonded_kernel.py (v1, kept for the exact/du-dp paths):
+
+* grid = 32-atom row chunks (snake-sorted), one grid step per chunk;
+* each grid step loops (lax.fori_loop, variable trip count from a
+  scalar-prefetched per-row neighbor count) over that row's bbox-culled
+  128-atom column chunks, sliced from a VMEM-resident (8, Npad) atom array —
+  no per-tile HBM DMA, and the ~0.7 us/grid-step floor is amortized over
+  ~50 column iterations;
+* forces accumulate in registers as (32, 128) partial sums, reduced across
+  lanes once per row chunk (not per tile);
+* pair math is force-lean: the switched-erfc electrostatic force factor is a
+  single Chebyshev series P(u) = u h'(u) - h(u) derived EXACTLY (coefficient
+  algebra, not a second fit) from the fitted energy series h(u) =
+  erfc(beta c u) switch(u), so kernel force == exact gradient of kernel
+  energy, and exclusion corrections computed with the same h cancel
+  bitwise-consistently;
+* no validity masks: padding atoms carry zero charge/epsilon so their
+  contributions vanish arithmetically; the only select is the
+  (r2 < cutoff^2) & (r2 > tiny) gate on the accumulated force factor.
+
+The (32, 128) tile geometry measures ~25% fewer padded pair slots than v1's
+(128, 256) at 23k atoms (row chunks of 32 snake-sorted atoms are compact
+~cell-sized boxes instead of 2.6 nm slabs).
+
+Reference parity: LJ with Lorentz-Berthelot on [q, sigma/2, sqrt(eps), w]
+rows, 4D lifted distance, reaction-field switched-erfc Coulomb
+(timemachine/potentials/nonbonded.py:221-339); tile culling mirrors
+neighborlist.cu block bounds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW = 32  # atoms per row chunk (grid step)
+UNROLL = 4  # column chunks per inner-loop iteration (builder pads to match)
+COL = 128  # atoms per column chunk (inner loop iteration) == lane width
+SWITCH_CUTOFF = 1.2  # pinned, matching ops/nonbonded.py
+
+_poly_cache: dict = {}
+
+
+def es_energy_force_series(beta: float, cutoff: float, deg: int = 10):
+    """Chebyshev series (domain u = r/cutoff in [0, 1]) for
+
+        h(u) = erfc(beta c u) * cos^3((pi/2) u^8)     [energy:  E = qq h(u)/r]
+        P(u) = u h'(u) - h(u)                         [force:   dE/dr / r = qq P(u)/r^3]
+
+    h is FIT (max abs err ~1e-7 at deg 14); P is derived from the fitted h by
+    exact Chebyshev coefficient algebra (derivative + multiply-by-u), so the
+    force is the exact analytic gradient of the polynomial energy."""
+    key = (float(beta), float(cutoff), deg)
+    if key not in _poly_cache:
+        from scipy.special import erfc as _erfc
+
+        u = np.linspace(0.0, 1.0, 8001)
+        bc = beta * cutoff
+        h = _erfc(bc * u) * np.cos(np.pi / 2 * u**8) ** 3
+        ch = np.polynomial.chebyshev.Chebyshev.fit(u, h, deg, domain=[0.0, 1.0])
+        # work on [-1, 1] coefficients: u = (t + 1) / 2  =>  d/du = 2 d/dt
+        c = ch.coef
+        dc = np.polynomial.chebyshev.chebder(c) * 2.0  # h'(u) in t-basis
+        # u * h'(u) = ((t + 1)/2) * h'(u): multiply by t via T-recurrence then average
+        tc = np.polynomial.chebyshev.chebmulx(dc)  # t * h'
+        n = max(len(c), len(tc) + 0)
+        P = np.zeros(n)
+        P[: len(tc)] += 0.5 * tc
+        P[: len(dc)] += 0.5 * dc
+        P[: len(c)] -= c
+        _poly_cache[key] = (tuple(float(v) for v in c), tuple(float(v) for v in P))
+    return _poly_cache[key]
+
+
+def _clenshaw(t2, coeffs):
+    b1 = jnp.zeros_like(t2)
+    b2 = jnp.zeros_like(t2)
+    for ck in coeffs[:0:-1]:
+        b1, b2 = t2 * b1 - b2 + ck, b1
+    return 0.5 * t2 * b1 - b2 + coeffs[0]
+
+
+def _rowscan_kernel(
+    row_start_ref,  # (nR,) int32 scalar prefetch: offset into col_ids
+    row_count_ref,  # (nR,) int32 scalar prefetch: neighbor chunk count
+    col_ids_ref,  # (T,) int32 scalar prefetch: flat column chunk ids
+    rowT_ref,  # (ROW, 8) block: this row chunk, transposed atom data
+    atoms_ref,  # (nC, 8, COL) whole array, VMEM resident (chunk-major)
+    scal_ref,  # (1, 8) SMEM: box_x, box_y, box_z, cutoff, 0, 0, 0, 0
+    out_ref,  # (ROW, 8) block: [u, fx, fy, fz, 0, 0, 0, 0]
+    out_cols_ref=None,  # triangular only: (8, Npad) whole, accumulated across grid
+    *,
+    h_coeffs,
+    p_coeffs,
+    compute_u: bool,
+    triangular: bool = False,
+):
+    i = pl.program_id(0)
+    start = row_start_ref[i]
+    count = row_count_ref[i]
+
+    if triangular:
+        # sequential grid on one TensorCore: zero the shared column-force
+        # accumulator once, then read-modify-write it every tile
+        @pl.when(i == 0)
+        def _():
+            out_cols_ref[:, :] = jnp.zeros_like(out_cols_ref)
+
+    box_x = scal_ref[0, 0]
+    box_y = scal_ref[0, 1]
+    box_z = scal_ref[0, 2]
+    cutoff = scal_ref[0, 3]
+    inv_bx = 1.0 / box_x
+    inv_by = 1.0 / box_y
+    inv_bz = 1.0 / box_z
+    cut2 = cutoff * cutoff
+    inv_c = 1.0 / SWITCH_CUTOFF
+    k1 = 4.0 * inv_c  # t2 = 2*(2u - 1) = k1*r + k0
+    k0 = -2.0
+
+    rowT = rowT_ref[:, :]  # (ROW, 8)
+    x_i = rowT[:, 0:1]
+    y_i = rowT[:, 1:2]
+    z_i = rowT[:, 2:3]
+    w_i = rowT[:, 3:4]
+    q_i = rowT[:, 4:5]
+    s_i = rowT[:, 5:6]
+    e_i = rowT[:, 6:7]
+
+    zeros = jnp.zeros((ROW, COL), jnp.float32)
+
+    if triangular:
+        row_gid = jnp.float32(i * ROW) + jax.lax.broadcasted_iota(jnp.int32, (ROW, 1), 0).astype(jnp.float32)
+
+    def one_col(cid, acc):
+        acc_fx, acc_fy, acc_fz, acc_u = acc
+        col = atoms_ref[cid]  # (8, COL), tile-aligned dynamic index
+
+        dx = x_i - col[0].reshape(1, COL)
+        dy = y_i - col[1].reshape(1, COL)
+        dz = z_i - col[2].reshape(1, COL)
+        dx = dx - box_x * jax.lax.round(dx * inv_bx)
+        dy = dy - box_y * jax.lax.round(dy * inv_by)
+        dz = dz - box_z * jax.lax.round(dz * inv_bz)
+        dw = w_i - col[3].reshape(1, COL)
+        r2 = dx * dx + dy * dy + dz * dz + dw * dw
+
+        r2s = jnp.maximum(r2, 1e-8)
+        inv_r = jax.lax.rsqrt(r2s)
+        inv_r2 = inv_r * inv_r
+
+        qq = q_i * col[4].reshape(1, COL)
+        sg = s_i + col[5].reshape(1, COL)
+        e4 = e_i * col[6].reshape(1, COL)  # rows store 2*sqrt(eps) => e4 = 4 eps_ij
+
+        s2 = sg * sg * inv_r2
+        t6 = s2 * s2 * s2
+        t12 = t6 * t6
+        flj = e4 * inv_r2 * (6.0 * t6 - 12.0 * t12)
+
+        r = r2s * inv_r
+        t2 = k1 * r + k0
+        p = _clenshaw(t2, p_coeffs)
+        inv_r3 = inv_r * inv_r2
+        fes = qq * p * inv_r3
+
+        gate = (r2 < cut2) & (r2 > 1e-7)
+        if triangular:
+            # Newton's third law: each unordered pair computed once; order by
+            # sorted global atom index (floats exact up to 2^24 atoms)
+            col_gid = jnp.float32(cid * COL) + jax.lax.broadcasted_iota(jnp.int32, (1, COL), 1).astype(jnp.float32)
+            gate = gate & (row_gid < col_gid)
+        de_r = jnp.where(gate, flj + fes, 0.0)
+
+        tx = de_r * dx
+        ty = de_r * dy
+        tz = de_r * dz
+        acc_fx = acc_fx + tx
+        acc_fy = acc_fy + ty
+        acc_fz = acc_fz + tz
+        if triangular:
+            # column-side reaction forces, accumulated into the shared buffer
+            zc = jnp.zeros((1, COL), jnp.float32)
+            neg = jnp.concatenate(
+                [zc, -jnp.sum(tx, axis=0, keepdims=True), -jnp.sum(ty, axis=0, keepdims=True),
+                 -jnp.sum(tz, axis=0, keepdims=True), zc, zc, zc, zc], axis=0)
+            cur = out_cols_ref[:, pl.ds(cid * COL, COL)]
+            out_cols_ref[:, pl.ds(cid * COL, COL)] = cur + neg
+        if compute_u:
+            h = _clenshaw(t2, h_coeffs)
+            e_pair = e4 * (t12 - t6) + qq * h * inv_r
+            acc_u = acc_u + jnp.where(gate, e_pair, 0.0)
+        return acc_fx, acc_fy, acc_fz, acc_u
+
+    # UNROLL-x loop over this row's column chunks; the tile builder pads
+    # every row's list to a multiple of UNROLL with the guaranteed all-zero
+    # chunk (q = eps = 0 => zero contribution), so no per-iteration masking
+    def body(jj, acc):
+        j = UNROLL * jj
+        for k in range(UNROLL):
+            acc = one_col(col_ids_ref[start + j + k], acc)
+        return acc
+
+    if compute_u:
+        init = (zeros, zeros, zeros, zeros)
+    else:
+        init = (zeros, zeros, zeros, zeros[:, :1])  # dead 1-lane accumulator
+    acc_fx, acc_fy, acc_fz, acc_u = jax.lax.fori_loop(
+        0, (count + UNROLL - 1) // UNROLL, body, init
+    )
+
+    fx = jnp.sum(acc_fx, axis=1)
+    fy = jnp.sum(acc_fy, axis=1)
+    fz = jnp.sum(acc_fz, axis=1)
+    if compute_u:
+        u = jnp.sum(acc_u, axis=1)
+        if not triangular:
+            u = 0.5 * u  # symmetric tile list: halve
+    else:
+        u = jnp.zeros((ROW,), jnp.float32)
+    z = jnp.zeros((ROW,), jnp.float32)
+    out_ref[:, :] = jnp.stack([u, fx, fy, fz, z, z, z, z], axis=1)
+
+
+@partial(jax.jit, static_argnames=("n_rows", "max_pairs", "h_coeffs", "p_coeffs", "compute_u", "interpret", "triangular"))
+def rowscan_sweep(
+    atoms8,  # (8, Npad) f32
+    atomsT,  # (Npad, 8) f32
+    row_start,  # (nR,) int32
+    row_count,  # (nR,) int32
+    col_ids,  # (max_pairs,) int32
+    scalars,  # (1, 8) f32
+    n_rows: int,
+    max_pairs: int,
+    h_coeffs,
+    p_coeffs,
+    compute_u: bool = False,
+    interpret: bool = False,
+    triangular: bool = False,
+):
+    """Returns (Npad, 8) f32: columns [u_atom, du/dx(3), 0...] in sorted
+    order; sum of column 0 = total energy (if compute_u). In triangular mode
+    the result already includes both Newton-pair sides."""
+    n_pad = atoms8.shape[1]
+    n_chunks = n_pad // COL
+    atoms_cm = atoms8.reshape(8, n_chunks, COL).transpose(1, 0, 2)  # chunk-major
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_rows,),
+        in_specs=[
+            pl.BlockSpec((ROW, 8), lambda i, rs, rc, ci: (i, 0)),
+            pl.BlockSpec((n_chunks, 8, COL), lambda i, rs, rc, ci: (0, 0, 0)),
+            pl.BlockSpec((1, 8), lambda i, rs, rc, ci: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW, 8), lambda i, rs, rc, ci: (i, 0)),
+    )
+    if not triangular:
+        return pl.pallas_call(
+            partial(_rowscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+            interpret=interpret,
+        )(row_start, row_count, col_ids, atomsT, atoms_cm, scalars)
+    grid_spec_tri = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_rows,),
+        in_specs=grid_spec.in_specs,
+        out_specs=[
+            pl.BlockSpec((ROW, 8), lambda i, rs, rc, ci: (i, 0)),
+            pl.BlockSpec((8, n_pad), lambda i, rs, rc, ci: (0, 0)),
+        ],
+    )
+    out_rows, out_cols = pl.pallas_call(
+        partial(_rowscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u, triangular=True),
+        grid_spec=grid_spec_tri,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(row_start, row_count, col_ids, atomsT, atoms_cm, scalars)
+    return out_rows.at[:, 1:4].add(out_cols[1:4].T)
+
+
+@partial(jax.jit, static_argnames=("max_pairs", "cell_size", "triangular"))
+def build_rowscan_tiles(conf, params, box, cutoff, max_pairs: int, cell_size: float = 0.65, atom_mask=None, triangular: bool = False):
+    """Snake spatial sort + per-32-atom-row-chunk culled column-chunk lists.
+
+    Returns (pad_order (Npad,) int32, row_start (nR,), row_count (nR,),
+    col_ids (max_pairs,) int32, overflow int32)."""
+    n = conf.shape[0]
+    # one extra all-padding column chunk (id n_cols-1): the unrolled kernel
+    # pads odd per-row neighbor lists with it (zero q/eps => zero contribution)
+    n_pad = (-(-n // COL) + 1) * COL
+    n_rows = n_pad // ROW
+    n_cols = n_pad // COL
+
+    box_diag = jnp.diagonal(box)
+    dims = jnp.maximum(jnp.floor(box_diag / cell_size).astype(jnp.int32), 1)
+    wrapped = conf[:, :3] - box_diag * jnp.floor(conf[:, :3] / box_diag)
+    frac = wrapped / box_diag
+    frac = frac - jnp.floor(frac)
+    cxyz = jnp.minimum((frac * dims).astype(jnp.int32), dims - 1)
+    cx, cy, cz = cxyz[:, 0], cxyz[:, 1], cxyz[:, 2]
+    ky = jnp.where(cz % 2 == 0, cy, dims[1] - 1 - cy)
+    row_parity = (cz * dims[1] + ky) % 2
+    kx = jnp.where(row_parity == 0, cx, dims[0] - 1 - cx)
+    snake = (cz * dims[1] + ky) * dims[0] + kx
+    order = jnp.argsort(snake).astype(jnp.int32)
+    pad_order = jnp.concatenate([order, jnp.zeros(n_pad - n, dtype=jnp.int32)])
+
+    xs = wrapped[pad_order]  # (Npad, 3)
+    if atom_mask is None:
+        valid = jnp.concatenate([jnp.ones(n), jnp.zeros(n_pad - n)])
+    else:
+        valid = jnp.concatenate([jnp.asarray(atom_mask, jnp.float32), jnp.zeros(n_pad - n)])
+        valid = valid[pad_order]
+    vmask = valid.reshape(n_rows, ROW, 1) > 0
+    big = jnp.asarray(1e9, jnp.float32)
+    xr = xs.reshape(n_rows, ROW, 3)
+    rmin = jnp.min(jnp.where(vmask, xr, big), axis=1)
+    rmax = jnp.max(jnp.where(vmask, xr, -big), axis=1)
+    vc = valid.reshape(n_cols, COL, 1) > 0
+    xc = xs.reshape(n_cols, COL, 3)
+    cmin = jnp.min(jnp.where(vc, xc, big), axis=1)
+    cmax = jnp.max(jnp.where(vc, xc, -big), axis=1)
+
+    rcen = 0.5 * (rmin + rmax)
+    rhal = 0.5 * (rmax - rmin)
+    ccen = 0.5 * (cmin + cmax)
+    chal = 0.5 * (cmax - cmin)
+    dc = rcen[:, None, :] - ccen[None, :, :]
+    dc = dc - box_diag * jnp.floor(dc / box_diag + 0.5)
+    gap = jnp.maximum(jnp.abs(dc) - (rhal[:, None, :] + chal[None, :, :]), 0.0)
+    d2 = jnp.sum(gap * gap, axis=2)
+    r_has = jnp.any(vmask[:, :, 0], axis=1)
+    c_has = jnp.any(vc[:, :, 0], axis=1)
+    inter = (d2 < cutoff * cutoff) & r_has[:, None] & c_has[None, :]
+    if triangular:
+        # Newton (upper-triangular) tile list: row chunk r only visits column
+        # windows at or after its own covering window; in-window ordering is
+        # resolved per-pair in the kernel (row_gid < col_gid)
+        r_win = (jnp.arange(n_rows) * ROW) // COL
+        inter = inter & (jnp.arange(n_cols)[None, :] >= r_win[:, None])
+
+    counts = jnp.sum(inter, axis=1).astype(jnp.int32)
+    # per-row layout padded to a multiple of UNROLL (unrolled kernel loop)
+    padded = (-(-counts // UNROLL) * UNROLL).astype(jnp.int32)
+    row_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+    start_real = jnp.cumsum(counts) - counts
+    total = jnp.sum(padded)
+    overflow = jnp.maximum(total - max_pairs, 0)
+
+    flat = inter.reshape(-1)
+    idx = jnp.arange(n_rows * n_cols)
+    keys = jnp.where(flat, idx, n_rows * n_cols + idx)
+    take = min(max_pairs, n_rows * n_cols)
+    sorted_idx = jnp.argsort(keys)[:take]
+    entry_row = sorted_idx // n_cols
+    entry_col = (sorted_idx % n_cols).astype(jnp.int32)
+    seq = jnp.arange(take)
+    rank = seq - start_real[entry_row]
+    target = row_start[entry_row] + rank
+    ok = (seq < jnp.sum(counts)) & (target < max_pairs)
+    zero_chunk = jnp.int32(n_cols - 1)
+    cols = jnp.full((max_pairs,), zero_chunk, jnp.int32)
+    cols = cols.at[jnp.where(ok, target, max_pairs)].set(entry_col, mode="drop")
+    # clamp counts so an overflowing tail never reads out of bounds
+    allowed = jnp.maximum(max_pairs - row_start, 0) // UNROLL * UNROLL
+    row_count = jnp.minimum(counts, allowed).astype(jnp.int32)
+    row_start = jnp.minimum(row_start, max_pairs - UNROLL).astype(jnp.int32)
+
+    return pad_order, row_start, row_count, cols, overflow
+
+
+def _assemble(conf, params, box, pad_order, n, atom_mask=None):
+    """(8, Npad) sorted atom rows [x y z w q sig/2 2*sqrt(eps) 0] with
+    padding (and masked) atoms carrying zero charge/eps so they vanish
+    arithmetically."""
+    box_diag = jnp.diagonal(box)
+    n_pad = pad_order.shape[0]
+    wrapped = conf[:, :3] - box_diag * jnp.floor(conf[:, :3] / box_diag)
+    xyz = wrapped[pad_order].T
+    w = params[pad_order, 3][None, :]
+    valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
+    if atom_mask is not None:
+        pm = jnp.concatenate([jnp.asarray(atom_mask, jnp.float32), jnp.zeros(n_pad - n)])
+        valid = valid * pm[pad_order]
+    q = (params[pad_order, 0] * valid)[None, :]
+    sig = params[pad_order, 1][None, :]
+    eps = (2.0 * params[pad_order, 2] * valid)[None, :]
+    z = jnp.zeros((1, n_pad), jnp.float32)
+    return jnp.concatenate([xyz, w, q, sig, eps, z], axis=0).astype(jnp.float32)
+
+
+def _scalars(box, cutoff):
+    return jnp.concatenate(
+        [jnp.diagonal(jnp.asarray(box, jnp.float32)), jnp.asarray([cutoff], jnp.float32), jnp.zeros(4, jnp.float32)]
+    ).reshape(1, 8)
+
+
+def suggest_max_pairs(conf, box, cutoff, margin: float = 1.3, atom_mask=None, triangular: bool = False) -> int:
+    """Host-side: measure the interacting (32-row x 128-col) chunk-pair count
+    and pad with margin (diffusion headroom between rebuilds)."""
+    n = conf.shape[0]
+    n_pad = (-(-n // COL) + 1) * COL
+    cap = (n_pad // ROW) * (n_pad // COL)
+    _, _, counts, _, _ = build_rowscan_tiles(
+        jnp.asarray(conf, jnp.float32),
+        jnp.zeros((n, 4), jnp.float32),
+        jnp.asarray(box, jnp.float32),
+        cutoff,
+        max_pairs=cap,
+        atom_mask=atom_mask,
+        triangular=triangular,
+    )
+    c = np.asarray(counts)
+    total = int((-(-c // UNROLL) * UNROLL).sum())  # per-row UNROLL padding
+    want = int(np.ceil(total * margin / 128) * 128)
+    return min(max(want, 128), cap)
+
+
+def make_nonbonded_rowscan_md(
+    beta: float,
+    cutoff: float,
+    max_pairs: int,
+    skin: float = 0.1,
+    rebuild_interval: int = 20,
+    interpret: bool = False,
+    atom_mask=None,
+    triangular: bool = True,
+):
+    """Stateful MD force provider on the rowscan kernel (API-compatible with
+    nonbonded_kernel.make_nonbonded_pallas_md): tile lists culled at
+    cutoff + skin, rebuilt every rebuild_interval steps; per-step work is one
+    gather-assemble + one rowscan sweep.
+
+    Returns (init_fn, apply_fn):
+      init_fn(conf, params, box) -> state
+      apply_fn(state, conf, params, box, t) -> (u, force, state')  [u == 0]
+    """
+    h_coeffs, p_coeffs = es_energy_force_series(beta, cutoff)
+
+    def _build(conf, params, box):
+        pad_order, row_start, row_count, col_ids, overflow = build_rowscan_tiles(
+            jnp.asarray(conf, jnp.float32),
+            jnp.asarray(params, jnp.float32),
+            jnp.asarray(box, jnp.float32),
+            cutoff + skin,
+            max_pairs=max_pairs,
+            atom_mask=atom_mask,
+            triangular=triangular,
+        )
+        n = conf.shape[0]
+        inv = jnp.zeros(n, dtype=jnp.int32).at[pad_order[:n]].set(jnp.arange(n, dtype=jnp.int32))
+        return (pad_order, inv, row_start, row_count, col_ids, overflow)
+
+    def init_fn(conf, params, box):
+        return _build(conf, params, box)
+
+    def apply_fn(state, conf, params, box, t):
+        state = jax.lax.cond(
+            (t % rebuild_interval) == 0,
+            lambda: _build(conf, params, box),
+            lambda: state,
+        )
+        pad_order, inv, row_start, row_count, col_ids, _ = state
+        n = conf.shape[0]
+        atoms8 = _assemble(
+            jnp.asarray(conf, jnp.float32), jnp.asarray(params, jnp.float32), jnp.asarray(box, jnp.float32),
+            pad_order, n, atom_mask=atom_mask,
+        )
+        out = rowscan_sweep(
+            atoms8,
+            atoms8.T,
+            row_start,
+            row_count,
+            col_ids,
+            _scalars(box, cutoff),
+            n_rows=atoms8.shape[1] // ROW,
+            max_pairs=max_pairs,
+            h_coeffs=h_coeffs,
+            p_coeffs=p_coeffs,
+            compute_u=False,
+            interpret=interpret,
+            triangular=triangular,
+        )
+        force = -out[inv, 1:4]
+        return jnp.zeros((), jnp.float32), force, state
+
+    return init_fn, apply_fn
+
+
+def make_nonbonded_rowscan_energy_force(
+    beta: float, cutoff: float, max_pairs: int, interpret: bool = False, atom_mask=None, triangular: bool = True
+):
+    """(conf, params, box) -> (u, force) in one rowscan sweep (tile build
+    included — use the MD provider for hot loops)."""
+    h_coeffs, p_coeffs = es_energy_force_series(beta, cutoff)
+
+    def energy_and_force(conf, params, box):
+        conf = jnp.asarray(conf, jnp.float32)
+        params = jnp.asarray(params, jnp.float32)
+        box = jnp.asarray(box, jnp.float32)
+        pad_order, row_start, row_count, col_ids, _ = build_rowscan_tiles(
+            conf, params, box, cutoff, max_pairs=max_pairs, atom_mask=atom_mask, triangular=triangular
+        )
+        n = conf.shape[0]
+        inv = jnp.zeros(n, dtype=jnp.int32).at[pad_order[:n]].set(jnp.arange(n, dtype=jnp.int32))
+        atoms8 = _assemble(conf, params, box, pad_order, n, atom_mask=atom_mask)
+        out = rowscan_sweep(
+            atoms8,
+            atoms8.T,
+            row_start,
+            row_count,
+            col_ids,
+            _scalars(box, cutoff),
+            n_rows=atoms8.shape[1] // ROW,
+            max_pairs=max_pairs,
+            h_coeffs=h_coeffs,
+            p_coeffs=p_coeffs,
+            compute_u=True,
+            interpret=interpret,
+            triangular=triangular,
+        )
+        u = jnp.sum(out[:, 0])
+        force = -out[inv, 1:4]
+        return u, force
+
+    return energy_and_force
+
+
+def make_nonbonded_rowscan(beta: float, cutoff: float, max_pairs: int, interpret: bool = False, atom_mask=None,
+                           dp_max_tiles: int = None, dp_cb: int = 2):
+    """Differentiable energy(conf, params, box) with custom VJP: the forward
+    runs ONE rowscan sweep producing energy + analytic dU/dx (stashed); dU/dp
+    comes from the v1 tile kernel's dp-only pass (dead-code-eliminated by XLA
+    whenever the parameter cotangent is unused). Box cotangent is zero (no
+    virial, matching the reference CUDA kernels)."""
+    from timemachine_tpu.ops.pallas.nonbonded_kernel import _run_dp, suggest_max_tiles
+
+    ef = make_nonbonded_rowscan_energy_force(beta, cutoff, max_pairs, interpret=interpret, atom_mask=atom_mask)
+
+    @jax.custom_vjp
+    def energy(conf, params, box):
+        u, _ = ef(conf, params, box)
+        return u
+
+    def fwd(conf, params, box):
+        u, force = ef(conf, params, box)
+        return u, (-force, conf, params, box)
+
+    def bwd(res, g):
+        du_dx, conf, params, box = res
+        mt = dp_max_tiles
+        if mt is None:
+            raise ValueError("dp_max_tiles required for parameter gradients")
+        du_dp = _run_dp(conf, params, box, beta, cutoff, mt, interpret, cb=dp_cb, atom_mask=atom_mask)
+        return g * du_dx, g * du_dp, jnp.zeros_like(box)
+
+    energy.defvjp(fwd, bwd)
+    return energy

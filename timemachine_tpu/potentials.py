@@ -188,13 +188,18 @@ class NonbondedAllPairs(Potential):
         self.tiled_capacity = choose_capacity(self.num_atoms, self.tiled_grid_dims, conf=conf, box=box)
         return self
 
-    def configure_pallas(self, box, conf, margin: float = 1.4, interpret: bool = False, cb: int = 2):
+    def configure_pallas(self, box, conf, margin: float = 1.4, interpret: bool = False, cb: int = 2,
+                         kernel: str = "rowscan"):
         """Switch to the fused Pallas tile kernel (the production TPU MD
         path), sizing the static tile budget from the actual geometry.
 
-        cb: column-tile width in units of 128 atoms. cb=2 (256-wide column
-        tiles) measured ~17% faster than cb=1 at 23k atoms on v5e — fewer
-        grid steps (~0.6 us fixed cost each) at ~8% more padded pair slots."""
+        kernel="rowscan" (default): v2 Newton-triangular row-chunk kernel
+        (ops/pallas/rowscan_kernel.py) — ~3x faster than v1 at 23k atoms on
+        v5e; electrostatics evaluated as a Chebyshev series of the switched
+        erfc (force = exact gradient of the polynomial energy; pair the
+        exclusion correction with `es_h_coeffs()` so it cancels exactly).
+        kernel="v1": original (128 x 128*cb)-tile kernel with exact
+        transcendental electrostatics (kept for strict-parity paths)."""
         from timemachine_tpu.ops.pallas.nonbonded_kernel import (
             make_nonbonded_pallas,
             make_nonbonded_pallas_energy_force,
@@ -205,6 +210,44 @@ class NonbondedAllPairs(Potential):
         mask = self._atom_mask  # static subset supported via invalid rows/cols
 
         self.impl = "pallas"
+        self.pallas_kernel = kernel
+        skin = 0.1
+        if kernel == "rowscan":
+            from timemachine_tpu.ops.pallas.rowscan_kernel import (
+                es_energy_force_series,
+                make_nonbonded_rowscan,
+                make_nonbonded_rowscan_energy_force,
+                make_nonbonded_rowscan_md,
+                suggest_max_pairs,
+            )
+
+            self._es_series = es_energy_force_series(self.beta, self.cutoff)
+            max_pairs = suggest_max_pairs(
+                np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, atom_mask=mask, triangular=True
+            )
+            # du/dp backward still runs on the v1 dp-only pass
+            dp_tiles = suggest_max_tiles(
+                np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, cb=cb, atom_mask=mask
+            )
+            self.pallas_max_tiles = max_pairs
+            self._pallas_energy = make_nonbonded_rowscan(
+                self.beta, self.cutoff, max_pairs, interpret=interpret, atom_mask=mask,
+                dp_max_tiles=dp_tiles, dp_cb=cb,
+            )
+            self._pallas_energy_force = make_nonbonded_rowscan_energy_force(
+                self.beta, self.cutoff, max_pairs, interpret=interpret, atom_mask=mask
+            )
+            md_pairs = suggest_max_pairs(
+                np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, atom_mask=mask,
+                triangular=True,
+            )
+            self._pallas_md = make_nonbonded_rowscan_md(
+                self.beta, self.cutoff, md_pairs, skin=skin, rebuild_interval=20, interpret=interpret,
+                atom_mask=mask,
+            )
+            return self
+
+        self._es_series = None
         self.pallas_max_tiles = suggest_max_tiles(
             np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, cb=cb, atom_mask=mask
         )
@@ -216,7 +259,6 @@ class NonbondedAllPairs(Potential):
         )
         # stateful MD provider: tile list culled at cutoff+skin, rebuilt every
         # rebuild_interval steps instead of per step
-        skin = 0.1
         md_tiles = suggest_max_tiles(
             np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, cb=cb, atom_mask=mask
         )
@@ -225,6 +267,13 @@ class NonbondedAllPairs(Potential):
             atom_mask=mask,
         )
         return self
+
+    def es_h_coeffs(self):
+        """Chebyshev h(u) series of the configured rowscan kernel (None on
+        exact-ES paths) — hand to nonbonded_on_specific_pairs(es_poly_coeffs=)
+        so exclusion corrections cancel the all-pairs term exactly."""
+        series = getattr(self, "_es_series", None)
+        return series[0] if series is not None else None
 
     def energy_force_fn(self):
         """Fused (u, force) implementation if configured, else None. The MD
@@ -308,8 +357,13 @@ class Nonbonded(Potential):
 
     def _exclusion_energy(self, conf, params, box):
         exc_idxs, exc_scales = self._filtered
+        # poly-consistent ES: when the AllPairs term runs the rowscan kernel,
+        # subtract its OWN Chebyshev electrostatics so the correction cancels
+        # exactly (not just to polynomial-fit accuracy)
+        h_coeffs = self._all_pairs.es_h_coeffs() if self.impl == "pallas" else None
         vdW, es = nonbonded.nonbonded_on_specific_pairs(
-            conf, params, box, jnp.asarray(exc_idxs), self.beta, self.cutoff, rescale_mask=jnp.asarray(exc_scales)
+            conf, params, box, jnp.asarray(exc_idxs), self.beta, self.cutoff, rescale_mask=jnp.asarray(exc_scales),
+            es_poly_coeffs=h_coeffs,
         )
         return jnp.sum(vdW) + jnp.sum(es)
 
