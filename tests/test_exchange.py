@@ -230,3 +230,44 @@ def test_scan_mover_ideal_gas_occupancy():
     expected = (n_waters - 1) * vol_sphere / box_width**3
     assert np.mean(counts) == pytest.approx(expected, abs=2.5), (np.mean(counts), expected)
     assert int(state.n_accepted) > 0
+
+
+def test_scan_mover_state_params_swap_without_retrace():
+    """HREX swaps the sampler's per-lambda params through TIBDState: the SAME
+    jitted move fn must produce different trajectories for different
+    state-carried params (no silent trace-time constant capture)."""
+    n_waters, box_width = 24, 1.6
+    conf, params, water_idxs, box = make_water_box(n_waters, box_width, seed=5)
+    ligand_idxs = water_idxs[0]
+    sampler_waters = water_idxs[1:]
+
+    mover = TIBDScanMove(
+        n_atoms=conf.shape[0],
+        ligand_idxs=ligand_idxs,
+        water_idxs=sampler_waters,
+        params=params,
+        temperature=TEMP,
+        beta=BETA,
+        cutoff=CUTOFF,
+        radius=0.5,
+        seed=3,
+        n_proposals=50,
+        interval=400,
+    )
+    move = jax.jit(mover.make_move_fn(None))
+    x = jnp.asarray(conf)
+    v = jnp.zeros_like(x)
+    key = jax.random.key(7)
+
+    state_a = mover.init_state()
+    # decoupled-ish params: all charges/eps zeroed => ideal-gas acceptance
+    params_b = np.zeros_like(params)
+    state_b = state_a._replace(params=jnp.asarray(params_b, state_a.params.dtype))
+
+    sa, xa, _, _ = move(state_a, x, v, jnp.asarray(box), key)
+    sb, xb, _, _ = move(state_b, x, v, jnp.asarray(box), key)
+
+    # same compiled fn, same key: only the state-carried params differ
+    assert not np.allclose(np.asarray(xa), np.asarray(xb))
+    # ideal gas accepts (nearly) everything; interacting system does not
+    assert int(sb.n_accepted) > int(sa.n_accepted)

@@ -1072,17 +1072,44 @@ def run_sims_hrex(
     samples_by_state: list[Trajectory] = [Trajectory.empty() for _ in initial_states]
     replica_idx_by_state_by_iter: list[list[int]] = []
     fraction_accepted_by_pair_by_iter: list[list[tuple[int, int]]] = []
+    water_counts_by_state_by_iter: list[list[tuple[int, int]]] = []
+
+    from timemachine_tpu.md.exchange.targeted_insertion import TIBDExchangeMove as _TIBD
+
+    # per-state water-sampler params: ligand rows differ across lambda windows
+    # (ref free_energy.py:1502-1519 swaps them into the mover per segment)
+    water_params_by_state = (
+        [get_water_sampler_params(s) for s in initial_states]
+        if md_params.water_sampling_params is not None
+        else None
+    )
+
+    def _set_water_params(state_idx: int) -> None:
+        if water_params_by_state is None:
+            return
+        context.set_water_sampler_params(water_params_by_state[state_idx])
+
+    def _water_counts() -> tuple[int, int]:
+        acc = prop = 0
+        for m, st in zip(context.movers, context._mover_states):
+            if isinstance(m, _TIBD):
+                acc += int(st.n_accepted)
+                prop += int(st.n_proposed)
+        return acc, prop
 
     begin_loop_time = time.perf_counter()
     last_update_time = begin_loop_time
 
     for current_frame in range(md_params.n_frames):
+        water_counts_iter: list[tuple[int, int]] = [(0, 0)] * len(initial_states)
 
         def sample_replica(xvb: CoordsVelBox, state_idx: int):
             context.set_x_t(xvb.coords)
             context.set_v_t(xvb.velocities)
             context.set_box(xvb.box)
             context.set_params(params_list_by_state[state_idx])
+            _set_water_params(state_idx)
+            acc0, prop0 = _water_counts()
 
             md_params_replica = replace(
                 md_params,
@@ -1096,6 +1123,8 @@ def run_sims_hrex(
             assert frame.shape[0] == 1
             barostat = context.get_barostat()
             scale = float(barostat[1].volume_scale) if barostat is not None else None
+            acc1, prop1 = _water_counts()
+            water_counts_iter[state_idx] = (acc1 - acc0, prop1 - prop0)
             return frame[-1], box[-1], final_velos, scale
 
         def replica_from_samples(last_sample) -> CoordsVelBox:
@@ -1129,6 +1158,7 @@ def run_sims_hrex(
             samples.final_barostat_volume_scale_factor = scale
 
         fraction_accepted_by_pair_by_iter.append(fraction_accepted_by_pair)
+        water_counts_by_state_by_iter.append(water_counts_iter)
 
         if print_diagnostics_interval and (current_frame + 1) % print_diagnostics_interval == 0:
             current_time = time.perf_counter()
@@ -1163,4 +1193,9 @@ def run_sims_hrex(
     pair_bar_results = [estimate_free_energy_bar(u, temperature) for u in neighbor_ulkns_by_component]
 
     hrex_diagnostics = HREXDiagnostics(replica_idx_by_state_by_iter, fraction_accepted_by_pair_by_iter)
-    return PairBarResult(list(initial_states), pair_bar_results), samples_by_state, hrex_diagnostics, None
+    water_diagnostics = (
+        WaterSamplingDiagnostics(np.array(water_counts_by_state_by_iter))
+        if md_params.water_sampling_params is not None
+        else None
+    )
+    return PairBarResult(list(initial_states), pair_bar_results), samples_by_state, hrex_diagnostics, water_diagnostics

@@ -96,6 +96,16 @@ class Context:
         assert len(params_list) == len(self._params)
         self._params = [jnp.asarray(p) for p in params_list]
 
+    def set_water_sampler_params(self, params):
+        """Swap the water exchange mover's nonbonded params (carried in its
+        scan state, so no runner retrace — the HREX per-replica path)."""
+        from timemachine_tpu.md.exchange.targeted_insertion import TIBDExchangeMove
+
+        for i, m in enumerate(self.movers):
+            if isinstance(m, TIBDExchangeMove):
+                st = self._mover_states[i]
+                self._mover_states[i] = st._replace(params=jnp.asarray(params, st.params.dtype))
+
     def get_barostat(self):
         from timemachine_tpu.md.barostat import MonteCarloBarostat
 

@@ -75,18 +75,13 @@ def translate_coordinates(coords, new_loc):
 # -- weight math shared by the python prototype and the scan mover -----------
 
 
-def make_weight_fns(nb_params, water_idxs, nb_beta, nb_cutoff, kT, weight_chunk: int = 128):
-    """Build (batch_log_weights, batch_log_weights_incremental).
-
-    Weights are w_i = beta * U_i where U_i is water i's interaction energy
-    with everything else (ref exchange_mover.py:105-200). The incremental
-    version updates all W weights from one accepted/proposed displacement of
-    a single water using a 3x(N) block ("transposition trick"), with
-    water-membership bookkeeping done by segment_sum (no contiguity
-    assumption on water indices, unlike the reference)."""
-    nb_params = jnp.asarray(nb_params)
+def make_weight_fns_paramized(water_idxs, nb_beta, nb_cutoff, kT, n_atoms, weight_chunk: int = 128):
+    """Build (batch_log_weights, batch_log_weights_incremental) taking the
+    nonbonded params as a RUNTIME argument (first position): HREX swaps the
+    water sampler's per-state params without retracing the Context runner
+    (mirroring the reference's device-side set-params,
+    bd_exchange_move.hpp)."""
     water_idxs = jnp.asarray(water_idxs, dtype=jnp.int32)
-    n_atoms = nb_params.shape[0]
     num_waters = water_idxs.shape[0]
     beta_T = 1.0 / kT
 
@@ -95,7 +90,7 @@ def make_weight_fns(nb_params, water_idxs, nb_beta, nb_cutoff, kT, weight_chunk:
     atom_to_water_np[np.asarray(water_idxs).ravel()] = np.repeat(np.arange(num_waters, dtype=np.int32), 3)
     atom_to_water = jnp.asarray(atom_to_water_np)
 
-    def water_block(conf, box, a_idxs):
+    def water_block(nb_params, conf, box, a_idxs):
         """(3, N) interaction energies of water atoms a_idxs vs all atoms,
         with the water's own columns zeroed and NaN -> +inf."""
         u = nonbonded_block_unsummed(
@@ -106,7 +101,7 @@ def make_weight_fns(nb_params, water_idxs, nb_beta, nb_cutoff, kT, weight_chunk:
         return jnp.where(col_is_self[None, :], 0.0, u)
 
     @jax.jit
-    def batch_log_weights(conf, box):
+    def batch_log_weights(nb_params, conf, box):
         """(W,) weights via a chunked scan over waters (memory: chunk x 3 x N)."""
         conf = jnp.asarray(conf)
 
@@ -136,25 +131,42 @@ def make_weight_fns(nb_params, water_idxs, nb_beta, nb_cutoff, kT, weight_chunk:
         return beta_T * sums.reshape(-1)[:num_waters]
 
     @jax.jit
-    def batch_log_weights_incremental(conf, box, water_idx, new_pos, initial_weights):
+    def batch_log_weights_incremental(nb_params, conf, box, water_idx, new_pos, initial_weights):
         """Z(x') from Z(x) after moving water_idx to new_pos.
 
         Returns (final_weights, new_conf)."""
         conf = jnp.asarray(conf)
         a_idxs = water_idxs[water_idx]
 
-        old_u = water_block(conf, box, a_idxs)
+        old_u = water_block(nb_params, conf, box, a_idxs)
         old_atom_nrg = jnp.sum(old_u, axis=0)  # (N,)
         old_per_water = jax.ops.segment_sum(old_atom_nrg, atom_to_water, num_segments=num_waters + 1)[:num_waters]
 
         new_conf = conf.at[a_idxs].set(new_pos)
-        new_u = water_block(new_conf, box, a_idxs)
+        new_u = water_block(nb_params, new_conf, box, a_idxs)
         new_atom_nrg = jnp.sum(new_u, axis=0)
         new_per_water = jax.ops.segment_sum(new_atom_nrg, atom_to_water, num_segments=num_waters + 1)[:num_waters]
 
         final_weights = initial_weights + beta_T * (new_per_water - old_per_water)
         final_weights = final_weights.at[water_idx].set(beta_T * jnp.sum(new_atom_nrg))
         return final_weights, new_conf
+
+    return batch_log_weights, batch_log_weights_incremental
+
+
+def make_weight_fns(nb_params, water_idxs, nb_beta, nb_cutoff, kT, weight_chunk: int = 128):
+    """Weight fns with nb_params baked in (python-prototype movers; see
+    make_weight_fns_paramized for the runtime-params variant)."""
+    nb_params = jnp.asarray(nb_params)
+    blw, blwi = make_weight_fns_paramized(
+        water_idxs, nb_beta, nb_cutoff, kT, nb_params.shape[0], weight_chunk=weight_chunk
+    )
+
+    def batch_log_weights(conf, box):
+        return blw(nb_params, conf, box)
+
+    def batch_log_weights_incremental(conf, box, water_idx, new_pos, initial_weights):
+        return blwi(nb_params, conf, box, water_idx, new_pos, initial_weights)
 
     return batch_log_weights, batch_log_weights_incremental
 

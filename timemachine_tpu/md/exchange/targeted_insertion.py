@@ -29,12 +29,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from timemachine_tpu.constants import BOLTZ
-from timemachine_tpu.md.exchange.exchange_mover import make_weight_fns
+from timemachine_tpu.md.exchange.exchange_mover import make_weight_fns, make_weight_fns_paramized
 
 
 class TIBDState(NamedTuple):
     n_accepted: jax.Array  # int32
     n_proposed: jax.Array  # int32
+    # water-sampler nonbonded params (N, 4): carried in the scan state so
+    # HREX can swap per-lambda params without retracing the Context runner
+    params: jax.Array
 
 
 def _sphere_point(key, radius, center, dtype):
@@ -113,13 +116,19 @@ class TIBDExchangeMove:
         self._batch_log_weights, self._incremental = make_weight_fns(
             self.params, self.water_idxs, self.beta, self.cutoff, self._kT
         )
+        self._blw_p, self._inc_p = make_weight_fns_paramized(
+            self.water_idxs, self.beta, self.cutoff, self._kT, np.asarray(self.params).shape[0]
+        )
 
     def init_state(self) -> TIBDState:
-        return TIBDState(jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+        return TIBDState(
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(self.params)
+        )
 
     def set_params(self, params):
-        """Swap sampler nonbonded params (HREX replica swap path). Rebuilds the
-        jitted weight closures; call sparingly (per state, not per frame)."""
+        """Swap sampler nonbonded params (python-prototype path). Rebuilds the
+        baked weight closures. Context-integrated movers swap params through
+        TIBDState (Context.set_water_sampler_params) instead — no retrace."""
         self.params = np.asarray(params)
         self._batch_log_weights, self._incremental = make_weight_fns(
             self.params, self.water_idxs, self.beta, self.cutoff, self._kT
@@ -142,11 +151,11 @@ class TIBDExchangeMove:
         radius = self.radius
         num_waters = self.num_waters
         vol_sphere = (4.0 / 3.0) * np.pi * radius**3
-        incremental = self._incremental
-        batch_log_weights = self._batch_log_weights
+        incremental = self._inc_p
+        batch_log_weights = self._blw_p
 
         def one_proposal(carry, key):
-            x, box, weights, n_acc = carry
+            x, box, params, weights, n_acc = carry
             dtype = x.dtype
             box_diag = jnp.diagonal(box)
             k_dir, k_pick, k_site_in, k_site_out, k_rot, k_acc = jax.random.split(key, 6)
@@ -179,7 +188,7 @@ class TIBDExchangeMove:
             rot = _random_rotation(k_rot, dtype)
             new_pos = centered @ rot.T + site
 
-            w_after, x_new = incremental(x, box, chosen, new_pos, weights)
+            w_after, x_new = incremental(params, x, box, chosen, new_pos, weights)
 
             # acceptance ratio (ref exchange_mover.py:298-324)
             is_chosen = jnp.arange(num_waters) == chosen
@@ -200,15 +209,18 @@ class TIBDExchangeMove:
 
             x = jnp.where(accept, x_new, x)
             weights = jnp.where(accept, w_after, weights)
-            return (x, box, weights, n_acc + accept.astype(jnp.int32)), None
+            return (x, box, params, weights, n_acc + accept.astype(jnp.int32)), None
 
         def move(state: TIBDState, x, v, box, key):
-            weights = batch_log_weights(x, box)
+            weights = batch_log_weights(state.params, x, box)
             keys = jax.random.split(key, self.n_proposals)
-            (x, box, _, n_acc), _ = jax.lax.scan(one_proposal, (x, box, weights, jnp.asarray(0, jnp.int32)), keys)
+            (x, box, _, _, n_acc), _ = jax.lax.scan(
+                one_proposal, (x, box, state.params, weights, jnp.asarray(0, jnp.int32)), keys
+            )
             new_state = TIBDState(
                 n_accepted=state.n_accepted + n_acc,
                 n_proposed=state.n_proposed + jnp.asarray(self.n_proposals, jnp.int32),
+                params=state.params,
             )
             return new_state, x, v, box
 

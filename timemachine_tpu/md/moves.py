@@ -233,3 +233,44 @@ class OptimizedMTMMove(DeterministicMTMMove):
         log_weights_xi = self.batched_log_weights_fn(xi, box)
         log_ratio = jlogsumexp(log_weights_yj) - jlogsumexp(log_weights_xi)
         return y, jnp.exp(jnp.minimum(log_ratio, 0.0)), key
+
+
+class ReferenceMTMMove(DeterministicMTMMove):
+    """General multiple-try Metropolis with separate proposal density Q and
+    importance function lambda (Liang & Wong 2000 recipe; ref
+    moves.py:263-331). `OptimizedMTMMove` is the symmetric-Q special case.
+
+    batch_proposal_fn: (state, K, key) -> list of K proposed states
+    batch_log_Q_fn: (states, ref_state) -> (K,) log proposal densities
+    batch_log_pi_fn: (states) -> (K,) log target densities
+    batch_log_lambda_a_b_fn: (states, ref_state) -> (K,) symmetric log lambda
+    """
+
+    def __init__(self, K, batch_proposal_fn, batch_log_Q_fn, batch_log_pi_fn, batch_log_lambda_a_b_fn, seed):
+        super().__init__(jax.random.key(seed))
+        self.K = K
+        self.batch_proposal_fn = batch_proposal_fn
+        self.batch_log_Q_fn = batch_log_Q_fn
+        self.batch_log_pi_fn = batch_log_pi_fn
+        self.batch_log_lambda_fn = batch_log_lambda_a_b_fn
+
+    def acceptance_probability(self, x, box, key):
+        key, k1 = jax.random.split(key)
+        yj = self.batch_proposal_fn(x, self.K, k1)
+        log_weights_yj = (
+            jnp.asarray(self.batch_log_pi_fn(yj))
+            + jnp.asarray(self.batch_log_Q_fn(yj, x))
+            + jnp.asarray(self.batch_log_lambda_fn(yj, x))
+        )
+        key, k2 = jax.random.split(key)
+        j = int(jax.random.categorical(k2, log_weights_yj))
+        y = yj[j]
+        key, k3 = jax.random.split(key)
+        xi = list(self.batch_proposal_fn(y, self.K - 1, k3)) + [x]
+        log_weights_xi = (
+            jnp.asarray(self.batch_log_pi_fn(xi))
+            + jnp.asarray(self.batch_log_Q_fn(xi, y))
+            + jnp.asarray(self.batch_log_lambda_fn(xi, y))
+        )
+        log_ratio = jlogsumexp(log_weights_yj) - jlogsumexp(log_weights_xi)
+        return y, jnp.exp(jnp.minimum(log_ratio, 0.0)), key
