@@ -42,8 +42,33 @@ def _ideal_angle(mol: Mol, j: int) -> float:
     return np.deg2rad(109.47)
 
 
-def embed_mol(mol: Mol, seed: int = 2024, n_steps: int = 4000) -> Mol:
-    """Assign 3D coordinates (Å, stored on mol.coords). Returns mol."""
+def embed_mol(mol: Mol, seed: int = 2024, n_steps: int = 4000, max_tries: int = 6) -> Mol:
+    """Assign 3D coordinates (nm, stored on mol.coords). Returns mol.
+
+    Retries with fresh random placements until the relaxed geometry has no
+    steric clash (nonbonded pairs closer than their contact floor, which
+    would blow up a real-forcefield LJ term downstream — cage/fused-ring
+    molecules can interlock under a single BFS placement); keeps the
+    least-clashing attempt if none fully succeeds."""
+    best = None  # (min margin over floor, coords)
+    for attempt in range(max_tries):
+        coords, min_margin = _embed_once(mol, seed + 7919 * attempt, n_steps)
+        if best is None or min_margin > best[0]:
+            best = (min_margin, coords)
+        if min_margin >= 0.0:
+            break
+    mol.set_conf(best[1])
+    return mol
+
+
+def _contact_floor(anum_i: int, anum_j: int) -> float:
+    """Minimum acceptable nonbonded separation (nm): below this, real LJ is
+    catastrophically repulsive. H pairs may sit closer than heavy pairs."""
+    n_h = (anum_i == 1) + (anum_j == 1)
+    return (0.16, 0.19, 0.24)[2 - n_h]
+
+
+def _embed_once(mol: Mol, seed: int, n_steps: int) -> tuple[np.ndarray, float]:
     rng = np.random.default_rng(seed)
     n = mol.num_atoms
     coords = np.zeros((n, 3))
@@ -89,31 +114,49 @@ def embed_mol(mol: Mol, seed: int = 2024, n_steps: int = 4000) -> Mol:
         excl.add((min(a, b), max(a, b)))
     pair_rows = [(i, j) for i in range(n) for j in range(i + 1, n) if (i, j) not in excl]
     pairs = np.array(pair_rows, dtype=np.int32).reshape(-1, 2)
+    anums = np.array([a.atomic_num for a in mol.atoms])
+    pair_floor = (
+        np.array([_contact_floor(anums[i], anums[j]) for i, j in pairs]) if len(pairs) else np.zeros(0)
+    )
 
     from timemachine_tpu.ops.bonded import harmonic_bond, stable_angle
 
-    def u_embed(x):
+    def u_embed(x, k_rep):
         u = harmonic_bond(x, jnp.stack([jnp.full(len(bond_idxs), 1e5), jnp.asarray(bond_r0)], axis=1), None, bond_idxs)
         if len(angle_idxs):
             theta = stable_angle(x[angle_idxs[:, 0]], x[angle_idxs[:, 1]], x[angle_idxs[:, 2]], jnp.full(len(angle_idxs), 1e-4))
             u = u + jnp.sum(0.5 * 200.0 * (theta - angle_t0) ** 2)
         if len(pairs):
             d2 = jnp.sum((x[pairs[:, 0]] - x[pairs[:, 1]]) ** 2, axis=1)
-            safe = jnp.where(d2 > 1e-8, d2, 1e-8)
-            # soft 1/r^2 repulsion, switched off beyond 0.35 nm
-            u = u + jnp.sum(jnp.where(d2 < 0.35**2, 0.01 / safe, 0.0))
+            d = jnp.sqrt(jnp.maximum(d2, 1e-8))
+            # half-harmonic floor at the per-pair contact distance: firm
+            # enough that relaxed geometries can't hide LJ-fatal clashes
+            viol = jnp.maximum(jnp.asarray(pair_floor) - d, 0.0)
+            u = u + jnp.sum(0.5 * k_rep * viol**2)
         return u
-
-    grad_fn = jax.grad(u_embed)
-
-    def force(x):
-        g = grad_fn(x)
-        g = jnp.where(jnp.isnan(g), 0.0, g)
-        norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
-        return -g * jnp.minimum(1.0, 1e4 / jnp.maximum(norm, 1e-12))
 
     from timemachine_tpu.md.fire import FireMinimizationConfig, fire_minimize_jax
 
-    x = fire_minimize_jax(jnp.asarray(coords), force, FireMinimizationConfig(n_steps, dt_max=2e-3))
-    mol.set_conf(np.asarray(x))
-    return mol
+    def make_force(k_rep):
+        grad_fn = jax.grad(lambda x: u_embed(x, k_rep))
+
+        def force(x):
+            g = grad_fn(x)
+            g = jnp.where(jnp.isnan(g), 0.0, g)
+            norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+            return -g * jnp.minimum(1.0, 1e4 / jnp.maximum(norm, 1e-12))
+
+        return force
+
+    # stage 1: gentle repulsion lets ring topology settle without tearing
+    # bonds; stage 2: firm floor expels residual interlocks
+    x = fire_minimize_jax(jnp.asarray(coords), make_force(2e2), FireMinimizationConfig(n_steps // 2, dt_max=2e-3))
+    x = fire_minimize_jax(x, make_force(2e4), FireMinimizationConfig(n_steps, dt_max=2e-3))
+
+    x = np.asarray(x)
+    if len(pairs):
+        d = np.linalg.norm(x[pairs[:, 0]] - x[pairs[:, 1]], axis=1)
+        min_margin = float(np.min(d - pair_floor))
+    else:
+        min_margin = np.inf
+    return x, min_margin
