@@ -194,10 +194,17 @@ class NonbondedAllPairs(Potential):
         path), sizing the static tile budget from the actual geometry.
 
         kernel="rowscan" (default): v2 Newton-triangular row-chunk kernel
-        (ops/pallas/rowscan_kernel.py) — ~3x faster than v1 at 23k atoms on
-        v5e; electrostatics evaluated as a Chebyshev series of the switched
-        erfc (force = exact gradient of the polynomial energy; pair the
-        exclusion correction with `es_h_coeffs()` so it cancels exactly).
+        (ops/pallas/rowscan_kernel.py); electrostatics evaluated as a
+        Chebyshev series of the switched erfc (force = exact gradient of the
+        polynomial energy; pair the exclusion correction with
+        `es_h_coeffs()` so it cancels exactly).
+        kernel="gather": v3 atom-granularity compacted full neighbor lists
+        + dense sweep (ops/pallas/gather_kernel.py). 2.8x fewer pair slots
+        than v2 and a scatter-free interval-based neighbor build, but the
+        per-step XLA column gather costs ~2.6 ns/INDEX on v5e (~6.5 ms at
+        23k atoms) regardless of row width, which makes it slower end-to-end
+        than v2 on current hardware. Kept as the reference implementation of
+        atom-exact compaction (and for hardware where gather is vectorized).
         kernel="v1": original (128 x 128*cb)-tile kernel with exact
         transcendental electrostatics (kept for strict-parity paths)."""
         from timemachine_tpu.ops.pallas.nonbonded_kernel import (
@@ -212,6 +219,37 @@ class NonbondedAllPairs(Potential):
         self.impl = "pallas"
         self.pallas_kernel = kernel
         skin = 0.1
+        if kernel == "gather":
+            from timemachine_tpu.ops.pallas.gather_kernel import (
+                make_nonbonded_gather,
+                make_nonbonded_gather_energy_force,
+                make_nonbonded_gather_md,
+                suggest_max_nbrs,
+            )
+            from timemachine_tpu.ops.pallas.rowscan_kernel import es_energy_force_series
+
+            self._es_series = es_energy_force_series(self.beta, self.cutoff)
+            max_nbrs = suggest_max_nbrs(np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, atom_mask=mask)
+            # du/dp backward still runs on the v1 dp-only pass
+            dp_tiles = suggest_max_tiles(
+                np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, cb=cb, atom_mask=mask
+            )
+            self.pallas_max_tiles = max_nbrs
+            self._pallas_energy = make_nonbonded_gather(
+                self.beta, self.cutoff, max_nbrs, interpret=interpret, atom_mask=mask,
+                dp_max_tiles=dp_tiles, dp_cb=cb,
+            )
+            self._pallas_energy_force = make_nonbonded_gather_energy_force(
+                self.beta, self.cutoff, max_nbrs, interpret=interpret, atom_mask=mask
+            )
+            md_nbrs = suggest_max_nbrs(
+                np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, atom_mask=mask
+            )
+            self._pallas_md = make_nonbonded_gather_md(
+                self.beta, self.cutoff, md_nbrs, skin=skin, rebuild_interval=20, interpret=interpret,
+                atom_mask=mask,
+            )
+            return self
         if kernel == "rowscan":
             from timemachine_tpu.ops.pallas.rowscan_kernel import (
                 es_energy_force_series,
