@@ -87,6 +87,10 @@ class MonteCarloBarostat:
       > 0.75 → s = min(1.1 s, 0.3 V).
     """
 
+    # volume moves displace each molecule rigidly: the Context may evaluate
+    # dU with bond-graph-local terms skipped (they cancel exactly)
+    rigid_group_move = True
+
     num_atoms: int
     pressure: float  # bar
     temperature: float  # K

@@ -188,6 +188,27 @@ class Context:
         grad_idx = [i for i in range(len(self.potentials)) if i not in fused_fns and i not in stateful]
         self._stateful_provider_idx = sorted(stateful.keys())
 
+        def energy_with_states(x, box, params_list, prov_states, rigid_only=False):
+            """Total energy where stateful providers REUSE their tile lists
+            (one sweep, no rebuild) — the MC-mover energy path. Valid for
+            configurations within skin/2 of the tiles' build conf.
+
+            rigid_only: for movers that displace molecules RIGIDLY (the
+            barostat), bond-graph-local terms are bitwise invariant and
+            cancel exactly in dU — skip them (also avoids f32 cancellation
+            of large intra sums)."""
+            total = 0.0
+            for i, pot in enumerate(self.potentials):
+                if rigid_only and getattr(pot, "rigid_group_invariant", False):
+                    continue
+                if i in stateful and len(stateful[i]) > 2:
+                    k = self._stateful_provider_idx.index(i)
+                    idx_e = 3 if rigid_only and len(stateful[i]) > 3 else 2
+                    total = total + stateful[i][idx_e](prov_states[k], x, params_list[i], box)
+                else:
+                    total = total + pot(x, params_list[i], box)
+            return total
+
         def total_force(x, box, params_list, prov_states, t):
             force = jnp.zeros_like(x)
             if grad_idx:
@@ -220,18 +241,45 @@ class Context:
             new_mover_states = []
             for i, mover in enumerate(self.movers):
                 mk = jax.random.fold_in(k_movers, i)
-                move_fn = mover.make_move_fn(lambda xx, bb: energy_fn(xx, bb, params_list))
+                # movers evaluate energies through the providers' cached tile
+                # lists — one sweep instead of sweep + rebuild per evaluation;
+                # rigid movers (barostat) additionally skip bond-graph-local
+                # terms whose dU is exactly zero
+                rigid = getattr(mover, "rigid_group_move", False)
+                move_fn = mover.make_move_fn(
+                    lambda xx, bb, _r=rigid: energy_with_states(xx, bb, params_list, prov_states, rigid_only=_r)
+                )
                 interval = mover.interval
                 due = (t + 1) % interval == 0
 
-                def do_move(args):
-                    st, xx, vv, bb = args
-                    return move_fn(st, xx, vv, bb, mk)
+                if getattr(mover, "moves_atoms_nonlocally", False) and self._stateful_provider_idx:
+                    # exchange-style movers teleport atoms beyond the skin:
+                    # stale tile lists would silently drop their interactions
+                    # until the next scheduled rebuild, so rebuild on firing
+                    def do_move(args):
+                        st, xx, vv, bb, ps = args
+                        st, xx, vv, bb = move_fn(st, xx, vv, bb, mk)
+                        ps = tuple(
+                            stateful[j][0](xx, params_list[j], bb) for j in self._stateful_provider_idx
+                        )
+                        return st, xx, vv, bb, ps
 
-                def skip(args):
-                    return args
+                    def skip(args):
+                        return args
 
-                st, x, v, box = jax.lax.cond(due, do_move, skip, (mover_states[i], x, v, box))
+                    st, x, v, box, prov_states = jax.lax.cond(
+                        due, do_move, skip, (mover_states[i], x, v, box, prov_states)
+                    )
+                else:
+
+                    def do_move(args):
+                        st, xx, vv, bb = args
+                        return move_fn(st, xx, vv, bb, mk)
+
+                    def skip(args):
+                        return args
+
+                    st, x, v, box = jax.lax.cond(due, do_move, skip, (mover_states[i], x, v, box))
                 new_mover_states.append(st)
 
             return (x, v, box, t + 1, tuple(new_mover_states), prov_states), None
@@ -241,7 +289,7 @@ class Context:
     def _init_provider_states(self, x, box):
         states = []
         for i in self._stateful_provider_idx:
-            init_fn, _ = self.potentials[i].md_force_provider()
+            init_fn = self.potentials[i].md_force_provider()[0]
             states.append(init_fn(x, self._params[i], box))
         return tuple(states)
 

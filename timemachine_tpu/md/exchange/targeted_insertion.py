@@ -95,6 +95,10 @@ class TIBDExchangeMove:
     Constructor signature mirrors the reference custom_ops mover
     (fe/free_energy.py:640-656)."""
 
+    # teleports waters beyond any neighborlist skin: the Context must rebuild
+    # stateful force-provider tile lists after this mover fires
+    moves_atoms_nonlocally = True
+
     n_atoms: int
     ligand_idxs: np.ndarray
     water_idxs: list  # list of 3-arrays or (W, 3)

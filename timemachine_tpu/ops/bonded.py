@@ -13,6 +13,7 @@ across λ states — the TPU analog of the reference's dynamically-sized lists.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from timemachine_tpu.constants import DEFAULT_POSITIONAL_RESTRAINT_K
 from timemachine_tpu.ops.pbc import periodic_delta
@@ -28,6 +29,41 @@ def _safe_gather(conf, idxs):
     return conf[jnp.where(idxs >= 0, idxs, 0)]
 
 
+def _leading_water_bonds(bond_idxs) -> int:
+    """Number of leading TIP3P-pattern waters whose bonds appear as
+    [(3w, 3w+1), (3w, 3w+2)] rows 2w/2w+1 (the native builder layout,
+    builders.py:124). Lets the hot path run on strided lane slices instead of
+    gather/scatter rows — measured ~80x faster on TPU for a 23k water box."""
+    if not isinstance(bond_idxs, np.ndarray) or bond_idxs.ndim != 2 or bond_idxs.shape[0] < 2:
+        return 0
+    nw = bond_idxs.shape[0] // 2
+    w = np.arange(nw)
+    ok = (
+        (bond_idxs[2 * w, 0] == 3 * w)
+        & (bond_idxs[2 * w, 1] == 3 * w + 1)
+        & (bond_idxs[2 * w + 1, 0] == 3 * w)
+        & (bond_idxs[2 * w + 1, 1] == 3 * w + 2)
+    )
+    bad = np.nonzero(~ok)[0]
+    return int(bad[0]) if bad.size else nw
+
+
+def _water_bond_energy(conf, params, nw):
+    """Strided-slice energy of the first nw waters' O-H bonds (lane-major,
+    scatter-free adjoint)."""
+    xT = conf.T  # (3, N)
+    o = xT[:, 0 : 3 * nw : 3]
+    u = jnp.asarray(0.0, dtype=conf.dtype)
+    for h_off, row_off in ((1, 0), (2, 1)):
+        h = xT[:, h_off : 3 * nw : 3]
+        d = h - o
+        dm = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=0), 1e-24))
+        k = params[row_off : 2 * nw : 2, 0]
+        r0 = params[row_off : 2 * nw : 2, 1]
+        u = u + jnp.sum(0.5 * k * (dm - r0) ** 2)
+    return u
+
+
 def harmonic_bond(conf, params, box, bond_idxs):
     """U = Σ k/2 (|ri - rj| - r0)²; params rows (k, r0).
 
@@ -36,6 +72,13 @@ def harmonic_bond(conf, params, box, bond_idxs):
     """
     if bond_idxs.shape[0] == 0:
         return jnp.asarray(0.0, dtype=conf.dtype)
+    nw = _leading_water_bonds(bond_idxs)
+    if nw > 0:
+        u_fast = _water_bond_energy(conf, params, nw)
+        rest = bond_idxs[2 * nw :]
+        if rest.shape[0] == 0:
+            return u_fast
+        return u_fast + harmonic_bond(conf, params[2 * nw :], box, rest)
     mask = _pad_mask(bond_idxs)
     ci = _safe_gather(conf, bond_idxs[:, 0])
     cj = _safe_gather(conf, bond_idxs[:, 1])
@@ -62,11 +105,51 @@ def stable_angle(ci, cj, ck, eps):
     return 2.0 * jnp.arctan2(y, x)
 
 
+def _leading_water_angles(angle_idxs) -> int:
+    """Number of leading waters whose H-O-H angle appears as row w =
+    (3w+1, 3w, 3w+2) (builders.py:126); see _leading_water_bonds."""
+    if not isinstance(angle_idxs, np.ndarray) or angle_idxs.ndim != 2 or angle_idxs.shape[0] < 1:
+        return 0
+    nw = angle_idxs.shape[0]
+    w = np.arange(nw)
+    ok = (angle_idxs[:, 0] == 3 * w + 1) & (angle_idxs[:, 1] == 3 * w) & (angle_idxs[:, 2] == 3 * w + 2)
+    bad = np.nonzero(~ok)[0]
+    return int(bad[0]) if bad.size else nw
+
+
+def _water_angle_energy(conf, params, nw):
+    """Strided-slice H-O-H angle energy of the first nw waters."""
+    xT = conf.T
+    o = xT[:, 0 : 3 * nw : 3]
+    h1 = xT[:, 1 : 3 * nw : 3]
+    h2 = xT[:, 2 : 3 * nw : 3]
+    eps = params[:nw, 2]
+    rji = jnp.concatenate([h1 - o, eps[None, :]], axis=0)  # (4, nw)
+    rjk = jnp.concatenate([h2 - o, eps[None, :]], axis=0)
+    nji = jnp.sqrt(jnp.sum(rji * rji, axis=0, keepdims=True))
+    njk = jnp.sqrt(jnp.sum(rjk * rjk, axis=0, keepdims=True))
+    ya = njk * rji - nji * rjk
+    xa = njk * rji + nji * rjk
+    theta = 2.0 * jnp.arctan2(
+        jnp.sqrt(jnp.maximum(jnp.sum(ya * ya, axis=0), 1e-24)),
+        jnp.sqrt(jnp.maximum(jnp.sum(xa * xa, axis=0), 1e-24)),
+    )
+    k, a0 = params[:nw, 0], params[:nw, 1]
+    return jnp.sum(0.5 * k * (theta - a0) ** 2)
+
+
 def harmonic_angle(conf, params, box, angle_idxs):
     """U = Σ k/2 (θ - θ0)²; params rows (k, θ0, eps) — eps is the numerical
     stabilizer threaded through `stable_angle` (ref bonded.py:101-138)."""
     if angle_idxs.shape[0] == 0:
         return jnp.asarray(0.0, dtype=conf.dtype)
+    nw = _leading_water_angles(angle_idxs)
+    if nw > 0:
+        u_fast = _water_angle_energy(conf, params, nw)
+        rest = angle_idxs[nw:]
+        if rest.shape[0] == 0:
+            return u_fast
+        return u_fast + harmonic_angle(conf, params[nw:], box, rest)
     mask = _pad_mask(angle_idxs)
     ci = _safe_gather(conf, angle_idxs[:, 0])
     cj = _safe_gather(conf, angle_idxs[:, 1])

@@ -442,13 +442,38 @@ def make_nonbonded_rowscan_md(
     """Stateful MD force provider on the rowscan kernel (API-compatible with
     nonbonded_kernel.make_nonbonded_pallas_md): tile lists culled at
     cutoff + skin, rebuilt every rebuild_interval steps; per-step work is one
-    gather-assemble + one rowscan sweep.
+    coords gather + one small transpose + one rowscan sweep.
 
-    Returns (init_fn, apply_fn):
+    The sorted PARAMETER rows [w, q, sig/2, 2*sqrt(eps)] are cached in the
+    provider state at rebuild time (in both lane-major and row-major layouts)
+    so the per-step assemble touches only coordinates — measured ~1.3 ms/step
+    saved at 23k atoms vs re-gathering and transposing all 8 atom rows.
+    Invariant: params must not change between rebuilds. The Context upholds
+    this by re-initializing provider state at every `multiple_steps` call
+    (set_params only happens between calls).
+
+    Returns (init_fn, apply_fn, energy_fn):
       init_fn(conf, params, box) -> state
       apply_fn(state, conf, params, box, t) -> (u, force, state')  [u == 0]
+      energy_fn(state, conf, params, box) -> u, reusing the state's tile
+        lists (valid for any conf within skin/2 of the tiles' build conf —
+        the barostat's ~1e-3 nm trial displacements qualify), so MC movers
+        pay one sweep instead of sweep + tile rebuild per energy evaluation.
     """
     h_coeffs, p_coeffs = es_energy_force_series(beta, cutoff)
+
+    def _param_rows(params, pad_order, n):
+        """Cached sorted parameter rows: (4, Npad) [w q sig eps] and its
+        (Npad, 4) row-major mirror; padding/masked atoms carry q = eps = 0."""
+        n_pad = pad_order.shape[0]
+        params = jnp.asarray(params, jnp.float32)
+        valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
+        if atom_mask is not None:
+            pm = jnp.concatenate([jnp.asarray(atom_mask, jnp.float32), jnp.zeros(n_pad - n, jnp.float32)])
+            valid = valid * pm[pad_order]
+        pr = params[pad_order]  # (Npad, 4) [q sig eps w]
+        rowsT = jnp.stack([pr[:, 3], pr[:, 0] * valid, pr[:, 1], 2.0 * pr[:, 2] * valid], axis=1)  # (Npad, 4)
+        return rowsT.T, rowsT
 
     def _build(conf, params, box):
         pad_order, row_start, row_count, col_ids, overflow = build_rowscan_tiles(
@@ -462,10 +487,38 @@ def make_nonbonded_rowscan_md(
         )
         n = conf.shape[0]
         inv = jnp.zeros(n, dtype=jnp.int32).at[pad_order[:n]].set(jnp.arange(n, dtype=jnp.int32))
-        return (pad_order, inv, row_start, row_count, col_ids, overflow)
+        prows, prowsT = _param_rows(params, pad_order, n)
+        return (pad_order, inv, row_start, row_count, col_ids, overflow, prows, prowsT)
 
     def init_fn(conf, params, box):
         return _build(conf, params, box)
+
+    def _sweep_from_state(state, conf, box, compute_u):
+        pad_order, inv, row_start, row_count, col_ids, _, prows, prowsT = state
+        n_pad = pad_order.shape[0]
+        conf = jnp.asarray(conf, jnp.float32)
+        box32 = jnp.asarray(box, jnp.float32)
+        box_diag = jnp.diagonal(box32)
+        wrapped = conf[:, :3] - box_diag * jnp.floor(conf[:, :3] / box_diag)
+        xyzN = wrapped[pad_order]  # (Npad, 3) row gather — the only per-step gather
+        z1 = jnp.zeros((1, n_pad), jnp.float32)
+        atoms8 = jnp.concatenate([xyzN.T, prows, z1], axis=0)  # (8, Npad)
+        atomsT = jnp.concatenate([xyzN, prowsT, z1.T], axis=1)  # (Npad, 8)
+        return rowscan_sweep(
+            atoms8,
+            atomsT,
+            row_start,
+            row_count,
+            col_ids,
+            _scalars(box, cutoff),
+            n_rows=n_pad // ROW,
+            max_pairs=max_pairs,
+            h_coeffs=h_coeffs,
+            p_coeffs=p_coeffs,
+            compute_u=compute_u,
+            interpret=interpret,
+            triangular=triangular,
+        )
 
     def apply_fn(state, conf, params, box, t):
         state = jax.lax.cond(
@@ -473,31 +526,16 @@ def make_nonbonded_rowscan_md(
             lambda: _build(conf, params, box),
             lambda: state,
         )
-        pad_order, inv, row_start, row_count, col_ids, _ = state
-        n = conf.shape[0]
-        atoms8 = _assemble(
-            jnp.asarray(conf, jnp.float32), jnp.asarray(params, jnp.float32), jnp.asarray(box, jnp.float32),
-            pad_order, n, atom_mask=atom_mask,
-        )
-        out = rowscan_sweep(
-            atoms8,
-            atoms8.T,
-            row_start,
-            row_count,
-            col_ids,
-            _scalars(box, cutoff),
-            n_rows=atoms8.shape[1] // ROW,
-            max_pairs=max_pairs,
-            h_coeffs=h_coeffs,
-            p_coeffs=p_coeffs,
-            compute_u=False,
-            interpret=interpret,
-            triangular=triangular,
-        )
+        out = _sweep_from_state(state, conf, box, compute_u=False)
+        inv = state[1]
         force = -out[inv, 1:4]
         return jnp.zeros((), jnp.float32), force, state
 
-    return init_fn, apply_fn
+    def energy_fn(state, conf, params, box):
+        out = _sweep_from_state(state, conf, box, compute_u=True)
+        return jnp.sum(out[:, 0])
+
+    return init_fn, apply_fn, energy_fn
 
 
 def make_nonbonded_rowscan_energy_force(

@@ -80,6 +80,10 @@ jax.tree_util.register_pytree_node(
 class HarmonicBond(Potential):
     idxs: np.ndarray  # (B, 2) int32
 
+    # bond-graph-local term: exactly invariant under the barostat's rigid
+    # per-molecule displacements, so volume moves skip it (md/context.py)
+    rigid_group_invariant = True
+
     def __call__(self, conf, params, box):
         return bonded.harmonic_bond(conf, params, box, self.idxs)
 
@@ -88,6 +92,10 @@ class HarmonicBond(Potential):
 class HarmonicAngle(Potential):
     idxs: np.ndarray  # (A, 3) int32
 
+    # bond-graph-local term: exactly invariant under the barostat's rigid
+    # per-molecule displacements, so volume moves skip it (md/context.py)
+    rigid_group_invariant = True
+
     def __call__(self, conf, params, box):
         return bonded.harmonic_angle(conf, params, box, self.idxs)
 
@@ -95,6 +103,10 @@ class HarmonicAngle(Potential):
 @dataclass(eq=False)
 class PeriodicTorsion(Potential):
     idxs: np.ndarray  # (T, 4) int32
+
+    # bond-graph-local term: exactly invariant under the barostat's rigid
+    # per-molecule displacements, so volume moves skip it (md/context.py)
+    rigid_group_invariant = True
 
     def __call__(self, conf, params, box):
         return bonded.periodic_torsion(conf, params, box, self.idxs)
@@ -114,6 +126,10 @@ class CentroidRestraint(Potential):
 @dataclass(eq=False)
 class ChiralAtomRestraint(Potential):
     idxs: np.ndarray  # (C, 4) int32
+
+    # bond-graph-local term: exactly invariant under the barostat's rigid
+    # per-molecule displacements, so volume moves skip it (md/context.py)
+    rigid_group_invariant = True
 
     def __call__(self, conf, params, box):
         return chiral.chiral_atom_restraint(conf, params, box, self.idxs)
@@ -426,11 +442,15 @@ class Nonbonded(Potential):
 
     def md_force_provider(self):
         """Stateful MD provider: Pallas AllPairs with amortized rebuilds plus
-        the autodiff exclusion correction."""
+        the autodiff exclusion correction. Returns (init, apply) or
+        (init, apply, energy) — the third element, when present, evaluates
+        the energy REUSING the state's tile lists (valid within skin/2 of the
+        build conf), which is what MC movers want."""
         prov = self._all_pairs.md_force_provider()
         if prov is None:
             return None
-        init_ap, apply_ap = prov
+        init_ap, apply_ap = prov[0], prov[1]
+        energy_ap = prov[2] if len(prov) > 2 else None
         exc_idxs, _ = self._filtered
         has_exclusions = len(exc_idxs) > 0
 
@@ -442,7 +462,20 @@ class Nonbonded(Potential):
                 f = f + g_exc
             return u, f, state
 
-        return init_ap, apply_fn
+        if energy_ap is None:
+            return init_ap, apply_fn
+
+        def energy_fn(state, conf, params, box):
+            u = energy_ap(state, conf, params, box)
+            if has_exclusions:
+                u = u - self._exclusion_energy(conf, params, box)
+            return u
+
+        # 4th element: energy under RIGID per-molecule displacement — the
+        # exclusion pairs are bond-graph-local so their correction cancels
+        # exactly in a barostat's dU; skipping it saves a pass and avoids
+        # f32 cancellation of large intra sums (md/context.py volume moves)
+        return init_ap, apply_fn, energy_fn, energy_ap
 
     def __call__(self, conf, params, box):
         if self.impl in ("tiled", "pallas"):
@@ -496,6 +529,10 @@ class NonbondedExclusions(Potential):
     """Negated pair-list: cancels excluded interactions out of an AllPairs sum
     (ref potentials.py:204-215)."""
 
+    # exclusions are bond-graph-local pairs: invariant under rigid
+    # per-molecule displacements (md/context.py)
+    rigid_group_invariant = True
+
     idxs: np.ndarray
     rescale_mask: np.ndarray
     beta: float
@@ -513,6 +550,10 @@ class NonbondedPairListPrecomputed(Potential):
     """Pair list whose params are pre-combined (q_ij, σ_ij, ε_ij, Δw_ij) —
     the intramolecular ligand term in single-topology states
     (ref potentials.py:218-237)."""
+
+    # intramolecular ligand pairs: exactly invariant under the barostat's
+    # rigid per-molecule displacements (md/context.py)
+    rigid_group_invariant = True
 
     idxs: np.ndarray
     beta: float
