@@ -197,3 +197,54 @@ def test_switch_fn_properties():
     assert abs(float(d2f(c - 1e-7))) < 1e-2
     assert float(f(0.1)) > 0.999999
     assert float(f(1.5)) == 0.0
+
+
+def test_water_exclusion_fast_path_matches_generic():
+    """Strided water exclusion energy (ops/nonbonded.py
+    water_exclusion_energy) must match nonbonded_on_specific_pairs exactly
+    (x64), including gradients and the Chebyshev-ES variant."""
+    import jax
+
+    from timemachine_tpu.ops.pallas.rowscan_kernel import es_energy_force_series
+
+    rng = np.random.default_rng(0)
+    n_wat, n = 40, 3 * 40 + 5
+    conf = jnp.asarray(rng.uniform(0, 3.0, (n, 3)))
+    box = jnp.asarray(np.eye(3) * 3.0)
+    params = jnp.asarray(
+        np.column_stack(
+            [rng.uniform(-1, 1, n) * 11.7, rng.uniform(0.05, 0.17, n), rng.uniform(0, 0.8, n), np.zeros(n)]
+        )
+    )
+    exc = []
+    for w in range(n_wat):
+        exc += [[3 * w, 3 * w + 1], [3 * w, 3 * w + 2], [3 * w + 1, 3 * w + 2]]
+    exc += [[3 * n_wat, 3 * n_wat + 2]]  # generic tail breaks the pattern
+    exc = np.array(exc, np.int32)
+    scales = np.ones((len(exc), 2))
+    scales[-1] = [0.5, 0.4]
+
+    assert nb.leading_water_exclusions(exc, scales) == n_wat
+
+    for h in (None, es_energy_force_series(2.0, 1.2)[0]):
+        vdW, es = nb.nonbonded_on_specific_pairs(
+            conf, params, box, jnp.asarray(exc[: 3 * n_wat]), 2.0, cutoff=1.2,
+            rescale_mask=jnp.asarray(scales[: 3 * n_wat]), es_poly_coeffs=h,
+        )
+        u_ref = float(jnp.sum(vdW) + jnp.sum(es))
+        u_fast = float(nb.water_exclusion_energy(conf, params, box, n_wat, 2.0, 1.2, es_poly_coeffs=h))
+        assert u_fast == pytest.approx(u_ref, rel=1e-12)
+        g_fast = jax.grad(
+            lambda c: nb.water_exclusion_energy(c, params, box, n_wat, 2.0, 1.2, es_poly_coeffs=h)
+        )(conf)
+        g_ref = jax.grad(
+            lambda c: jnp.sum(
+                jnp.stack(
+                    nb.nonbonded_on_specific_pairs(
+                        c, params, box, jnp.asarray(exc[: 3 * n_wat]), 2.0, cutoff=1.2,
+                        rescale_mask=jnp.asarray(scales[: 3 * n_wat]), es_poly_coeffs=h,
+                    )
+                )
+            )
+        )(conf)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-10)

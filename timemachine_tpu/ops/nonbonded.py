@@ -359,3 +359,59 @@ def lj_interaction_group_energy(sig_ligand, eps_ligand, lj_prefactors):
 
     projection = jax.vmap(basis_expand_lj_atom)(sig_ligand, eps_ligand)
     return jnp.sum(projection * lj_prefactors)
+
+
+def leading_water_exclusions(exc_idxs, exc_scales) -> int:
+    """Number of leading TIP3P waters whose exclusions appear as rows
+    [3w, 3w+1, 3w+2] = [(3w,3w+1), (3w,3w+2), (3w+1,3w+2)] with full
+    [1, 1] scales (the native builder layout, md/builders.py:128-129).
+    Host-side; lets the per-step exclusion correction run on strided lane
+    slices instead of gather/scatter rows."""
+    exc_idxs = np.asarray(exc_idxs)
+    exc_scales = np.asarray(exc_scales)
+    if exc_idxs.ndim != 2 or exc_idxs.shape[0] < 3:
+        return 0
+    nw = exc_idxs.shape[0] // 3
+    w = np.arange(nw)
+    ok = (
+        (exc_idxs[3 * w, 0] == 3 * w)
+        & (exc_idxs[3 * w, 1] == 3 * w + 1)
+        & (exc_idxs[3 * w + 1, 0] == 3 * w)
+        & (exc_idxs[3 * w + 1, 1] == 3 * w + 2)
+        & (exc_idxs[3 * w + 2, 0] == 3 * w + 1)
+        & (exc_idxs[3 * w + 2, 1] == 3 * w + 2)
+        & np.all(exc_scales[3 * w] == 1.0, axis=-1)
+        & np.all(exc_scales[3 * w + 1] == 1.0, axis=-1)
+        & np.all(exc_scales[3 * w + 2] == 1.0, axis=-1)
+    )
+    bad = np.nonzero(~ok)[0]
+    return int(bad[0]) if bad.size else nw
+
+
+def water_exclusion_energy(conf, params, box, nw, beta, cutoff, es_poly_coeffs=None):
+    """Exclusion energy of the first nw waters' three intra pairs on strided
+    lane slices (scatter-free adjoint). Matches nonbonded_on_specific_pairs
+    with full [1, 1] scales for those rows."""
+    xT = conf[:, :3].T  # (3, N)
+    pT = params.T  # (4, N)
+    box_diag = jnp.diagonal(box)[:, None]
+    u = jnp.asarray(0.0, dtype=conf.dtype)
+    sl = [slice(k, 3 * nw, 3) for k in range(3)]
+    for a, b in ((0, 1), (0, 2), (1, 2)):
+        d = xT[:, sl[a]] - xT[:, sl[b]]
+        d = d - box_diag * jnp.floor(d / box_diag + 0.5)
+        dw = pT[3, sl[a]] - pT[3, sl[b]]
+        dij = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=0) + dw * dw, 1e-24))
+        keep = dij < cutoff
+        dij_safe = jnp.where(dij > 0, dij, 1.0)
+        sig = jnp.where(keep, combine_sigma(pT[1, sl[a]], pT[1, sl[b]]), 0.0)
+        eps = jnp.where(keep, combine_epsilon(pT[2, sl[a]], pT[2, sl[b]]), 0.0)
+        u = u + jnp.sum(jnp.where(eps != 0, lennard_jones(dij_safe, sig, eps), 0.0))
+        qij = jnp.where(keep, pT[0, sl[a]] * pT[0, sl[b]], 0.0)
+        if es_poly_coeffs is None:
+            es = jnp.where(keep, switched_direct_space_pme(dij_safe, qij, beta, cutoff), 0.0)
+        else:
+            t = 2.0 * (dij_safe / SWITCH_CUTOFF) - 1.0
+            es = jnp.where(keep, qij * _chebval(t, es_poly_coeffs) / dij_safe, 0.0)
+        u = u + jnp.sum(es)
+    return u

@@ -415,11 +415,23 @@ class Nonbonded(Potential):
         # subtract its OWN Chebyshev electrostatics so the correction cancels
         # exactly (not just to polynomial-fit accuracy)
         h_coeffs = self._all_pairs.es_h_coeffs() if self.impl == "pallas" else None
+        # leading TIP3P water blocks go through the strided lane-slice fast
+        # path (scatter-free adjoint; measured ~3x cheaper per MD step)
+        nw = nonbonded.leading_water_exclusions(exc_idxs, exc_scales)
+        u = 0.0
+        if nw > 0:
+            u = nonbonded.water_exclusion_energy(
+                conf, params, box, nw, self.beta, self.cutoff, es_poly_coeffs=h_coeffs
+            )
+            exc_idxs = np.asarray(exc_idxs)[3 * nw :]
+            exc_scales = np.asarray(exc_scales)[3 * nw :]
+            if exc_idxs.shape[0] == 0:
+                return u
         vdW, es = nonbonded.nonbonded_on_specific_pairs(
             conf, params, box, jnp.asarray(exc_idxs), self.beta, self.cutoff, rescale_mask=jnp.asarray(exc_scales),
             es_poly_coeffs=h_coeffs,
         )
-        return jnp.sum(vdW) + jnp.sum(es)
+        return u + jnp.sum(vdW) + jnp.sum(es)
 
     def energy_force_fn(self):
         """Fused (u, force) when the AllPairs term runs on the Pallas path;
