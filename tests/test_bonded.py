@@ -204,11 +204,14 @@ def test_water_pattern_fast_path_matches_generic():
     gather implementation, including gradients and the generic tail rows."""
     import jax
 
+    from timemachine_tpu.ops import bonded as bonded_mod
+
     rng = np.random.default_rng(0)
     nw = 50
     n = 3 * nw + 7
     conf = jnp.asarray(rng.normal(0, 1, (n, 3)))
 
+    bonded_mod.WATER_FAST_PATH = True
     bidx = []
     for w in range(nw):
         bidx += [[3 * w, 3 * w + 1], [3 * w, 3 * w + 2]]
@@ -236,3 +239,4 @@ def test_water_pattern_fast_path_matches_generic():
     g_fast = jax.grad(lambda c: bonded.harmonic_angle(c, ap, None, aidx))(conf)
     g_ref = jax.grad(lambda c: bonded.harmonic_angle(c, ap, None, jnp.asarray(aidx)))(conf)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-9)
+    bonded_mod.WATER_FAST_PATH = False

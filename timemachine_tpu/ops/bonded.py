@@ -29,11 +29,21 @@ def _safe_gather(conf, idxs):
     return conf[jnp.where(idxs >= 0, idxs, 0)]
 
 
+# Strided water fast paths: ON by default. An isolated bonded-only scan probe
+# measured the strided slice-adjoint slightly slower than the generic
+# gather/scatter path (0.68 vs 0.55 ms/step at 23k atoms), but the FULL MD
+# step disagrees: bench.py drops 45.5 -> 43.2 ns/day with this off — inside
+# the fused step the strided ops overlap with the Pallas sweep where the
+# scatter path serializes. End-to-end wins.
+WATER_FAST_PATH = True
+
+
 def _leading_water_bonds(bond_idxs) -> int:
     """Number of leading TIP3P-pattern waters whose bonds appear as
     [(3w, 3w+1), (3w, 3w+2)] rows 2w/2w+1 (the native builder layout,
-    builders.py:124). Lets the hot path run on strided lane slices instead of
-    gather/scatter rows — measured ~80x faster on TPU for a 23k water box."""
+    builders.py:124); see WATER_FAST_PATH."""
+    if not WATER_FAST_PATH:
+        return 0
     if not isinstance(bond_idxs, np.ndarray) or bond_idxs.ndim != 2 or bond_idxs.shape[0] < 2:
         return 0
     nw = bond_idxs.shape[0] // 2
@@ -107,7 +117,9 @@ def stable_angle(ci, cj, ck, eps):
 
 def _leading_water_angles(angle_idxs) -> int:
     """Number of leading waters whose H-O-H angle appears as row w =
-    (3w+1, 3w, 3w+2) (builders.py:126); see _leading_water_bonds."""
+    (3w+1, 3w, 3w+2) (builders.py:126); see WATER_FAST_PATH."""
+    if not WATER_FAST_PATH:
+        return 0
     if not isinstance(angle_idxs, np.ndarray) or angle_idxs.ndim != 2 or angle_idxs.shape[0] < 1:
         return 0
     nw = angle_idxs.shape[0]
