@@ -64,6 +64,7 @@ class Neighborlist:
     def __init__(self, N: int):
         self._n = N
         self._row_idxs: np.ndarray | None = None
+        self._last_ixn_count = 0
 
     def resize(self, size: int) -> None:
         if size <= 0:
@@ -136,10 +137,12 @@ class Neighborlist:
             if self._row_idxs is None:
                 ids = ids[ids >= b * B]  # upper-triangular all-pairs mode
             out.append(ids.tolist())
+        self._last_ixn_count = sum(len(ids) for ids in out)
         return out
 
     def get_tile_ixn_count(self) -> int:
-        raise RuntimeError("call get_nblist first")  # parity: stateful count unsupported
+        """Interactions found by the most recent get_nblist call."""
+        return self._last_ixn_count
 
     def get_max_ixn_count(self) -> int:
         n_blocks = -(-self.get_num_row_idxs() // self.BLOCK)
