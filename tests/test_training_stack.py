@@ -47,7 +47,7 @@ def test_mle_disconnected_graph_rejected():
     from timemachine_tpu.fe.mle import infer_node_vals
 
     edges = np.array([[0, 1], [2, 3]])
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         infer_node_vals(edges, np.zeros(2), np.ones(2))
 
 
@@ -116,11 +116,11 @@ def test_classify_geometry():
 
 def test_enumerate_simple_paths():
     from timemachine_tpu.chem import mol_from_smiles
-    from timemachine_tpu.graph_utils import convert_to_nx, enumerate_simple_paths
+    from timemachine_tpu.graph_utils import mol_adjacency, simple_paths
 
     mol = mol_from_smiles("CCC")
-    paths = enumerate_simple_paths(convert_to_nx(mol), 3)
-    assert sorted(paths) == [[0, 1, 2], [2, 1, 0]]
+    paths = simple_paths(mol_adjacency(mol), 3)
+    assert sorted(paths) == [(0, 1, 2), (2, 1, 0)]
 
 
 def test_local_resampling_move_gaussian():

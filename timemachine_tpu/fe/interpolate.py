@@ -1,120 +1,192 @@
-"""Alignment + interpolation of per-term parameters between end states.
+"""End-state term alignment and λ-windowed parameter interpolation.
 
-Parity target: reference timemachine/fe/interpolate.py — align (idxs, params)
-sets by key (filling defaults for terms present in only one state), then
-interpolate inside per-term λ windows (`pad`)."""
+Capability target: reference timemachine/fe/interpolate.py. Two alchemical
+end states carry per-term parameter tables (bonds, angles, torsions, chiral
+volumes, nonbonded pairs); an intermediate state interpolates between them.
+Terms present in only one end state are padded into the other with a
+"soft-off" default (zero force constant / zero charge) so both tables share
+one index set.
+
+Design here: alignment is a deterministic **sorted outer join** over
+canonical term keys (returns parallel rows, already ordered — callers never
+re-sort), with per-term-type join behavior declared as small functions
+rather than a partial-application chain. Interpolation schedules are
+composable scalar functions of λ, applied inside per-term [λ_min, λ_max]
+windows with exact end-state pinning outside the window.
+"""
 
 from __future__ import annotations
 
-from collections.abc import Iterable
-from functools import partial
-from typing import Callable
+from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 
 class DuplicateAlignmentKeysError(RuntimeError):
     pass
 
 
-def to_hashable(x):
-    return tuple(to_hashable(e) for e in x) if isinstance(x, Iterable) else x
+class AlignedRow(NamedTuple):
+    idxs: tuple
+    src: tuple
+    dst: tuple
 
 
-def align_idxs_and_params(
+def _freeze(v):
+    """Recursively convert array-likes to nested tuples (hashable, sortable)."""
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_freeze(e) for e in v)
+    if isinstance(v, (np.generic,)):
+        return v.item()
+    return v
+
+
+def outer_join_terms(
     src_idxs,
     src_params,
     dst_idxs,
     dst_params,
-    make_default: Callable,
-    key: Callable = lambda idxs, _: idxs,
-    get_idxs: Callable = lambda key: key,
-    validate_idxs: Callable = lambda _: None,
+    *,
+    soft_off: Callable,
+    join_key: Optional[Callable] = None,
+    key_to_idxs: Optional[Callable] = None,
+    check_idxs: Optional[Callable] = None,
 ):
-    """Align two (idxs, params) sets on a key; missing entries are filled by
-    make_default applied to the opposite end state's params
-    (ref interpolate.py:22-109). Returns set of (idxs, src_params, dst_params)."""
-    for all_idxs in (src_idxs, dst_idxs):
-        for idxs in all_idxs:
-            validate_idxs(idxs)
+    """Full outer join of two term tables on a canonical key.
 
-    def make_kv(all_idxs, all_params):
-        kvs = [(to_hashable(key(idxs, params)), params) for idxs, params in zip(all_idxs, all_params)]
-        ks = [k for k, _ in kvs]
-        if len(set(ks)) < len(ks):
-            raise DuplicateAlignmentKeysError()
-        return dict(kvs)
+    soft_off(params_other) supplies the missing side's parameters (typically
+    zero force constant with geometry copied from the present side, so the
+    term's energy — not its rest geometry — turns off).
+    join_key(idxs, params) -> hashable key (default: the idxs themselves).
+    key_to_idxs recovers idxs from a key when join_key folds params in.
 
-    src_kv = make_kv(src_idxs, src_params)
-    dst_kv = make_kv(dst_idxs, dst_params)
+    Returns a list of AlignedRow sorted by key — deterministic, duplicates
+    rejected.
+    """
+    join_key = join_key or (lambda idxs, _p: idxs)
+    key_to_idxs = key_to_idxs or (lambda k: k)
 
-    return {
-        (
-            get_idxs(k),
-            to_hashable(src_kv[k]) if k in src_kv else make_default(dst_kv[k]),
-            to_hashable(dst_kv[k]) if k in dst_kv else make_default(src_kv[k]),
+    def to_table(all_idxs, all_params, label):
+        table = {}
+        for idxs, params in zip(all_idxs, all_params):
+            if check_idxs is not None:
+                check_idxs(idxs)
+            k = _freeze(join_key(_freeze(idxs), params))
+            if k in table:
+                raise DuplicateAlignmentKeysError(f"duplicate {label} key {k}")
+            table[k] = params
+        return table
+
+    src_table = to_table(src_idxs, src_params, "src")
+    dst_table = to_table(dst_idxs, dst_params, "dst")
+
+    rows = []
+    for k in sorted(src_table.keys() | dst_table.keys()):
+        s = src_table.get(k)
+        d = dst_table.get(k)
+        rows.append(
+            AlignedRow(
+                key_to_idxs(k),
+                _freeze(s) if s is not None else _freeze(soft_off(d)),
+                _freeze(d) if d is not None else _freeze(soft_off(s)),
+            )
         )
-        for k in set(src_kv) | set(dst_kv)
-    }
+    return rows
 
 
-def assert_canonical_bond(bond):
-    assert bond[0] < bond[-1]
+def _require_canonical(idxs):
+    assert idxs[0] < idxs[-1], f"non-canonical term idxs {idxs}"
 
 
-align_harmonic_bond_idxs_and_params = partial(
-    align_idxs_and_params,
-    make_default=lambda p: (0, p[1]),
-    validate_idxs=assert_canonical_bond,
-)
-align_harmonic_angle_idxs_and_params = partial(align_idxs_and_params, make_default=lambda p: (0, p[1], 0))
-align_nonbonded_idxs_and_params = partial(align_idxs_and_params, make_default=lambda _: (0, 0, 0, 0))
-align_chiral_atom_idxs_and_params = partial(align_idxs_and_params, make_default=lambda _: 0)
-align_proper_idxs_and_params = partial(
-    align_idxs_and_params,
-    make_default=lambda p: (0, p[1], p[2]),
-    key=lambda idxs, p: (idxs, p[1], p[2]),  # align on idxs + (phase, period)
-    get_idxs=lambda key: key[0],
-)
-align_improper_idxs_and_params = partial(align_idxs_and_params, make_default=lambda p: (0, p[1], p[2]))
+# -- per-term-type joins ------------------------------------------------------
+# Parameter layouts: bond (k, b0); angle (k, a0, eps); torsion (k, phase,
+# period); chiral atom k; nonbonded pair (q, sig, eps, w).
+
+
+def align_harmonic_bond_idxs_and_params(src_idxs, src_params, dst_idxs, dst_params):
+    return outer_join_terms(
+        src_idxs,
+        src_params,
+        dst_idxs,
+        dst_params,
+        soft_off=lambda p: (0, p[1]),
+        check_idxs=_require_canonical,
+    )
+
+
+def align_harmonic_angle_idxs_and_params(src_idxs, src_params, dst_idxs, dst_params):
+    return outer_join_terms(
+        src_idxs, src_params, dst_idxs, dst_params, soft_off=lambda p: (0, p[1], 0)
+    )
+
+
+def align_nonbonded_idxs_and_params(src_idxs, src_params, dst_idxs, dst_params):
+    return outer_join_terms(
+        src_idxs, src_params, dst_idxs, dst_params, soft_off=lambda _p: (0, 0, 0, 0)
+    )
+
+
+def align_chiral_atom_idxs_and_params(src_idxs, src_params, dst_idxs, dst_params):
+    return outer_join_terms(src_idxs, src_params, dst_idxs, dst_params, soft_off=lambda _p: 0)
+
+
+def align_proper_idxs_and_params(src_idxs, src_params, dst_idxs, dst_params):
+    # propers join on (idxs, phase, period): multiple phase/period terms may
+    # share idxs, and only matching shapes may interpolate into each other
+    return outer_join_terms(
+        src_idxs,
+        src_params,
+        dst_idxs,
+        dst_params,
+        soft_off=lambda p: (0, p[1], p[2]),
+        join_key=lambda idxs, p: (idxs, _freeze(p[1]), _freeze(p[2])),
+        key_to_idxs=lambda k: k[0],
+    )
+
+
+def align_improper_idxs_and_params(src_idxs, src_params, dst_idxs, dst_params):
+    return outer_join_terms(
+        src_idxs, src_params, dst_idxs, dst_params, soft_off=lambda p: (0, p[1], p[2])
+    )
 
 
 def align_chiral_bond_idxs_and_params(src_idxs, src_params, src_signs, dst_idxs, dst_params, dst_signs):
-    return {
-        (idxs, sign, p1, p2)
-        for idxs, (sign, p1), (_, p2) in align_idxs_and_params(
-            src_idxs,
-            list(zip(src_signs, src_params)),
-            dst_idxs,
-            list(zip(dst_signs, dst_params)),
-            make_default=lambda p: (p[0], 0),
-            key=lambda idxs, p: (idxs, p[0]),
-            get_idxs=lambda key: key[0],
-        )
-    }
+    """Chiral bonds join on (idxs, sign); rows come back flattened as
+    (idxs, sign, k_src, k_dst)."""
+    rows = outer_join_terms(
+        src_idxs,
+        [(s, p) for s, p in zip(src_signs, src_params)],
+        dst_idxs,
+        [(s, p) for s, p in zip(dst_signs, dst_params)],
+        soft_off=lambda sp: (sp[0], 0),
+        join_key=lambda idxs, sp: (idxs, _freeze(sp[0])),
+        key_to_idxs=lambda k: k[0],
+    )
+    return [(r.idxs, r.src[0], r.src[1], r.dst[1]) for r in rows]
+
+
+# -- λ schedules --------------------------------------------------------------
 
 
 def linear_interpolation(src_params, dst_params, lamb):
+    """Straight-line blend."""
     return (1 - lamb) * src_params + lamb * dst_params
 
 
 def log_linear_interpolation(src_params, dst_params, lamb, min_value):
-    """Linear in log space; clipped below at min_value so a 0 force constant
-    interpolates stably (ref interpolate.py:156-170)."""
-    src_params = jnp.maximum(src_params, min_value)
-    dst_params = jnp.maximum(dst_params, min_value)
-    return jnp.exp(linear_interpolation(jnp.log(src_params), jnp.log(dst_params), lamb))
+    """Geometric blend, with both endpoints floored at min_value so that a
+    zero force constant has a finite log. Endpoint values below min_value are
+    therefore NOT recovered at λ∈{0,1}; combine with `pad` for exact pinning."""
+    lo = jnp.log(jnp.maximum(src_params, min_value))
+    hi = jnp.log(jnp.maximum(dst_params, min_value))
+    return jnp.exp(linear_interpolation(lo, hi, lamb))
 
 
 def pad(f, src_params, dst_params, lamb, lambda_min, lambda_max):
-    """Apply f on the rescaled interval (lambda_min, lambda_max); pin to the
-    end-state values outside it (ref interpolate.py:173-186)."""
-    return jnp.where(
-        lamb <= lambda_min,
-        src_params,
-        jnp.where(
-            lambda_max <= lamb,
-            dst_params,
-            f(src_params, dst_params, (lamb - lambda_min) / (lambda_max - lambda_min)),
-        ),
-    )
+    """Run schedule f over the rescaled window [lambda_min, lambda_max];
+    outside it, pin EXACTLY to the end-state parameters (not f's endpoint
+    values — this is what makes log-space schedules safe for k=0 terms)."""
+    local = (lamb - lambda_min) / (lambda_max - lambda_min)
+    inner = f(src_params, dst_params, local)
+    return jnp.where(lamb <= lambda_min, src_params, jnp.where(lamb >= lambda_max, dst_params, inner))

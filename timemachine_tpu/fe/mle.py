@@ -1,120 +1,107 @@
-"""Maximum-likelihood inference of per-node absolute free energies from a
-graph of pairwise (edge) differences, with bootstrapped uncertainties.
+"""Absolute free energies per node from a graph of relative (edge) estimates.
 
-Parity target: reference `timemachine/fe/mle.py` — Gaussian edge likelihood
-(:18-48, DiffNet / Xu 2019 doi:10.1021/acs.jcim.9b00528), infer_node_vals
-(:77-125), bootstrap (:128-160), infer_node_vals_and_errs (:161-218),
-networkx front-end (:221-324).
+Capability target: reference `timemachine/fe/mle.py` (DiffNet; Xu 2019,
+doi:10.1021/acs.jcim.9b00528): maximum-likelihood node values under
+independent Gaussian edge errors, bootstrapped uncertainties, and a networkx
+front-end that annotates the input graph.
 
-The likelihood is jitted JAX (L-BFGS-B drives value_and_grad), so swapping in
-other edge models keeps gradients free.
+Redesigned rather than ported: for Gaussian edge likelihoods the MLE is a
+weighted linear least-squares problem, so instead of running L-BFGS on a
+log-likelihood we solve the graph's normal equations
+
+    L x = Aᵀ W d,   L = Aᵀ W A  (weighted graph Laplacian)
+
+in closed form. The pseudo-inverse of L is computed once and reused for
+every bootstrap replicate (the bootstrap only perturbs the right-hand side),
+turning the reference's n_bootstrap optimizer runs into one matrix-matrix
+multiply.
 """
+
+from __future__ import annotations
 
 from typing import Union
 
 import networkx as nx
 import numpy as np
-from jax import jit, value_and_grad
-from jax import numpy as jnp
-from jax.scipy.stats import norm
-from scipy.optimize import minimize
 
 NxDiGraph = Union[nx.DiGraph, nx.MultiDiGraph]
 
-
-def make_stddevs_finite(stddevs, min_stddev=1e-3):
-    """Clamp unrealistically small stddev claims (ref mle.py:13-15)."""
-    return jnp.maximum(stddevs, min_stddev)
+MIN_EDGE_STDDEV = 1e-3
 
 
-def gaussian_log_likelihood(node_vals, edge_idxs, edge_diffs, edge_stddevs):
-    """log P(edge_diffs | node_vals) under independent Gaussians
-    (ref mle.py:18-48)."""
-    src_idxs, dst_idxs = edge_idxs.T
-    implied_diffs = node_vals[dst_idxs] - node_vals[src_idxs]
-    sanitized = make_stddevs_finite(edge_stddevs)
-    return jnp.sum(norm.logpdf(x=edge_diffs, loc=implied_diffs, scale=sanitized))
+def _edge_arrays(edge_idxs, edge_diffs, edge_stddevs):
+    edge_idxs = np.asarray(edge_idxs, dtype=int)
+    edge_diffs = np.asarray(edge_diffs, dtype=float)
+    stddevs = np.maximum(np.asarray(edge_stddevs, dtype=float), MIN_EDGE_STDDEV)
+    if not (len(edge_idxs) == len(edge_diffs) == len(stddevs)):
+        raise ValueError("edge_idxs, edge_diffs, edge_stddevs must have equal length")
+    return edge_idxs, edge_diffs, stddevs
 
 
-def _assert_edges_complete(edge_idxs):
-    K = np.max(edge_idxs) + 1
-    assert set(range(K)) == set(np.asarray(edge_idxs).flatten())
+def _validate_graph(edge_idxs) -> int:
+    """Every node 0..K-1 appears and the graph is one connected component."""
+    n_nodes = int(edge_idxs.max()) + 1
+    present = np.zeros(n_nodes, dtype=bool)
+    present[edge_idxs.reshape(-1)] = True
+    if not present.all():
+        raise ValueError(f"nodes {np.flatnonzero(~present).tolist()} have no edges")
+
+    from timemachine_tpu.graph_utils import adjacency_from_bonds, connected_component
+
+    reachable = connected_component(adjacency_from_bonds(n_nodes, edge_idxs), 0)
+    if len(reachable) != n_nodes:
+        raise ValueError("edge graph is not connected")
+    return n_nodes
 
 
-def _assert_edges_connected(edge_idxs):
-    g = nx.Graph(list(map(tuple, np.asarray(edge_idxs))))
-    assert nx.number_connected_components(g) == 1
+def _laplacian_pinv_and_projector(edge_idxs, stddevs, n_nodes):
+    """Pseudo-inverse of the weighted Laplacian plus the weighted incidence
+    operator Aᵀ W, so node solutions are x = L⁺ (Aᵀ W) d for any d."""
+    src, dst = edge_idxs.T
+    w = 1.0 / stddevs**2
+
+    # incidence: row e has -1 at src(e), +1 at dst(e)
+    n_edges = len(src)
+    A = np.zeros((n_edges, n_nodes))
+    A[np.arange(n_edges), src] = -1.0
+    A[np.arange(n_edges), dst] = 1.0
+
+    AtW = A.T * w  # (n_nodes, n_edges)
+    L = AtW @ A
+    return np.linalg.pinv(L, hermitian=True), AtW
 
 
-def _assert_edges_valid(edge_idxs):
-    _assert_edges_complete(edge_idxs)
-    _assert_edges_connected(edge_idxs)
+def _anchor(x, ref_node_idxs, ref_node_vals):
+    """Shift the gauge so the mean residual at the reference nodes vanishes.
+    x may be (K,) or (B, K); broadcasting handles both."""
+    ref_node_idxs = np.asarray(ref_node_idxs, dtype=int)
+    ref_node_vals = np.asarray(ref_node_vals, dtype=float)
+    offset = np.mean(ref_node_vals - x[..., ref_node_idxs], axis=-1, keepdims=True)
+    return x + offset
 
 
-def wrap_for_scipy_optimize(f):
-    """(ref mle.py:66-74)"""
-    vg = jit(value_and_grad(f))
-
-    def wrapped(x):
-        v, g = vg(x)
-        return float(v), np.array(g, dtype=np.float64)
-
-    return wrapped
+def _default_refs(ref_node_idxs, ref_node_vals, with_stddevs=False):
+    if len(ref_node_idxs) == 0:
+        print("no reference node values: picking node 0 as arbitrary reference")
+        if with_stddevs:
+            return [0], [0.0], [0.0]
+        return [0], [0.0]
+    if with_stddevs:
+        return ref_node_idxs, ref_node_vals, None
+    return ref_node_idxs, ref_node_vals
 
 
 def infer_node_vals(edge_idxs, edge_diffs, edge_stddevs, ref_node_idxs=tuple(), ref_node_vals=tuple()):
-    """ML node values from edge differences, up to an offset fixed by the
-    reference nodes (ref mle.py:77-125)."""
-    edge_idxs = np.asarray(edge_idxs)
-    assert len(edge_diffs) == len(edge_idxs), f"{len(edge_diffs)} != {len(edge_idxs)}"
-    _assert_edges_valid(edge_idxs)
+    """ML node values given Gaussian edge differences; the free additive
+    constant is fixed by averaging over the reference nodes."""
+    edge_idxs, edge_diffs, stddevs = _edge_arrays(edge_idxs, edge_diffs, edge_stddevs)
+    n_nodes = _validate_graph(edge_idxs)
+    ref_node_idxs, ref_node_vals = _default_refs(ref_node_idxs, ref_node_vals)
+    assert len(ref_node_idxs) == len(ref_node_vals), "ref idxs/vals length mismatch"
 
-    if len(ref_node_idxs) == 0:
-        print("no reference node values: picking node 0 as arbitrary reference")
-        ref_node_idxs = np.array([0], dtype=int)
-        ref_node_vals = np.array([0], dtype=float)
-    assert len(ref_node_idxs) == len(ref_node_vals), "Ref node idxs and ref node values must be of same length"
-
-    edge_diffs = jnp.asarray(edge_diffs)
-    edge_stddevs = jnp.asarray(edge_stddevs)
-
-    @wrap_for_scipy_optimize
-    def loss(x):
-        return -gaussian_log_likelihood(x, edge_idxs, edge_diffs, edge_stddevs)
-
-    K = np.max(edge_idxs) + 1
-    x0 = np.zeros(K)
-    result = minimize(loss, x0, jac=True, tol=0, method="L-BFGS-B").x
-
-    centered = result - result[0]
-    offset = np.mean(np.asarray(ref_node_vals) - centered[np.asarray(ref_node_idxs)])
-    return centered + offset
-
-
-def _bootstrap_node_vals(
-    edge_idxs,
-    edge_diffs,
-    edge_stddevs,
-    ref_node_idxs,
-    ref_node_vals,
-    ref_node_stddevs,
-    n_bootstrap=100,
-    seed=0,
-):
-    """(ref mle.py:128-160)"""
-    n_edges = len(edge_idxs)
-    n_nodes = len(set(np.asarray(edge_idxs).flatten()))
-    n_refs = len(ref_node_idxs)
-    rng = np.random.default_rng(seed)
-
-    bootstrap_estimates = np.zeros((n_bootstrap, n_nodes))
-    for i in range(n_bootstrap):
-        noisy_edge_diffs = edge_diffs + rng.standard_normal(n_edges) * edge_stddevs
-        noisy_node_refs = np.asarray(ref_node_vals) + rng.standard_normal(n_refs) * np.asarray(ref_node_stddevs)
-        bootstrap_estimates[i] = infer_node_vals(
-            edge_idxs, noisy_edge_diffs, edge_stddevs, ref_node_idxs, noisy_node_refs
-        )
-    return bootstrap_estimates
+    L_pinv, AtW = _laplacian_pinv_and_projector(edge_idxs, stddevs, n_nodes)
+    x = L_pinv @ (AtW @ edge_diffs)
+    return _anchor(x, ref_node_idxs, ref_node_vals)
 
 
 def infer_node_vals_and_errs(
@@ -127,22 +114,33 @@ def infer_node_vals_and_errs(
     n_bootstrap=100,
     seed=0,
 ):
-    """(dG, dG_err) per node; errors are bootstrap empirical stddevs
-    (ref mle.py:161-218)."""
-    if len(ref_node_idxs) == 0:
-        print("no reference node values: picking node 0 as arbitrary reference")
-        ref_node_idxs = np.array([0], dtype=int)
-        ref_node_vals = np.array([0], dtype=float)
-        ref_node_stddevs = np.array([0], dtype=float)
-    assert len(ref_node_idxs) == len(ref_node_vals) == len(ref_node_stddevs), (
-        "Ref node idxs, ref node values and ref std devs must be of same length"
-    )
+    """(node values, bootstrap stddevs). Each bootstrap replicate perturbs
+    edge diffs and reference values by their claimed stddevs; all replicates
+    share one Laplacian pseudo-inverse (vectorized solve)."""
+    edge_idxs, edge_diffs, stddevs = _edge_arrays(edge_idxs, edge_diffs, edge_stddevs)
+    n_nodes = _validate_graph(edge_idxs)
 
-    dg = infer_node_vals(edge_idxs, edge_diffs, edge_stddevs, ref_node_idxs, ref_node_vals)
-    bootstrap_estimates = _bootstrap_node_vals(
-        edge_idxs, edge_diffs, edge_stddevs, ref_node_idxs, ref_node_vals, ref_node_stddevs, n_bootstrap, seed
-    )
-    return dg, bootstrap_estimates.std(0)
+    refs = _default_refs(ref_node_idxs, ref_node_vals, with_stddevs=True)
+    if refs[2] is not None:
+        ref_node_idxs, ref_node_vals, ref_node_stddevs = refs
+    else:
+        ref_node_idxs, ref_node_vals = refs[0], refs[1]
+    ref_node_idxs = np.asarray(ref_node_idxs, dtype=int)
+    ref_node_vals = np.asarray(ref_node_vals, dtype=float)
+    ref_node_stddevs = np.asarray(ref_node_stddevs, dtype=float)
+    assert len(ref_node_idxs) == len(ref_node_vals) == len(ref_node_stddevs), "ref arrays length mismatch"
+
+    L_pinv, AtW = _laplacian_pinv_and_projector(edge_idxs, stddevs, n_nodes)
+    solve = lambda d: (L_pinv @ (AtW @ d.T)).T  # d: (..., n_edges) -> (..., n_nodes)
+
+    point = _anchor(solve(edge_diffs), ref_node_idxs, ref_node_vals)
+
+    rng = np.random.default_rng(seed)
+    noisy_d = edge_diffs + rng.standard_normal((n_bootstrap, len(edge_diffs))) * stddevs
+    noisy_refs = ref_node_vals + rng.standard_normal((n_bootstrap, len(ref_node_vals))) * ref_node_stddevs
+    replicates = solve(noisy_d)  # (n_bootstrap, n_nodes)
+    offsets = np.mean(noisy_refs - replicates[:, ref_node_idxs], axis=1, keepdims=True)
+    return point, (replicates + offsets).std(axis=0)
 
 
 def infer_node_vals_and_errs_networkx(
@@ -157,57 +155,51 @@ def infer_node_vals_and_errs_networkx(
     n_bootstrap: int = 100,
     seed: int = 0,
 ) -> NxDiGraph:
-    """networkx front-end: infer on the largest usable connected component and
-    write results back as node properties (ref mle.py:221-324)."""
-    assert isinstance(graph, (nx.DiGraph, nx.MultiDiGraph)), "Graph must be a DiGraph or MultiDiGraph"
+    """networkx front-end: run the inference on the largest usable connected
+    component and write values/stddevs back onto the (copied) graph nodes."""
+    if not isinstance(graph, (nx.DiGraph, nx.MultiDiGraph)):
+        raise TypeError("graph must be a DiGraph or MultiDiGraph")
 
-    def keep_edge(e):
-        d = graph.edges[e]
-        has_edge_diff = d.get(edge_diff_prop) is not None
-        has_edge_err = d.get(edge_stddev_prop) is not None
-        has_skip_marker = d.get(edge_skip_prop) is True
-        return (has_edge_diff and has_edge_err) and (not has_skip_marker)
-
-    sg = graph.edge_subgraph([e for e in graph.edges if keep_edge(e)]).copy()
-    if not sg.nodes:
+    usable = [
+        e
+        for e in graph.edges
+        if graph.edges[e].get(edge_diff_prop) is not None
+        and graph.edges[e].get(edge_stddev_prop) is not None
+        and graph.edges[e].get(edge_skip_prop) is not True
+    ]
+    sub = graph.edge_subgraph(usable).copy()
+    if not sub.nodes:
         raise ValueError("Empty graph after removing edges without predictions")
 
-    connected_components = list(nx.connected_components(sg.to_undirected()))
+    def component_rank(component):
+        n_refs = sum(sub.nodes[n].get(ref_node_val_prop) is not None for n in component)
+        return (len(component), n_refs, max(component))
 
-    def _sort_key(component):
-        size = len(component)
-        num_expt_refs = sum(sg.nodes[c].get(ref_node_val_prop) is not None for c in component)
-        name = max(component)
-        return (size, num_expt_refs, name)
+    best = max(nx.connected_components(sub.to_undirected()), key=component_rank)
+    sub = sub.subgraph(best)
 
-    sg = sg.subgraph(max(connected_components, key=_sort_key))
+    ordered_nodes = sorted(sub.nodes)
+    index_of = {n: i for i, n in enumerate(ordered_nodes)}
 
-    node_to_idx = {n: idx for idx, n in enumerate(sorted(sg.nodes))}
-    idx_to_node = {idx: n for n, idx in node_to_idx.items()}
-    sg_relabeled = nx.relabel_nodes(sg, node_to_idx)
+    edge_list = list(sub.edges)
+    edge_idxs = np.array([(index_of[e[0]], index_of[e[1]]) for e in edge_list])
+    diffs = np.array([sub.edges[e][edge_diff_prop] for e in edge_list])
+    errs = np.array([sub.edges[e][edge_stddev_prop] for e in edge_list])
 
-    ref_node_idxs, ref_node_vals, ref_node_stddevs = [], [], []
-    for n, d in sg_relabeled.nodes.items():
-        if ref_node_val_prop in d:
-            ref_node_idxs.append(n)
-            ref_node_vals.append(d[ref_node_val_prop])
-            ref_node_stddevs.append(d.get(ref_node_stddev_prop, 0.0))
+    ref_idxs, ref_vals, ref_errs = [], [], []
+    for n in ordered_nodes:
+        data = sub.nodes[n]
+        if ref_node_val_prop in data:
+            ref_idxs.append(index_of[n])
+            ref_vals.append(data[ref_node_val_prop])
+            ref_errs.append(data.get(ref_node_stddev_prop, 0.0))
 
-    edges = np.array(sg_relabeled.edges)
-    edge_idxs = edges[:, :2]
-    dgs, dg_errs = infer_node_vals_and_errs(
-        edge_idxs,
-        np.array([sg_relabeled.edges[tuple(e)][edge_diff_prop] for e in edges]),
-        np.array([sg_relabeled.edges[tuple(e)][edge_stddev_prop] for e in edges]),
-        ref_node_idxs,
-        ref_node_vals,
-        ref_node_stddevs,
-        n_bootstrap,
-        seed,
+    vals, stddevs = infer_node_vals_and_errs(
+        edge_idxs, diffs, errs, ref_idxs, ref_vals, ref_errs, n_bootstrap=n_bootstrap, seed=seed
     )
 
-    for n, (dg, dg_err) in enumerate(zip(dgs, dg_errs)):
-        sg_relabeled.nodes[n][node_val_prop] = dg
-        sg_relabeled.nodes[n][node_stddev_prop] = dg_err
-
-    return nx.relabel_nodes(sg_relabeled, idx_to_node)
+    annotated = sub.copy()
+    for n in ordered_nodes:
+        annotated.nodes[n][node_val_prop] = vals[index_of[n]]
+        annotated.nodes[n][node_stddev_prop] = stddevs[index_of[n]]
+    return annotated

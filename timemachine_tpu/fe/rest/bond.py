@@ -1,106 +1,59 @@
-"""Canonicalized interaction tuples (ref timemachine/fe/rest/bond.py)."""
+"""Canonical interaction-index tuples (bonds / angles / propers).
 
-from abc import ABC, abstractmethod
-from dataclasses import dataclass, field
-from typing import Callable, TypeVar
+Capability target: reference timemachine/fe/rest/bond.py. One rule covers
+every arity: a term's index tuple is canonical when its first index is less
+than its last, and reversing the whole tuple preserves the interaction's
+identity (bond (i,j)≡(j,i); angle (i,j,k)≡(k,j,i); proper (i,j,k,l)≡
+(l,k,j,i)). So instead of one class per arity, a single frozen dataclass
+holds the tuple and canonicalizes by reversal.
+"""
 
-import numpy as np
+from __future__ import annotations
 
-TCanonicalIxn = TypeVar("TCanonicalIxn", bound="CanonicalIxn")
-
-
-@dataclass(frozen=True)
-class CanonicalIxn(ABC):
-    @property
-    @abstractmethod
-    def idxs(self) -> tuple: ...
-
-    @abstractmethod
-    def map(self: TCanonicalIxn, f: Callable[[int], int]) -> TCanonicalIxn: ...
-
-    def translate(self: TCanonicalIxn, a_to_b) -> TCanonicalIxn:
-        return self.map(lambda i: a_to_b[i])
+from dataclasses import dataclass
+from typing import Callable
 
 
 @dataclass(frozen=True)
-class CanonicalBond(CanonicalIxn):
-    i: int
-    j: int
+class Ixn:
+    """Canonicalized interaction: idxs[0] < idxs[-1] always holds."""
 
-    _unsafe: bool = field(default=False, init=True, compare=False, repr=False)
+    idxs: tuple[int, ...]
 
     def __post_init__(self):
-        if not self._unsafe and self.i >= self.j:
-            raise ValueError(f"{(self.i, self.j)} is not canonical")
+        if self.idxs[0] >= self.idxs[-1]:
+            raise ValueError(f"{self.idxs} is not canonical")
 
     @classmethod
-    def from_idxs(cls, i: int, j: int):
-        return cls(i, j, _unsafe=True) if i < j else cls(j, i, _unsafe=True)
+    def of(cls, *idxs: int) -> "Ixn":
+        ordered = tuple(int(i) for i in idxs)
+        return cls(ordered if ordered[0] < ordered[-1] else ordered[::-1])
 
-    @property
-    def idxs(self) -> tuple:
-        return (self.i, self.j)
+    def map(self, f: Callable[[int], int]) -> "Ixn":
+        return Ixn.of(*(f(i) for i in self.idxs))
 
-    def map(self, f: Callable[[int], int]) -> "CanonicalBond":
-        return CanonicalBond.from_idxs(f(self.i), f(self.j))
+    def translate(self, a_to_b) -> "Ixn":
+        """Relabel through an index array/mapping (e.g. mol-A → combined)."""
+        return self.map(lambda i: int(a_to_b[i]))
 
-
-@dataclass(frozen=True)
-class CanonicalAngle(CanonicalIxn):
-    i: int
-    j: int
-    k: int
-
-    _unsafe: bool = field(default=False, init=True, compare=False, repr=False)
-
-    def __post_init__(self):
-        if not self._unsafe and self.i >= self.k:
-            raise ValueError(f"{(self.i, self.j, self.k)} is not canonical")
-
-    @classmethod
-    def from_idxs(cls, i: int, j: int, k: int):
-        return cls(i, j, k, _unsafe=True) if i < k else cls(k, j, i, _unsafe=True)
-
-    @property
-    def idxs(self) -> tuple:
-        return (self.i, self.j, self.k)
-
-    def map(self, f: Callable[[int], int]) -> "CanonicalAngle":
-        return CanonicalAngle.from_idxs(f(self.i), f(self.j), f(self.k))
+    def __iter__(self):
+        return iter(self.idxs)
 
 
-@dataclass(frozen=True)
-class CanonicalProper(CanonicalIxn):
-    i: int
-    j: int
-    k: int
-    l: int
-
-    _unsafe: bool = field(default=False, init=True, compare=False, repr=False)
-
-    def __post_init__(self):
-        if not self._unsafe and self.i >= self.l:
-            raise ValueError(f"{(self.i, self.j, self.k, self.l)} is not canonical")
-
-    @classmethod
-    def from_idxs(cls, i: int, j: int, k: int, l: int):
-        return cls(i, j, k, l, _unsafe=True) if i < l else cls(l, k, j, i, _unsafe=True)
-
-    @property
-    def idxs(self) -> tuple:
-        return (self.i, self.j, self.k, self.l)
-
-    def map(self, f: Callable[[int], int]) -> "CanonicalProper":
-        return CanonicalProper.from_idxs(f(self.i), f(self.j), f(self.k), f(self.l))
+def mkbond(i, j) -> Ixn:
+    return Ixn.of(i, j)
 
 
-def mkbond(i, j) -> CanonicalBond:
-    return CanonicalBond.from_idxs(int(i), int(j))
+def mkangle(i, j, k) -> Ixn:
+    return Ixn.of(i, j, k)
 
 
-def mkangle(i, j, k) -> CanonicalAngle:
-    return CanonicalAngle.from_idxs(int(i), int(j), int(k))
+def mkproper(i, j, k, l) -> Ixn:
+    return Ixn.of(i, j, k, l)
 
 
-def mkproper(i, j, k, l) -> CanonicalProper:
-    return CanonicalProper.from_idxs(int(i), int(j), int(k), int(l))
+# arity-named aliases kept for call-site readability / reference parity
+CanonicalIxn = Ixn
+CanonicalBond = Ixn
+CanonicalAngle = Ixn
+CanonicalProper = Ixn

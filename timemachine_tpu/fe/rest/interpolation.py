@@ -1,80 +1,65 @@
-"""Interpolation functions specialized to [0, 1] (ref timemachine/fe/rest/interpolation.py)."""
+"""λ-schedules on [0, 1] for REST energy scaling.
+
+Capability target: reference timemachine/fe/rest/interpolation.py (Linear /
+Quadratic / Exponential / Symmetric families).
+
+Unified here instead of one class per shape: every supported schedule is a
+linear blend under a monotone warp w,
+
+    f(x) = w⁻¹((1 − x)·w(src) + x·w(dst))
+
+with w = identity ("linear"), sqrt ("quadratic" — expanding the square
+reproduces the reference's single-root quadratic a·(x+b)²), or log
+("exponential" — src·(dst/src)^x). The symmetric variant folds λ about 0.5
+(f(1 − |2λ − 1|)), giving f(0) = f(1) = src and f(0.5) = dst.
+"""
+
+from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Generic, Literal, Protocol, TypeVar
+from typing import Literal, Union
 
 import numpy as np
-from numpy.typing import ArrayLike, NDArray
 
+InterpolationFxnName = Literal["linear", "quadratic", "exponential"]
 
-class InterpolationFxn(Protocol):
-    @property
-    def src(self) -> ArrayLike: ...
-
-    @property
-    def dst(self) -> ArrayLike: ...
-
-    def __call__(self, x: ArrayLike) -> NDArray: ...
+_WARPS = {
+    "linear": (lambda v: v, lambda v: v),
+    "quadratic": (np.sqrt, np.square),
+    "exponential": (np.log, np.exp),
+}
 
 
 @dataclass(frozen=True)
-class Linear:
-    """f(0) = src, f(1) = dst, linear (ref interpolation.py:22-47)."""
+class Schedule:
+    """Warped linear blend from src (x=0) to dst (x=1); endpoints exact."""
 
-    src: ArrayLike
-    dst: ArrayLike
-
-    def __call__(self, x: ArrayLike) -> NDArray:
-        src = np.asarray(self.src)
-        dst = np.asarray(self.dst)
-        x = np.asarray(x)
-        return (dst - src) * x + src
-
-
-@dataclass(frozen=True)
-class Quadratic:
-    """Single-root quadratic through (0, src), (1, dst)
-    (ref interpolation.py:50-88)."""
-
-    src: ArrayLike
-    dst: ArrayLike
+    shape: InterpolationFxnName
+    src: float
+    dst: float
 
     def __post_init__(self):
-        assert np.all(np.asarray(self.src) != np.asarray(self.dst))
+        if self.shape not in _WARPS:
+            raise ValueError(f"{self.shape} is invalid")
+        if self.shape in ("quadratic", "exponential") and not (
+            np.all(np.asarray(self.src) > 0) and np.all(np.asarray(self.dst) > 0)
+        ):
+            raise ValueError(f"{self.shape} schedule requires positive endpoints")
 
-    def __call__(self, x: ArrayLike) -> NDArray:
-        src = np.asarray(self.src)
-        dst = np.asarray(self.dst)
+    def __call__(self, x):
+        warp, unwarp = _WARPS[self.shape]
         x = np.asarray(x)
-        a = src + dst - 2.0 * np.sqrt(src * dst)
-        b = (src + np.sqrt(src * dst)) / (dst - src)
-        # exact endpoints (avoid roundoff at 0 and 1)
-        return np.where(x == 0.0, self.src, np.where(x == 1.0, self.dst, a * (x + b) ** 2))
+        blended = unwarp((1.0 - x) * warp(np.asarray(self.src)) + x * warp(np.asarray(self.dst)))
+        # pin endpoints exactly (warp/unwarp roundoff-free at 0 and 1)
+        return np.where(x == 0.0, self.src, np.where(x == 1.0, self.dst, blended))
 
 
 @dataclass(frozen=True)
-class Exponential:
-    """f(x) = src * (dst/src)^x (ref interpolation.py:91-116)."""
+class Symmetric:
+    """Fold the argument about 0.5: g(x) = f(1 − |2x − 1|), so g(0) = g(1)
+    = f(0) and g(0.5) = f(1)."""
 
-    src: ArrayLike
-    dst: ArrayLike
-
-    def __call__(self, x: ArrayLike) -> NDArray:
-        src = np.asarray(self.src)
-        dst = np.asarray(self.dst)
-        x = np.asarray(x)
-        return src * np.exp(np.log(dst / src) * x)
-
-
-F = TypeVar("F", bound=InterpolationFxn)
-
-
-@dataclass(frozen=True)
-class Symmetric(Generic[F]):
-    """Symmetric(f)(x) == Symmetric(f)(1 − x); hits f's dst at x = 0.5
-    (ref interpolation.py:122-156)."""
-
-    f: F
+    f: "InterpolationFxn"
 
     @property
     def src(self):
@@ -84,20 +69,25 @@ class Symmetric(Generic[F]):
     def dst(self):
         return self.f.src
 
-    def __call__(self, x: ArrayLike) -> NDArray:
+    def __call__(self, x):
         x = np.asarray(x)
-        return np.where(x < 0.5, self.f(2.0 * x), self.f(2.0 * (1.0 - x)))
+        return self.f(1.0 - np.abs(2.0 * x - 1.0))
 
 
-InterpolationFxnName = Literal["linear", "quadratic", "exponential"]
+InterpolationFxn = Union[Schedule, Symmetric]
 
 
-def get_interpolation_fxn(name: InterpolationFxnName, src: ArrayLike, dst: ArrayLike) -> InterpolationFxn:
-    """(ref interpolation.py:167-177)"""
-    if name == "linear":
-        return Linear(src, dst)
-    if name == "quadratic":
-        return Quadratic(src, dst)
-    if name == "exponential":
-        return Exponential(src, dst)
-    raise ValueError(f"{name} is invalid")
+def Linear(src, dst) -> Schedule:
+    return Schedule("linear", src, dst)
+
+
+def Quadratic(src, dst) -> Schedule:
+    return Schedule("quadratic", src, dst)
+
+
+def Exponential(src, dst) -> Schedule:
+    return Schedule("exponential", src, dst)
+
+
+def get_interpolation_fxn(name: InterpolationFxnName, src, dst) -> Schedule:
+    return Schedule(name, src, dst)

@@ -1,45 +1,70 @@
-"""REST2-style single topology: selective energy scaling of intermediate
-states for enhanced sampling.
+"""REST2-flavored single topology: attenuate selected interactions at
+intermediate λ so conformational barriers melt where the transformation
+happens.
 
-Parity target: reference `timemachine/fe/rest/single_topology.py` —
-temperature-scale interpolation (:22-27), REST region construction
-(:90-176), softened-proper selection (:178-225), energy scaling of propers,
-intramolecular and host-guest nonbonded terms (:227-289).
+Capability target: reference timemachine/fe/rest/single_topology.py. The
+"hot region" (REST region) is grown from the atoms whose bonded parameters
+actually change between end states (plus all dummy atoms): whole rings
+touching them, then pendant decorations (terminal atoms and two-atom chains
+such as hydroxyl/nitrile hanging off the region). Torsions whose central
+bond is rotatable or part of an aliphatic ring and that touch the region,
+plus the region's intramolecular and host-guest nonbonded charges/epsilons,
+are divided by a symmetric λ-schedule of the effective temperature scale
+(1 at the end states, max_temperature_scale at λ=0.5).
+
+Structural differences from the reference: perturbed-atom seeds are found by
+a vectorized parameter comparison over the aligned term tables; ring growth
+uses the engine's own `Mol.ring_info()` (minimum cycle basis) instead of a
+networkx cycle basis; softenable bonds are collected once in combined-index
+space.
 """
+
+from __future__ import annotations
 
 from dataclasses import replace
 from functools import cached_property
 
 import jax.numpy as jnp
-import networkx as nx
 import numpy as np
 
 from timemachine_tpu.constants import NBParamIdx
 from timemachine_tpu.fe.single_topology import AtomMapFlags, SingleTopology
-from timemachine_tpu.graph_utils import convert_to_nx
 
-from .bond import CanonicalBond, CanonicalProper, mkbond, mkproper
-from .interpolation import InterpolationFxn, InterpolationFxnName, Symmetric, get_interpolation_fxn
+from .interpolation import InterpolationFxnName, Schedule, Symmetric
 from .queries import get_aliphatic_ring_bonds, get_rotatable_bonds
 
 
-def get_temperature_scale_interpolation_fxn(
-    max_temperature_scale: float, interpolation: InterpolationFxnName
-) -> InterpolationFxn:
-    """f(0) = f(1) = 1, f(0.5) = max_temperature_scale, symmetric
-    (ref rest/single_topology.py:22-27)."""
-    return Symmetric(get_interpolation_fxn(interpolation, 1.0, max_temperature_scale))
+def grow_rest_region(mol, seed_atoms) -> set:
+    """Seeds -> whole rings containing a seed -> pendant decorations.
 
+    Pendants: a terminal (degree-1) atom bonded to the region joins it; a
+    degree-2 atom bridging the region to a terminal atom brings both (covers
+    hydroxyls, nitriles, etc. hanging off a hot ring)."""
+    seeds = set(int(a) for a in seed_atoms)
+    ringed = set(seeds)
+    for ring in mol.ring_info():
+        if seeds & set(ring):
+            ringed |= set(int(a) for a in ring)
 
-def _neighbors(mol, idx: int) -> list:
-    return [b.other(idx) for b in mol.bonds if idx in (b.src, b.dst)]
+    pendants = set()
+    for atom in range(mol.num_atoms):
+        nbs = mol.neighbors(atom)
+        if len(nbs) == 1 and nbs[0] in ringed:
+            pendants.add(atom)
+        elif len(nbs) == 2:
+            far = None
+            if nbs[0] in ringed:
+                far = nbs[1]
+            elif nbs[1] in ringed:
+                far = nbs[0]
+            if far is not None and len(mol.neighbors(far)) == 1:
+                pendants.add(atom)
+                pendants.add(far)
+    return ringed | pendants
 
 
 class SingleTopologyREST(SingleTopology):
-    """SingleTopology with REST-like energy scaling of softened interactions:
-    rotatable/aliphatic-ring propers, ligand-ligand and ligand-environment
-    nonbonded terms, scaled by 1/temperature_scale(lamb)
-    (ref rest/single_topology.py:30-289)."""
+    """SingleTopology whose intermediate states run the REST region "hot"."""
 
     def __init__(
         self,
@@ -51,166 +76,123 @@ class SingleTopologyREST(SingleTopology):
         temperature_scale_interpolation: InterpolationFxnName = "exponential",
     ):
         super().__init__(mol_a, mol_b, core, forcefield)
-        print("rest is enabled with temp:", max_temperature_scale)
-        self._temperature_scale_interpolation_fxn: InterpolationFxn = get_temperature_scale_interpolation_fxn(
-            max_temperature_scale, temperature_scale_interpolation
+        self.max_temperature_scale = max_temperature_scale
+        # 1 at λ∈{0,1}, max at λ=0.5
+        self._temperature_scale = Symmetric(
+            Schedule(temperature_scale_interpolation, 1.0, max_temperature_scale)
         )
-        self._nxg_a = convert_to_nx(mol_a)
-        self._nxg_b = convert_to_nx(mol_b)
-        self._cycles_a = nx.cycle_basis(self._nxg_a)
-        self._cycles_b = nx.cycle_basis(self._nxg_b)
 
-    @staticmethod
-    def expand_rest_region_in_mol(atom_idxs, cycles, mol):
-        """Expand a REST region to whole rings plus attached terminal atoms
-        (ref rest/single_topology.py:91-120)."""
-        region = set()
-        for atom_idx in atom_idxs:
-            for cycle in cycles:
-                if atom_idx in cycle:
-                    region.update(cycle)
-
-        inner_rest_idxs = region.union(set(atom_idxs))
-        outer_rest_idxs: set = set()
-        for atom_idx in range(mol.num_atoms):
-            nbs = _neighbors(mol, atom_idx)
-            if len(nbs) == 1:
-                if nbs[0] in inner_rest_idxs:
-                    outer_rest_idxs.add(atom_idx)
-            elif len(nbs) == 2:
-                # 1-connected nitriles / hydroxyls hanging off the region
-                nb_nb = None
-                if nbs[0] in inner_rest_idxs:
-                    nb_nb = nbs[1]
-                elif nbs[1] in inner_rest_idxs:
-                    nb_nb = nbs[0]
-                if nb_nb is not None and len(_neighbors(mol, nb_nb)) == 1:
-                    outer_rest_idxs.add(atom_idx)
-                    outer_rest_idxs.add(nb_nb)
-
-        return inner_rest_idxs.union(outer_rest_idxs)
-
-    def split_combined_idxs(self, combined_idxs):
-        """(ref rest/single_topology.py:122-133)"""
-        mol_a_idxs = [
-            self.c_to_a[idx]
-            for idx in combined_idxs
-            if self.c_flags[idx] in (AtomMapFlags.CORE, AtomMapFlags.MOL_A)
-        ]
-        mol_b_idxs = [
-            self.c_to_b[idx]
-            for idx in combined_idxs
-            if self.c_flags[idx] in (AtomMapFlags.CORE, AtomMapFlags.MOL_B)
-        ]
-        return mol_a_idxs, mol_b_idxs
+    # -- region construction --------------------------------------------------
 
     @cached_property
-    def base_rest_region_atom_idxs(self) -> set:
-        """Combined-ligand atoms whose bond/angle/improper parameters differ
-        between end states, plus all dummies (ref rest/single_topology.py:135-162)."""
-        aligned_potentials = [self.aligned_bond, self.aligned_angle, self.aligned_improper]
-        idxs = {
-            int(idx)
-            for aligned in aligned_potentials
-            for idxs_row, params_a, params_b in zip(aligned.idxs, aligned.src_params, aligned.dst_params)
-            if not np.all(np.asarray(params_a) == np.asarray(params_b))
-            for idx in idxs_row
-        }
-        idxs |= self.get_dummy_atoms_a()
-        idxs |= self.get_dummy_atoms_b()
-        return idxs
+    def _perturbed_atom_idxs(self) -> set:
+        """Combined atoms in any bond/angle/improper whose parameters differ
+        between end states, plus every dummy atom."""
+        seeds: set[int] = set()
+        for table in (self.aligned_bond, self.aligned_angle, self.aligned_improper):
+            src = np.asarray(table.src_params)
+            dst = np.asarray(table.dst_params)
+            changed = ~np.all(src == dst, axis=tuple(range(1, src.ndim)))
+            seeds.update(int(i) for i in np.asarray(table.idxs)[changed].reshape(-1))
+        return seeds | self.get_dummy_atoms_a() | self.get_dummy_atoms_b()
+
+    def split_combined_idxs(self, combined_idxs):
+        """Combined indices -> (mol_a indices, mol_b indices)."""
+        idxs_a = [self.c_to_a[i] for i in combined_idxs if self.c_flags[i] != AtomMapFlags.MOL_B]
+        idxs_b = [self.c_to_b[i] for i in combined_idxs if self.c_flags[i] != AtomMapFlags.MOL_A]
+        return idxs_a, idxs_b
 
     @cached_property
     def rest_region_atom_idxs(self) -> set:
-        """(ref rest/single_topology.py:164-173)"""
-        mol_a_idxs, mol_b_idxs = self.split_combined_idxs(self.base_rest_region_atom_idxs)
-        expanded_a = self.expand_rest_region_in_mol(mol_a_idxs, self._cycles_a, self.mol_a)
-        expanded_b = self.expand_rest_region_in_mol(mol_b_idxs, self._cycles_b, self.mol_b)
-        return set(int(self.a_to_c[x]) for x in expanded_a) | set(int(self.b_to_c[x]) for x in expanded_b)
+        """Hot-region atoms in combined indexing: the perturbed seeds grown
+        per end-state molecule, mapped back."""
+        seeds_a, seeds_b = self.split_combined_idxs(self._perturbed_atom_idxs)
+        region_a = grow_rest_region(self.mol_a, seeds_a)
+        region_b = grow_rest_region(self.mol_b, seeds_b)
+        return {int(self.a_to_c[i]) for i in region_a} | {int(self.b_to_c[i]) for i in region_b}
+
+    # compatibility name used by diagnostics/tests of the reference layout
+    @property
+    def base_rest_region_atom_idxs(self) -> set:
+        return self._perturbed_atom_idxs
+
+    # -- torsion targeting ----------------------------------------------------
 
     @cached_property
-    def aliphatic_ring_bonds(self) -> set:
-        ring_bonds_a = {bond.translate(self.a_to_c) for bond in get_aliphatic_ring_bonds(self.mol_a)}
-        ring_bonds_b = {bond.translate(self.b_to_c) for bond in get_aliphatic_ring_bonds(self.mol_b)}
-        return ring_bonds_a | ring_bonds_b
-
-    @cached_property
-    def rotatable_bonds(self) -> set:
-        rotatable_a = {bond.translate(self.a_to_c) for bond in get_rotatable_bonds(self.mol_a)}
-        rotatable_b = {bond.translate(self.b_to_c) for bond in get_rotatable_bonds(self.mol_b)}
-        return rotatable_a | rotatable_b
+    def _softenable_bonds(self) -> set:
+        """Rotatable + aliphatic-ring bonds of both molecules, combined idx."""
+        bonds = set()
+        for mol, to_c in ((self.mol_a, self.a_to_c), (self.mol_b, self.b_to_c)):
+            for bond in get_rotatable_bonds(mol) | get_aliphatic_ring_bonds(mol):
+                bonds.add(bond.translate(to_c))
+        return bonds
 
     @cached_property
     def propers(self) -> list:
-        return [mkproper(*idxs) for idxs in super().setup_intermediate_state(0.0).proper.potential.idxs]
-
-    @cached_property
-    def candidate_propers(self) -> dict:
-        """Propers whose central bond is rotatable or an aliphatic ring bond
-        (ref rest/single_topology.py:198-207)."""
-        return {
-            idx: proper
-            for idx, proper in enumerate(self.propers)
-            for bond in [mkbond(proper.j, proper.k)]
-            if bond in self.rotatable_bonds or bond in self.aliphatic_ring_bonds
-        }
-
-    @cached_property
-    def target_propers(self) -> dict:
-        return {
-            idx: proper
-            for (idx, proper) in self.candidate_propers.items()
-            if any(i in self.rest_region_atom_idxs for i in proper.idxs)
-        }
+        return [tuple(int(i) for i in row) for row in self.aligned_proper.idxs]
 
     @cached_property
     def target_proper_idxs(self) -> list:
-        return list(self.target_propers.keys())
+        """Rows of the proper table to attenuate: central bond softenable AND
+        some atom inside the hot region."""
+        from .bond import mkbond
 
-    def get_energy_scale_factor(self, lamb: float) -> float:
-        return 1.0 / float(self._temperature_scale_interpolation_fxn(lamb))
-
-    def setup_intermediate_state(self, lamb: float):
-        """(ref rest/single_topology.py:230-257)"""
-        ref_state = super().setup_intermediate_state(lamb)
-        energy_scale = self.get_energy_scale_factor(lamb)
-
-        proper = ref_state.proper.potential.bind(
-            jnp.asarray(ref_state.proper.params).at[self.target_proper_idxs, 0].mul(energy_scale)
-        )
-
-        rest_region_pair_idxs = [
-            idx
-            for idx, (i, j) in enumerate(ref_state.nonbonded_pair_list.potential.idxs)
-            if i in self.rest_region_atom_idxs or j in self.rest_region_atom_idxs
+        region = self.rest_region_atom_idxs
+        soft = self._softenable_bonds
+        return [
+            row
+            for row, idxs in enumerate(self.propers)
+            if mkbond(idxs[1], idxs[2]) in soft and any(i in region for i in idxs)
         ]
 
-        nonbonded_pair_list = ref_state.nonbonded_pair_list.potential.bind(
-            jnp.asarray(ref_state.nonbonded_pair_list.params)
-            .at[rest_region_pair_idxs, NBParamIdx.Q_IDX]
-            .mul(energy_scale)
-            .at[rest_region_pair_idxs, NBParamIdx.LJ_EPS_IDX]
-            .mul(energy_scale)
+    @cached_property
+    def target_propers(self) -> dict:
+        from .bond import mkproper
+
+        return {row: mkproper(*self.propers[row]) for row in self.target_proper_idxs}
+
+    # -- energy scaling -------------------------------------------------------
+
+    def get_energy_scale_factor(self, lamb: float) -> float:
+        return 1.0 / float(self._temperature_scale(lamb))
+
+    def setup_intermediate_state(self, lamb: float):
+        state = super().setup_intermediate_state(lamb)
+        scale = self.get_energy_scale_factor(lamb)
+
+        proper_params = jnp.asarray(state.proper.params).at[self.target_proper_idxs, 0].mul(scale)
+
+        pair_idxs = np.asarray(state.nonbonded_pair_list.potential.idxs)
+        region = self.rest_region_atom_idxs
+        in_region = np.array([(i in region) or (j in region) for i, j in pair_idxs])
+        hot_rows = np.flatnonzero(in_region)
+        pair_params = (
+            jnp.asarray(state.nonbonded_pair_list.params)
+            .at[hot_rows, NBParamIdx.Q_IDX]
+            .mul(scale)
+            .at[hot_rows, NBParamIdx.LJ_EPS_IDX]
+            .mul(scale)
         )
 
-        return replace(ref_state, proper=proper, nonbonded_pair_list=nonbonded_pair_list)
+        return replace(
+            state,
+            proper=state.proper.potential.bind(proper_params),
+            nonbonded_pair_list=state.nonbonded_pair_list.potential.bind(pair_params),
+        )
 
     def combine_with_host(self, host_system, lamb: float, num_water_atoms: int, ff, host_topology=None):
-        """Additionally scales ligand charges/epsilons in the host-guest
-        interaction group (ref rest/single_topology.py:259-289; scaling the
-        ligand side keeps water-sampler parameter consistency)."""
-        ref_state = super().combine_with_host(host_system, lamb, num_water_atoms, ff, host_topology)
+        """Also attenuates the hot region's side of the host-guest interaction
+        group (ligand-side scaling keeps water-sampler parameters coherent)."""
+        state = super().combine_with_host(host_system, lamb, num_water_atoms, ff, host_topology)
+        scale = self.get_energy_scale_factor(lamb)
 
-        num_atoms_host = host_system.nonbonded_all_pairs.potential.num_atoms
-        rest_region_atom_idxs = np.array(sorted(self.rest_region_atom_idxs)) + num_atoms_host
-        energy_scale = self.get_energy_scale_factor(lamb)
-
-        nonbonded_host_guest_ixn = ref_state.nonbonded_ixn_group.potential.bind(
-            jnp.asarray(ref_state.nonbonded_ixn_group.params)
-            .at[rest_region_atom_idxs, NBParamIdx.Q_IDX]
-            .mul(energy_scale)
-            .at[rest_region_atom_idxs, NBParamIdx.LJ_EPS_IDX]
-            .mul(energy_scale)
+        n_host = host_system.nonbonded_all_pairs.potential.num_atoms
+        hot_rows = np.array(sorted(self.rest_region_atom_idxs), dtype=int) + n_host
+        ixn_params = (
+            jnp.asarray(state.nonbonded_ixn_group.params)
+            .at[hot_rows, NBParamIdx.Q_IDX]
+            .mul(scale)
+            .at[hot_rows, NBParamIdx.LJ_EPS_IDX]
+            .mul(scale)
         )
-
-        return replace(ref_state, nonbonded_ixn_group=nonbonded_host_guest_ixn)
+        return replace(state, nonbonded_ixn_group=state.nonbonded_ixn_group.potential.bind(ixn_params))

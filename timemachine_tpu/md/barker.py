@@ -1,39 +1,52 @@
-"""Barker proposal: robust gradient-informed MCMC proposal
-(Livingstone & Zanella 2020, arXiv:1908.11812).
+"""Barker proposal (Livingstone & Zanella 2020, arXiv:1908.11812), JAX-native.
 
-Parity target: reference timemachine/md/barker.py. Used for clash-robust host
-pre-equilibration (md/minimizer.py equilibrate_host_barker)."""
+Gradient-informed proposal that is robust to clashes / bad step sizes, used
+for host pre-equilibration (md/minimizer.equilibrate_host_barker; reference
+semantics: timemachine/md/barker.py + minimizer.py:429-471). Unlike the
+reference's per-step NumPy object, the chain here is a single jitted
+`lax.scan`, so an n-step un-Metropolized equilibration is one device program
+with no host round-trips.
+
+Proposal: y = x + b ⊙ z with z ~ N(0, σ²) elementwise and b = ±1 drawn with
+P(b=+1 | x, z) = σ(∇log q(x) ⊙ z) (logistic). Normalizing constant of the
+joint proposal density is 1/2 per coordinate (prop. 3.1 of the paper).
+"""
 
 from __future__ import annotations
 
-import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
 
 
-class BarkerProposal:
-    def __init__(self, grad_log_q, proposal_sig=0.001, seed=None):
-        self.grad_log_q = grad_log_q
-        assert proposal_sig > 0
-        self.proposal_sig = proposal_sig
-        if seed is None:
-            seed = np.random.randint(100000)
-        self.rng = np.random.default_rng(seed)
+def barker_propose(key: jax.Array, x: jax.Array, grad_log_q: jax.Array, sigma) -> jax.Array:
+    """One Barker proposal draw y ~ p(·|x), given ∇log q(x)."""
+    k_z, k_b = jax.random.split(key)
+    z = sigma * jax.random.normal(k_z, x.shape, dtype=x.dtype)
+    # b = +1 w.p. sigmoid(g·z): logistic draw via log-uniform comparison
+    u = jax.random.uniform(k_b, x.shape, dtype=x.dtype)
+    flip = jnp.log(u) > jax.nn.log_sigmoid(grad_log_q * z)
+    return x + jnp.where(flip, -z, z)
 
-    def _sample(self, x, gaussian_rvs, uniform_rvs):
-        z = gaussian_rvs * self.proposal_sig
-        grad_x = np.asarray(self.grad_log_q(x))
-        log_p_xz = -np.logaddexp(0.0, -grad_x * z)
-        p_xz = np.exp(log_p_xz)
-        b_xz = np.sign(p_xz - uniform_rvs)
-        return x + b_xz * z
 
-    def sample(self, x):
-        gauss = self.rng.normal(size=x.shape)
-        unif = self.rng.uniform(size=x.shape)
-        return self._sample(x, gauss, unif)
+def barker_log_density(x: jax.Array, y: jax.Array, grad_log_q_x: jax.Array, sigma) -> jax.Array:
+    """log p(y | x) (eq. 16 of the paper), summed over coordinates."""
+    z = y - x
+    log_normal = -0.5 * (z / sigma) ** 2 - jnp.log(sigma) - 0.5 * jnp.log(2.0 * jnp.pi)
+    log_flip_prob = jax.nn.log_sigmoid(grad_log_q_x * z)
+    return jnp.sum(log_normal + log_flip_prob) - jnp.log(0.5)
 
-    def log_density(self, x, y):
-        z = y - x
-        base = np.sum(-0.5 * (z / self.proposal_sig) ** 2 - np.log(self.proposal_sig * np.sqrt(2 * np.pi)))
-        grad_x = np.asarray(self.grad_log_q(x))
-        log_p_xz = -np.logaddexp(0.0, -grad_x * z)
-        return base + np.sum(log_p_xz) - np.log(0.5)
+
+def barker_chain(key: jax.Array, x0: jax.Array, grad_log_q_fn, sigma, n_steps: int) -> jax.Array:
+    """Run `n_steps` un-Metropolized Barker updates as one jitted scan.
+
+    grad_log_q_fn: x -> ∇log q(x) (for Boltzmann targets, -∇U(x)/kT).
+    Returns the final state only (equilibration use-case).
+    """
+
+    def step(x, k):
+        return barker_propose(k, x, grad_log_q_fn(x), sigma), None
+
+    keys = jax.random.split(key, n_steps)
+    x_final, _ = lax.scan(step, x0, keys)
+    return x_final

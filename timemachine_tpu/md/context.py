@@ -227,9 +227,9 @@ class Context:
                 new_states.append(st)
             return force, tuple(new_states)
 
-        def step_fn(carry, params_list):
+        def step_fn(carry, params_list, base_key=None):
             x, v, box, t, mover_states, prov_states = carry
-            key_t = jax.random.fold_in(self._base_key, t)
+            key_t = jax.random.fold_in(base_key if base_key is not None else self._base_key, t)
             k_int, k_movers = jax.random.split(key_t)
 
             force, prov_states = total_force(x, box, params_list, prov_states, t)
@@ -300,11 +300,13 @@ class Context:
 
         step_fn = self._make_step_fn(free_mask)
 
+        # base_key is a runtime argument (NOT a trace-time closure constant)
+        # so reset_for_state's reseeding reaches already-compiled runners
         @jax.jit
-        def run(x, v, box, t0, mover_states, prov_states, params_list):
+        def run(x, v, box, t0, mover_states, prov_states, params_list, base_key):
             def frame_body(carry, _):
                 def step_body(c, _):
-                    return step_fn(c, params_list)
+                    return step_fn(c, params_list, base_key)
 
                 carry, _ = jax.lax.scan(step_body, carry, None, length=steps_per_frame)
                 x_f, v_f, box_f, _, _, _ = carry
@@ -347,13 +349,13 @@ class Context:
 
         if n_frames > 0:
             run = self._get_runner(interval, n_frames, free_mask_key, free_mask)
-            carry, xs, boxes = run(x, v, box, t0, mover_states, prov_states, self._params)
+            carry, xs, boxes = run(x, v, box, t0, mover_states, prov_states, self._params, self._base_key)
             x, v, box, t0, mover_states, prov_states = carry
             xs_out.append(np.asarray(xs))
             boxes_out.append(np.asarray(boxes))
         if tail > 0:
             run = self._get_runner(tail, 1, free_mask_key, free_mask)
-            carry, xs, boxes = run(x, v, box, t0, mover_states, prov_states, self._params)
+            carry, xs, boxes = run(x, v, box, t0, mover_states, prov_states, self._params, self._base_key)
             x, v, box, t0, mover_states, prov_states = carry
 
         self._x = np.asarray(x)

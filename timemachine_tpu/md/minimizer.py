@@ -21,7 +21,7 @@ from timemachine_tpu.constants import BOLTZ, DEFAULT_PRESSURE, DEFAULT_TEMP, MAX
 from timemachine_tpu.fe import topology
 from timemachine_tpu.fe.utils import get_romol_conf
 from timemachine_tpu.integrators import LangevinIntegrator
-from timemachine_tpu.md.barker import BarkerProposal
+from timemachine_tpu.md.barker import barker_chain
 from timemachine_tpu.md.barostat import MonteCarloBarostat
 from timemachine_tpu.md.context import Context
 from timemachine_tpu.md.fire import FireMinimizationConfig, ScipyMinimizationConfig, fire_minimize_jax
@@ -122,6 +122,8 @@ def make_host_du_dx_fxn(mols, host_config, ff, mol_coords=None, lamb: float = 0.
     def du_dx_host_fxn(x_host):
         return np.asarray(du_dx(jnp.asarray(x_host)))
 
+    # traceable gradient for callers that embed it in a jitted chain
+    du_dx_host_fxn.jax_grad = du_dx
     return du_dx_host_fxn
 
 
@@ -232,16 +234,19 @@ def equilibrate_host_barker(
     n_steps: int = 1000,
     seed: Optional[int] = None,
 ):
-    """Clash-robust equilibration via un-Metropolized Barker proposals
-    (ref minimizer.py:429-471)."""
+    """Clash-robust equilibration via un-Metropolized Barker proposals,
+    run as one jitted on-device chain (ref semantics: minimizer.py:429-471)."""
     assert 0 < proposal_stddev <= 0.0001
     du_dx_host_fxn = make_host_du_dx_fxn(mols, host_config, ff, mol_coords)
-    grad_log_q = lambda x_host: -du_dx_host_fxn(x_host) / (BOLTZ * temperature)
-    barker_prop = BarkerProposal(grad_log_q, proposal_stddev, seed=seed)
+    kT = BOLTZ * temperature
+    grad_log_q = lambda x_host: -du_dx_host_fxn.jax_grad(x_host) / kT
 
-    x_host = np.array(host_config.conf)
-    for _ in range(n_steps):
-        x_host = barker_prop.sample(x_host)
+    if seed is None:
+        seed = np.random.randint(100000)
+    key = jax.random.key(seed)
+    x_host = np.asarray(
+        barker_chain(key, jnp.asarray(host_config.conf), grad_log_q, proposal_stddev, n_steps)
+    )
     check_force_norm(-du_dx_host_fxn(x_host))
     return x_host
 

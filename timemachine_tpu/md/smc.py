@@ -1,34 +1,31 @@
-"""Sequential Monte Carlo (SMC) over an alchemical lambda coordinate.
+"""Sequential Monte Carlo along an alchemical λ coordinate.
 
-Parity target: reference `timemachine/md/smc.py` — adaptive/fixed next-lambda
-selection (:162-279), resamplers (:281-339), (C)ESS (:340-388), the SMC driver
-(:40-160) and endstate-sample extraction (:389-413).
+Capability target: reference `timemachine/md/smc.py` — annealed importance
+sampling with resampling: reweight → resample → propagate per window, fixed
+or CESS-adaptive λ placement (Zhou, Johansen & Aston 2016), multinomial /
+stratified / conditional resamplers, endstate sample extraction.
 
-TPU notes: the weight bookkeeping is pure array math; `propagate` is expected
-to be a batched mover (e.g. one vmapped/jitted NPT segment advancing all
-walkers on-device at once — see md/moves.py NPTMove and parallel/ for the
-sharded variant). The outer loop is host-side because the number of lambda
-windows is data-dependent (adaptive bisection on CESS).
+Engine notes: `propagate` is a *batched* mover — all walkers advance in one
+vmapped/jitted device program (md/moves.NPTMove); the weight algebra here is
+tiny host-side numpy. The λ loop stays host-side because the window count is
+data-dependent under adaptive placement.
+
+Implementation is log-space numpy throughout (ESS and CESS computed without
+exponentiating weights); stratified resampling is a vectorized searchsorted
+over the cumulative weights rather than an index-walking loop.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
 
 import numpy as np
-from jax import numpy as jnp
-from jax.scipy.special import logsumexp as jlogsumexp
-from numpy.typing import NDArray
 from scipy.optimize import root_scalar
 from scipy.special import logsumexp
 
-Sample = Any
-Samples = list
-Lambda = float
-Array = NDArray
-LogWeights = Array
-
-BatchPropagator = Callable[[Samples, Lambda], Samples]
+Samples = Sequence[Any]
+BatchPropagator = Callable
 BatchLogProb = Callable
 FindNextLambda = Callable
 Resampler = Callable
@@ -38,79 +35,76 @@ class SMCMaxIterError(Exception):
     """SMC exceeded the maximum number of iterations."""
 
 
-def sequential_monte_carlo(
-    samples: Samples,
-    propagate: BatchPropagator,
-    log_prob: BatchLogProb,
-    resample: Resampler,
-    find_next_lambda: FindNextLambda,
-    store_intermediate_traj: bool = True,
-    max_num_lambdas: int = 1000,
-) -> dict:
-    """SMC from lambda=0 to lambda=1 (ref smc.py:40-160).
+# -- weight algebra -----------------------------------------------------------
 
-    Returns a dict with keys traj, log_weights_traj, ancestry_traj,
-    incremental_log_weights_traj, lambdas_traj.
-    """
-    n = len(samples)
-    log_weights = np.zeros(n)
-    norm_log_weights = log_weights - logsumexp(log_weights)
 
-    sample_traj = [samples]
-    ancestry_traj = [np.arange(n)]
-    log_weights_traj = [np.array(log_weights)]
-    incremental_log_weights_traj: list = []
-    lambdas_traj = [0.0]
+def _normalized(log_weights) -> np.ndarray:
+    lw = np.asarray(log_weights, dtype=float)
+    return lw - logsumexp(lw)
 
-    lam_initial: Lambda = 0.0
-    current_iteration = 0
 
-    for _ in range(max_num_lambdas):
-        lam_target, incremental_log_weights = find_next_lambda(
-            sample_traj[-1], lam_initial, current_iteration, norm_log_weights
-        )
-        if lam_target == 1.0:
-            break
+def effective_sample_size(log_weights) -> float:
+    """ESS = 1/Σ wᵢ² = exp(−logsumexp(2·log w̄)) ∈ [1, N]."""
+    return float(np.exp(-logsumexp(2.0 * _normalized(log_weights))))
 
-        indices, log_weights = resample(log_weights + incremental_log_weights)
-        norm_log_weights = log_weights - logsumexp(log_weights)
-        resampled = [sample_traj[-1][i] for i in indices]
 
-        samples = propagate(resampled, lam_target)
+def conditional_effective_sample_size(norm_log_weights, incremental_log_weights) -> float:
+    """CESS of Zhou/Johansen/Aston 2016 eq. 3.16, in log space."""
+    lw = np.asarray(norm_log_weights, dtype=float)
+    inc = np.asarray(incremental_log_weights, dtype=float)
+    n = len(lw)
+    return float(n * np.exp(2.0 * logsumexp(lw + inc) - logsumexp(lw + 2.0 * inc)))
 
-        if store_intermediate_traj:
-            sample_traj.append(samples)
-        else:
-            sample_traj[0] = samples
-        ancestry_traj.append(indices)
-        log_weights_traj.append(np.array(log_weights))
-        incremental_log_weights_traj.append(np.array(incremental_log_weights))
-        lambdas_traj.append(lam_target)
 
-        lam_initial = lam_target
-        current_iteration += 1
-    else:
-        raise SMCMaxIterError(f"SMC exceeded maximum number of iterations {max_num_lambdas}.")
+# -- resamplers ---------------------------------------------------------------
+# Each maps log_weights -> (ancestor indices, post-resampling log_weights).
 
-    incremental_log_weights_traj.append(incremental_log_weights)
-    log_weights_traj.append(np.array(log_weights + incremental_log_weights))
-    lambdas_traj.append(lam_target)
 
-    return dict(
-        traj=sample_traj,
-        log_weights_traj=np.array(log_weights_traj),
-        ancestry_traj=np.array(ancestry_traj),
-        incremental_log_weights_traj=np.array(incremental_log_weights_traj),
-        lambdas_traj=np.array(lambdas_traj),
-    )
+def _flattened_log_weights(log_weights) -> np.ndarray:
+    """After an exact resampling step every walker carries the average
+    weight: log(Z_hat / n) replicated."""
+    n = len(log_weights)
+    return np.full(n, logsumexp(np.asarray(log_weights, dtype=float)) - np.log(n))
+
+
+def identity_resample(log_weights):
+    return np.arange(len(log_weights)), np.asarray(log_weights, dtype=float)
+
+
+def multinomial_resample(log_weights):
+    """iid ancestor draws ∝ weights."""
+    p = np.exp(_normalized(log_weights))
+    ancestors = np.random.choice(len(p), size=len(p), p=p / p.sum())
+    return ancestors, _flattened_log_weights(log_weights)
+
+
+def stratified_resample(log_weights):
+    """One uniform draw per 1/n stratum of the CDF (Douc/Cappé/Moulines
+    2005), located by searchsorted — lower variance than multinomial."""
+    n = len(log_weights)
+    strata = (np.arange(n) + np.random.random(n)) / n
+    cdf = np.cumsum(np.exp(_normalized(log_weights)))
+    cdf[-1] = 1.0  # guard roundoff at the top stratum
+    ancestors = np.searchsorted(cdf, strata, side="right")
+    return ancestors, _flattened_log_weights(log_weights)
+
+
+def conditional_multinomial_resample(log_weights, thresh: float = 0.5):
+    """Resample only when fractional ESS sinks below thresh."""
+    if effective_sample_size(log_weights) < thresh * len(log_weights):
+        return multinomial_resample(log_weights)
+    return identity_resample(log_weights)
+
+
+# -- λ placement --------------------------------------------------------------
 
 
 def fixed_find_next_lambda(samples, current_lambda, current_iteration, norm_log_weights, log_prob, lambdas):
-    """Fixed-schedule SMC step (ref smc.py:162-184)."""
+    """Walk a preset schedule; incremental weights from the density ratio."""
     assert lambdas[-1] == 1.0, "final lambda must be 1.0"
-    lam_target = lambdas[current_iteration + 1]
-    incremental_log_weights = log_prob(samples, lam_target, True) - log_prob(samples, current_lambda, True)
-    return lam_target, incremental_log_weights
+    lam_next = lambdas[current_iteration + 1]
+    inc = np.asarray(log_prob(samples, lam_next, True)) - np.asarray(log_prob(samples, current_lambda, True))
+    return lam_next, inc
 
 
 def adaptive_find_next_lambda(
@@ -124,102 +118,120 @@ def adaptive_find_next_lambda(
     max_iterations: int = 100,
     final_lambda: float = 1.0,
 ):
-    """Choose the next lambda by bisecting on CESS ≈ cess_target
-    (Zhou/Johansen/Aston 2016 Alg. 4; ref smc.py:186-279)."""
+    """Place the next λ where CESS crosses cess_target (bisection); jump to
+    final_lambda when even that keeps CESS above target."""
     n = len(samples)
-    assert cess_target > 1, f"cess_target is too small: {cess_target} <= 1"
-    assert cess_target < n, f"cess_target is too large: {cess_target} >= {n}"
-
-    cur_log_prob = log_prob(samples, current_lambda, True)
-    incremental_holder: list = [None]
-
-    def f_opt(lam: float) -> float:
-        incremental_holder[0] = log_prob(samples, lam, False) - cur_log_prob
-        cess = conditional_effective_sample_size(norm_log_weights, incremental_holder[0])
-        return float(cess) - cess_target
-
-    lam_target: Lambda = final_lambda
-    try:
-        lam_target = root_scalar(f_opt, bracket=(current_lambda, lam_target), method="bisect", xtol=epsilon).root
-    except ValueError:
-        lam_target = final_lambda
-        incremental_holder[0] = log_prob(samples, final_lambda, False) - cur_log_prob
-
-    assert incremental_holder[0] is not None
+    assert 1 < cess_target < n, f"cess_target must lie in (1, {n}), got {cess_target}"
     if current_iteration == max_iterations:
         raise SMCMaxIterError(f"SMC exceeded maximum number of iterations {max_iterations}.")
-    return lam_target, incremental_holder[0]
+
+    base_log_prob = np.asarray(log_prob(samples, current_lambda, True))
+
+    def incremental_at(lam):
+        return np.asarray(log_prob(samples, lam, False)) - base_log_prob
+
+    def gap(lam):
+        return conditional_effective_sample_size(norm_log_weights, incremental_at(lam)) - cess_target
+
+    try:
+        lam_next = root_scalar(gap, bracket=(current_lambda, final_lambda), method="bisect", xtol=epsilon).root
+    except ValueError:
+        # no sign change in the bracket: the full jump already satisfies CESS
+        lam_next = final_lambda
+    return lam_next, incremental_at(lam_next)
 
 
-def identity_resample(log_weights):
-    """(ref smc.py:281-285)"""
-    return np.arange(len(log_weights)), log_weights
+# -- driver -------------------------------------------------------------------
 
 
-def multinomial_resample(log_weights):
-    """Sample ∝ exp(log_weights) with replacement (ref smc.py:287-298)."""
-    normed_weights = np.exp(log_weights - logsumexp(log_weights))
-    assert np.isclose(np.sum(normed_weights), 1.0)
-    n = len(log_weights)
-    indices = np.random.choice(np.arange(n), size=n, p=normed_weights)
-    avg_log_weights = logsumexp(log_weights - np.log(n)) * np.ones(n)
-    return indices, avg_log_weights
+@dataclass
+class _Trace:
+    """Per-iteration records; `asdict` matches the reference result layout."""
 
+    traj: list = field(default_factory=list)
+    log_weights_traj: list = field(default_factory=list)
+    ancestry_traj: list = field(default_factory=list)
+    incremental_log_weights_traj: list = field(default_factory=list)
+    lambdas_traj: list = field(default_factory=list)
+    keep_intermediates: bool = True
 
-def stratified_resample(log_weights):
-    """One particle per cumulative-weight subinterval
-    (Douc/Cappé/Moulines 2005; ref smc.py:300-338)."""
-    weights = np.exp(log_weights - logsumexp(log_weights))
-    assert np.isclose(np.sum(weights), 1.0)
-    n = len(log_weights)
-    subintervals = (np.random.random(n) + np.arange(n)) / n
-    indices = np.zeros(n, dtype=int)
-    cumulative_sum = np.cumsum(weights)
-    i, j = 0, 0
-    while i < n:
-        if subintervals[i] < cumulative_sum[j]:
-            indices[i] = j
-            i += 1
+    def record_samples(self, samples):
+        if self.keep_intermediates or not self.traj:
+            self.traj.append(samples)
         else:
-            j += 1
-    avg_log_weights = logsumexp(log_weights - np.log(n)) * np.ones(n)
-    return indices, avg_log_weights
+            self.traj[0] = samples
+
+    def asdict(self):
+        return dict(
+            traj=self.traj,
+            log_weights_traj=np.array(self.log_weights_traj),
+            ancestry_traj=np.array(self.ancestry_traj),
+            incremental_log_weights_traj=np.array(self.incremental_log_weights_traj),
+            lambdas_traj=np.array(self.lambdas_traj),
+        )
 
 
-def effective_sample_size(log_weights):
-    """ESS(w) = 1 / Σ w_i² ∈ [1, N] (ref smc.py:340-351)."""
-    norm_weights = jnp.exp(log_weights - jlogsumexp(log_weights))
-    return 1 / jnp.sum(norm_weights**2)
+def sequential_monte_carlo(
+    samples: Samples,
+    propagate: BatchPropagator,
+    log_prob: BatchLogProb,
+    resample: Resampler,
+    find_next_lambda: FindNextLambda,
+    store_intermediate_traj: bool = True,
+    max_num_lambdas: int = 1000,
+) -> dict:
+    """Anneal walkers from λ=0 to λ=1.
+
+    Per window: find_next_lambda gives (λ', incremental log-weights); walkers
+    are resampled under the updated weights and propagated at λ'. The final
+    reweighting onto λ=1 is recorded without propagation. Returns a dict with
+    keys traj, log_weights_traj, ancestry_traj, incremental_log_weights_traj,
+    lambdas_traj (reference layout, timemachine/md/smc.py:40-160).
+    """
+    n = len(samples)
+    log_weights = np.zeros(n)
+
+    trace = _Trace(keep_intermediates=store_intermediate_traj)
+    trace.record_samples(samples)
+    trace.ancestry_traj.append(np.arange(n))
+    trace.log_weights_traj.append(log_weights.copy())
+    trace.lambdas_traj.append(0.0)
+
+    lam = 0.0
+    for iteration in range(max_num_lambdas):
+        lam_next, incremental = find_next_lambda(trace.traj[-1], lam, iteration, _normalized(log_weights))
+
+        if lam_next == 1.0:
+            # terminal reweighting only — no resample/propagate at λ=1
+            trace.incremental_log_weights_traj.append(np.asarray(incremental))
+            trace.log_weights_traj.append(log_weights + incremental)
+            trace.lambdas_traj.append(lam_next)
+            return trace.asdict()
+
+        ancestors, log_weights = resample(log_weights + incremental)
+        moved = propagate([trace.traj[-1][i] for i in ancestors], lam_next)
+
+        trace.record_samples(moved)
+        trace.ancestry_traj.append(ancestors)
+        trace.log_weights_traj.append(np.asarray(log_weights).copy())
+        trace.incremental_log_weights_traj.append(np.asarray(incremental))
+        trace.lambdas_traj.append(lam_next)
+        lam = lam_next
+
+    raise SMCMaxIterError(f"SMC exceeded maximum number of iterations {max_num_lambdas}.")
 
 
-def conditional_effective_sample_size(norm_log_weights, incremental_log_weights):
-    """CESS (Zhou/Johansen/Aston 2016 eq 3.16; ref smc.py:353-377)."""
-    n = len(norm_log_weights)
-    summed = norm_log_weights + incremental_log_weights
-    num = 2 * jlogsumexp(summed)
-    denom = jlogsumexp(summed + incremental_log_weights)
-    return n * jnp.exp(num - denom)
-
-
-def conditional_multinomial_resample(log_weights, thresh: float = 0.5):
-    """Resample only when fractional ESS drops below thresh (ref smc.py:379-386)."""
-    n = len(log_weights)
-    if float(effective_sample_size(log_weights)) / n < thresh:
-        return multinomial_resample(log_weights)
-    return identity_resample(log_weights)
+# -- endstate extraction ------------------------------------------------------
 
 
 def refine_samples(samples, log_weights, propagate: BatchPropagator, lam: float):
-    """Resample to equal weights, then diversify by propagating
-    (ref smc.py:389-401)."""
-    resampled_inds, log_weights = multinomial_resample(log_weights)
-    assert np.isclose(np.std(log_weights), 0), "Need equally weighted samples"
-    return propagate([samples[i] for i in resampled_inds], lam)
+    """Equal-weight resample, then decorrelate with one propagation sweep."""
+    ancestors, flat = multinomial_resample(log_weights)
+    assert np.isclose(np.std(flat), 0.0), "resampler must flatten the weights"
+    return propagate([samples[i] for i in ancestors], lam)
 
 
 def get_endstate_samples_from_smc_result(smc_result: dict, propagate: BatchPropagator, lambdas):
-    """Unweighted approximate samples at lambdas[0] and lambdas[-1]
-    (ref smc.py:403-413)."""
-    initial_samples = refine_samples(smc_result["traj"][0], smc_result["log_weights_traj"][0], propagate, lambdas[0])
-    final_samples = refine_samples(smc_result["traj"][-1], smc_result["log_weights_traj"][-1], propagate, lambdas[-1])
-    return initial_samples, final_samples
+    first = refine_samples(smc_result["traj"][0], smc_result["log_weights_traj"][0], propagate, lambdas[0])
+    last = refine_samples(smc_result["traj"][-1], smc_result["log_weights_traj"][-1], propagate, lambdas[-1])
+    return first, last
