@@ -1035,21 +1035,185 @@ def run_sims_hrex(
     n_swap_attempts_per_iter: Optional[int] = None,
     print_diagnostics_interval: Optional[int] = 10,
 ) -> tuple[PairBarResult, list[Trajectory], HREXDiagnostics, Optional[WaterSamplingDiagnostics]]:
-    """Nearest-neighbor HREX over a sequence of states
-    (ref free_energy.py:1383-1643). Single-device driver: one Context,
-    recompile-free set_params per replica segment. For the multi-device
-    SPMD variant (all replicas advanced in one pjit step), see
-    `timemachine_tpu/parallel/hrex_sharded.py`."""
+    """Nearest-neighbor HREX over a ladder of states — replica-parallel.
+
+    Replaces the reference's time-multiplexed inner loop
+    (ref free_energy.py:1383-1643: one Context, set_params/set_x_t per
+    replica per frame, a host round-trip each) with the sharded runner
+    (parallel/replica_exchange.py): every HREX iteration — all K MD segments,
+    the banded U_kl matrix, and the swap batch — is ONE device program,
+    vmapped over replicas and partitioned over the available devices.
+
+    Local MD inside HREX segments still runs through the single-replica
+    fallback (_run_sims_hrex_time_multiplexed).
+    """
     assert md_params.hrex_params is not None
 
     for s in initial_states[1:]:
         assert_ensembles_compatible(initial_states[0], s)
+        assert_potentials_compatible(initial_states[0].potentials, s.potentials)
+
+    if md_params.local_md_params is not None:
+        return _run_sims_hrex_time_multiplexed(
+            initial_states, md_params, n_swap_attempts_per_iter, print_diagnostics_interval
+        )
+
+    import math
+
+    from timemachine_tpu.md.barostat import MonteCarloBarostat as _MCBarostat
+    from timemachine_tpu.md.exchange.targeted_insertion import TIBDExchangeMove as _TIBD
+    from timemachine_tpu.parallel.replica_exchange import ReplicaExchangeRunner, make_replica_mesh
+
+    n_states = len(initial_states)
+    if n_swap_attempts_per_iter is None:
+        n_swap_attempts_per_iter = get_swap_attempts_per_iter_heuristic(n_states)
+
+    context = get_context(initial_states[0], md_params=md_params)
+    temperature = initial_states[0].integrator.temperature
+
+    params_list_by_state = [[np.asarray(bp.params) for bp in s.potentials] for s in initial_states]
+    water_params_by_state = (
+        [get_water_sampler_params(s) for s in initial_states]
+        if md_params.water_sampling_params is not None
+        else None
+    )
+
+    state_idxs = list(range(n_states))
+    neighbor_pairs = list(zip(state_idxs, state_idxs[1:]))
+    strip_identity_pair = False
+    if n_states == 2:
+        # identity move keeps the 2-state chain aperiodic (ref :1455-1457)
+        neighbor_pairs = [(0, 0), *neighbor_pairs]
+        strip_identity_pair = True
+
+    # shard the replica axis over as many devices as divide K evenly
+    n_shards = math.gcd(n_states, len(jax.devices()))
+    mesh = make_replica_mesh(jax.devices()[:n_shards]) if n_shards > 1 else None
+
+    runner = ReplicaExchangeRunner(
+        context,
+        params_list_by_state,
+        temperature=temperature,
+        neighbor_pairs=neighbor_pairs,
+        n_swap_attempts_per_iter=n_swap_attempts_per_iter,
+        max_delta_states=md_params.hrex_params.max_delta_states,
+        seed=md_params.seed,
+        water_params_by_state=water_params_by_state,
+        mesh=mesh,
+    )
+    runner.initialize(
+        [s.x0 for s in initial_states],
+        [s.v0 for s in initial_states],
+        [s.box0 for s in initial_states],
+    )
+    runner.equilibrate(md_params.n_eq_steps)
+
+    tibd_idx = [i for i, m in enumerate(context.movers) if isinstance(m, _TIBD)]
+    barostat_idx = [i for i, m in enumerate(context.movers) if isinstance(m, _MCBarostat)]
+
+    def water_counters_by_replica():
+        if not tibd_idx:
+            return None
+        i = tibd_idx[0]
+        return (
+            np.asarray(runner.mover_states[i].n_accepted).copy(),
+            np.asarray(runner.mover_states[i].n_proposed).copy(),
+        )
+
+    samples_by_state: list[Trajectory] = [Trajectory.empty() for _ in initial_states]
+    replica_idx_by_state_by_iter: list[list[int]] = []
+    fraction_accepted_by_pair_by_iter: list[list[tuple[int, int]]] = []
+    water_counts_by_state_by_iter: list[list[tuple[int, int]]] = []
+
+    begin_loop_time = time.perf_counter()
+    last_update_time = begin_loop_time
+
+    for current_frame in range(md_params.n_frames):
+        counters_before = water_counters_by_replica()
+        res = runner.advance_frame(md_params.steps_per_frame)
+        perm = res.replica_idx_by_state
+
+        for s, samples in enumerate(samples_by_state):
+            samples.frames.extend(res.frames_by_state[s][None])
+            samples.boxes.extend(res.boxes_by_state[s][None])
+
+        pair_stats = list(zip(res.accepted_by_pair.tolist(), res.proposed_by_pair.tolist()))
+        if strip_identity_pair:
+            pair_stats = pair_stats[1:]
+
+        replica_idx_by_state_by_iter.append(perm.tolist())
+        fraction_accepted_by_pair_by_iter.append(pair_stats)
+
+        if counters_before is not None:
+            acc_now, prop_now = water_counters_by_replica()
+            d_acc = acc_now - counters_before[0]
+            d_prop = prop_now - counters_before[1]
+            water_counts_by_state_by_iter.append(
+                [(int(d_acc[perm[s]]), int(d_prop[perm[s]])) for s in range(n_states)]
+            )
+
+        if print_diagnostics_interval and (current_frame + 1) % print_diagnostics_interval == 0:
+            current_time = time.perf_counter()
+
+            def get_swap_acceptance_rates(pair_stats):
+                return [acc / prop if prop else np.nan for acc, prop in pair_stats]
+
+            instantaneous_rates = get_swap_acceptance_rates(pair_stats)
+            average_rates = get_swap_acceptance_rates(np.sum(fraction_accepted_by_pair_by_iter, axis=0))
+            wall_time_per_frame_average = (current_time - begin_loop_time) / (current_frame + 1)
+            wall_time_per_frame_current = (current_time - last_update_time) / print_diagnostics_interval
+            remaining = wall_time_per_frame_average * (md_params.n_frames - (current_frame + 1))
+
+            def format_rates(rs):
+                return " |".join(f"{r * 100.0:5.1f}%" for r in rs)
+
+            print("Frame", current_frame + 1)
+            print(
+                f"{remaining:.1f} s remaining at {wall_time_per_frame_average:.2f} s/frame "
+                f"({wall_time_per_frame_current:.2f} s/frame since last message)"
+            )
+            print("HREX acceptance rates, current:", format_rates(instantaneous_rates))
+            print("HREX acceptance rates, average:", format_rates(average_rates))
+            print("HREX replica permutation      :", perm.tolist())
+            print()
+            last_update_time = current_time
+
+    final_x, final_v, final_boxes = runner.final_state_arrays()
+    final_scales = (
+        runner.mover_state_field_by_state(barostat_idx[0], "volume_scale") if barostat_idx else None
+    )
+    for s, samples in enumerate(samples_by_state):
+        samples.final_velocities = final_v[s]
+        samples.final_barostat_volume_scale_factor = (
+            float(final_scales[s]) if final_scales is not None else None
+        )
+
+    neighbor_ulkns_by_component = generate_pair_bar_ulkns(initial_states, samples_by_state, temperature)
+    pair_bar_results = [estimate_free_energy_bar(u, temperature) for u in neighbor_ulkns_by_component]
+
+    hrex_diagnostics = HREXDiagnostics(replica_idx_by_state_by_iter, fraction_accepted_by_pair_by_iter)
+    water_diagnostics = (
+        WaterSamplingDiagnostics(np.array(water_counts_by_state_by_iter))
+        if md_params.water_sampling_params is not None
+        else None
+    )
+    return PairBarResult(list(initial_states), pair_bar_results), samples_by_state, hrex_diagnostics, water_diagnostics
+
+
+def _run_sims_hrex_time_multiplexed(
+    initial_states: Sequence[InitialState],
+    md_params: MDParams,
+    n_swap_attempts_per_iter: Optional[int] = None,
+    print_diagnostics_interval: Optional[int] = 10,
+) -> tuple[PairBarResult, list[Trajectory], HREXDiagnostics, Optional[WaterSamplingDiagnostics]]:
+    """Single-replica-at-a-time HREX fallback (reference-style driver,
+    ref free_energy.py:1383-1643): one Context, recompile-free set_params per
+    replica segment. Used only when segments need machinery the sharded
+    runner lacks (currently: local MD)."""
+    assert md_params.hrex_params is not None
 
     if n_swap_attempts_per_iter is None:
         n_swap_attempts_per_iter = get_swap_attempts_per_iter_heuristic(len(initial_states))
-
-    for s in initial_states[1:]:
-        assert_potentials_compatible(initial_states[0].potentials, s.potentials)
 
     context = get_context(initial_states[0], md_params=md_params)
     temperature = initial_states[0].integrator.temperature

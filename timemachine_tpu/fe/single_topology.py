@@ -295,173 +295,155 @@ def get_num_connected_components(num_atoms: int, bonds) -> int:
     return len(list(nx.connected_components(g)))
 
 
-def setup_end_state(ff: Forcefield, mol_a, mol_b, core, a_to_c, b_to_c, anchored_dummy_groups) -> GuestSystem:
-    """End state: mol_a fully interacting + mol_b's dummy atoms attached
-    factorizably (ref single_topology.py:473-720). All idxs canonicalized."""
-    all_dummy_angle_idxs_, all_dummy_angle_params_ = [], []
-    all_dummy_improper_idxs_, all_dummy_improper_params_ = [], []
-    for anchor, (nbr, dg) in anchored_dummy_groups.items():
-        all_idxs, all_params = setup_dummy_interactions_from_ff(
-            ff, mol_b, dg, anchor, nbr, core[:, 1], DEFAULT_CHIRAL_ATOM_RESTRAINT_K, DEFAULT_CHIRAL_BOND_RESTRAINT_K
+def _remap_or_empty(mapping, idxs, width: int):
+    """Relabel an index table through `mapping`, tolerating empty tables."""
+    idxs = np.asarray(idxs, dtype=np.int32).reshape(-1, width)
+    return mapping[idxs] if len(idxs) else idxs
+
+
+def _stack_rows(rows, width, dtype):
+    return np.array(rows, dtype=dtype).reshape(-1, width)
+
+
+def _collect_dummy_attachment_terms(ff: Forcefield, mol_b, core_b, anchored_dummy_groups):
+    """Union over dummy groups of the factorizable attachment interactions,
+    in mol_b indexing. Returns the ff-derived (angle, improper) tables and
+    the topology-derived (bond, chiral-volume) tables."""
+    angles, angle_ps = [], []
+    impropers, improper_ps = [], []
+    for anchor, (nbr, dummy_group) in anchored_dummy_groups.items():
+        idxs, params = setup_dummy_interactions_from_ff(
+            ff, mol_b, dummy_group, anchor, nbr, core_b, DEFAULT_CHIRAL_ATOM_RESTRAINT_K, DEFAULT_CHIRAL_BOND_RESTRAINT_K
         )
-        all_dummy_angle_idxs_.extend(all_idxs[1])
-        all_dummy_improper_idxs_.extend(all_idxs[2])
-        all_dummy_angle_params_.extend(all_params[1])
-        all_dummy_improper_params_.extend(all_params[2])
-
-    all_dummy_angle_idxs = np.array(all_dummy_angle_idxs_, np.int32).reshape(-1, 3)
-    all_dummy_angle_params = np.array(all_dummy_angle_params_, np.float64).reshape(-1, 3)
-    all_dummy_improper_idxs = np.array(all_dummy_improper_idxs_, np.int32).reshape(-1, 4)
-    all_dummy_improper_params = np.array(all_dummy_improper_params_, np.float64).reshape(-1, 3)
-
-    mol_a_top = topology.BaseTopology(mol_a, ff)
-    mol_a_angle_params, mol_a_ha = mol_a_top.parameterize_harmonic_angle(ff.ha_handle.params)
-    mol_a_proper_params, mol_a_pt = mol_a_top.parameterize_proper_torsion(ff.pt_handle.params)
-    mol_a_improper_params, mol_a_it = mol_a_top.parameterize_improper_torsion(ff.it_handle.params)
-    mol_a_nbpl_params, mol_a_nbpl = mol_a_top.parameterize_nonbonded_pairlist(
-        ff.q_handle.params, ff.q_handle_intra.params, ff.lj_handle.params, ff.lj_handle_intra.params, intramol_params=True
-    )
-
-    mol_a_angle_idxs = a_to_c[mol_a_ha.idxs]
-    mol_a_proper_idxs = a_to_c[mol_a_pt.idxs]
-    mol_a_improper_idxs = a_to_c[mol_a_it.idxs]
-    mol_a_nbpl_idxs = a_to_c[mol_a_nbpl.idxs]
-
-    all_dummy_angle_idxs = b_to_c[all_dummy_angle_idxs]
-    all_dummy_improper_idxs = b_to_c[all_dummy_improper_idxs]
-
-    mol_c_angle_idxs = np.concatenate([mol_a_angle_idxs, all_dummy_angle_idxs])
-    mol_c_angle_params = np.concatenate([mol_a_angle_params, all_dummy_angle_params])
-
-    mol_c_proper_idxs = np.array([canonicalize_bond(tuple(x)) for x in mol_a_proper_idxs], dtype=np.int32)
-    proper_potential = PeriodicTorsion(mol_c_proper_idxs.reshape(-1, 4)).bind(
-        np.array(mol_a_proper_params.reshape(-1, 3), dtype=np.float64)
-    )
-
-    mol_c_improper_idxs = np.concatenate([mol_a_improper_idxs, all_dummy_improper_idxs])
-    mol_c_improper_params = np.concatenate([mol_a_improper_params, all_dummy_improper_params])
-    mol_c_improper_idxs = np.array(
-        [canonicalize_improper_idxs(tuple(int(x) for x in idxs)) for idxs in mol_c_improper_idxs], np.int32
-    ).reshape(-1, 4)
-    improper_potential = PeriodicTorsion(mol_c_improper_idxs).bind(
-        np.array(mol_c_improper_params.reshape(-1, 3), dtype=np.float64)
-    )
-
-    mol_c_angle_idxs_canon = np.array([canonicalize_bond(tuple(x)) for x in mol_c_angle_idxs], dtype=np.int32)
-    angle_potential = HarmonicAngle(mol_c_angle_idxs_canon).bind(np.asarray(mol_c_angle_params))
-
-    mol_c_nbpl_idxs_canon = np.array([canonicalize_bond(tuple(x)) for x in mol_a_nbpl_idxs], dtype=np.int32).reshape(
-        -1, 2
-    )
-    nonbonded_potential = NonbondedPairListPrecomputed(
-        mol_c_nbpl_idxs_canon, mol_a_nbpl.beta, mol_a_nbpl.cutoff
-    ).bind(np.array(mol_a_nbpl_params, dtype=np.float64))
-
-    mol_a_bond_params, mol_a_hb = mol_a_top.parameterize_harmonic_bond(ff.hb_handle.params)
-    mol_a_chiral_atom, mol_a_chiral_bond = mol_a_top.setup_chiral_restraints(
-        DEFAULT_CHIRAL_ATOM_RESTRAINT_K, DEFAULT_CHIRAL_BOND_RESTRAINT_K
-    )
+        angles.extend(idxs[1])
+        angle_ps.extend(params[1])
+        impropers.extend(idxs[2])
+        improper_ps.extend(params[2])
 
     mol_b_top = topology.BaseTopology(mol_b, ff)
-    mol_b_bond_params, mol_b_hb = mol_b_top.parameterize_harmonic_bond(ff.hb_handle.params)
-    mol_b_chiral_atom, _ = mol_b_top.setup_chiral_restraints(
+    b_bond_params, b_hb = mol_b_top.parameterize_harmonic_bond(ff.hb_handle.params)
+    b_chiral_atom, _ = mol_b_top.setup_chiral_restraints(
         DEFAULT_CHIRAL_ATOM_RESTRAINT_K, DEFAULT_CHIRAL_BOND_RESTRAINT_K
     )
-
-    all_dummy_bond_idxs_, all_dummy_bond_params_ = [], []
-    all_dummy_chiral_atom_idxs_, all_dummy_chiral_atom_params_ = [], []
-    for anchor, (_, dg) in anchored_dummy_groups.items():
-        all_idxs, all_params = setup_dummy_bond_and_chiral_interactions(
-            mol_b_hb.idxs,
-            mol_b_bond_params,
-            mol_b_chiral_atom.potential.idxs,
-            np.asarray(mol_b_chiral_atom.params),
-            dg,
+    bonds, bond_ps = [], []
+    chirals, chiral_ps = [], []
+    for anchor, (_, dummy_group) in anchored_dummy_groups.items():
+        idxs, params = setup_dummy_bond_and_chiral_interactions(
+            b_hb.idxs,
+            b_bond_params,
+            b_chiral_atom.potential.idxs,
+            np.asarray(b_chiral_atom.params),
+            dummy_group,
             anchor,
-            core[:, 1],
+            core_b,
         )
-        all_dummy_bond_idxs_.append(all_idxs[0])
-        all_dummy_chiral_atom_idxs_.append(all_idxs[1])
-        all_dummy_bond_params_.append(all_params[0])
-        all_dummy_chiral_atom_params_.append(all_params[1])
+        bonds.extend(np.asarray(idxs[0]).reshape(-1, 2).tolist())
+        bond_ps.extend(np.asarray(params[0]).reshape(-1, 2).tolist())
+        chirals.extend(np.asarray(idxs[1]).reshape(-1, 4).tolist())
+        chiral_ps.extend(np.asarray(params[1]).reshape(-1).tolist())
 
-    def concatenate(arrays, empty_shape, empty_dtype):
-        return np.concatenate(arrays) if len(arrays) > 0 else np.empty(empty_shape, empty_dtype)
+    return {
+        "angle": (_stack_rows(angles, 3, np.int32), _stack_rows(angle_ps, 3, np.float64)),
+        "improper": (_stack_rows(impropers, 4, np.int32), _stack_rows(improper_ps, 3, np.float64)),
+        "bond": (_stack_rows(bonds, 2, np.int32), _stack_rows(bond_ps, 2, np.float64)),
+        "chiral_atom": (_stack_rows(chirals, 4, np.int32), np.array(chiral_ps, np.float64)),
+    }
 
-    all_dummy_bond_idxs = concatenate(all_dummy_bond_idxs_, (0, 2), np.int32)
-    all_dummy_bond_params = concatenate(all_dummy_bond_params_, (0, 2), np.float64)
-    all_dummy_chiral_atom_idxs = concatenate(all_dummy_chiral_atom_idxs_, (0, 4), np.int32)
-    all_dummy_chiral_atom_params = concatenate(all_dummy_chiral_atom_params_, (0,), np.float64)
 
-    mol_a_bond_idxs = a_to_c[mol_a_hb.idxs]
-    mol_a_chiral_atom_idxs = a_to_c[mol_a_chiral_atom.potential.idxs.reshape(-1, 4)] if len(
-        mol_a_chiral_atom.potential.idxs
-    ) else np.zeros((0, 4), np.int32)
-    mol_a_chiral_bond_idxs = a_to_c[mol_a_chiral_bond.potential.idxs.reshape(-1, 4)] if len(
-        mol_a_chiral_bond.potential.idxs
-    ) else np.zeros((0, 4), np.int32)
-
-    all_dummy_bond_idxs = b_to_c[all_dummy_bond_idxs] if len(all_dummy_bond_idxs) else all_dummy_bond_idxs
-    all_dummy_chiral_atom_idxs = (
-        b_to_c[all_dummy_chiral_atom_idxs] if len(all_dummy_chiral_atom_idxs) else all_dummy_chiral_atom_idxs
-    )
-
-    mol_c_bond_idxs = np.concatenate([mol_a_bond_idxs, all_dummy_bond_idxs.reshape(-1, 2)])
-    mol_c_bond_params = np.concatenate([mol_a_bond_params, all_dummy_bond_params.reshape(-1, 2)])
-
-    # chiral volumes in A must have all three center bonds present
-    canon_a_bonds = {tuple(x) for x in canonicalize_bonds(mol_a_bond_idxs)}
-    for c, i, j, k in mol_a_chiral_atom_idxs:
-        for x in (i, j, k):
-            assert canonicalize_bond((int(c), int(x))) in canon_a_bonds
-
-    # dummy chiral volumes missing a bond at this end state get disabled
-    mol_c_bond_idxs_set = {tuple(x) for x in mol_c_bond_idxs}
-    proper_dummy_chiral_idxs_, proper_dummy_chiral_params_ = [], []
-    for (c, i, j, k), p in zip(all_dummy_chiral_atom_idxs.reshape(-1, 4), all_dummy_chiral_atom_params):
-        missing = [
-            (int(c), int(x)) for x in (i, j, k) if (c, x) not in mol_c_bond_idxs_set and (x, c) not in mol_c_bond_idxs_set
-        ]
-        if not missing:
-            proper_dummy_chiral_idxs_.append((c, i, j, k))
-            proper_dummy_chiral_params_.append(p)
-        else:
+def _prune_unbonded_chiral_volumes(chiral_idxs, chiral_params, bond_idxs):
+    """A chiral volume needs all three center-neighbor bonds alive at this
+    end state; volumes missing one are disabled with a warning."""
+    present = {frozenset(map(int, b)) for b in bond_idxs}
+    kept_idxs, kept_params = [], []
+    for (c, i, j, k), p in zip(np.asarray(chiral_idxs).reshape(-1, 4), chiral_params):
+        missing = [(int(c), int(x)) for x in (i, j, k) if frozenset((int(c), int(x))) not in present]
+        if missing:
             warnings.warn(
                 f"Chiral Volume {int(c), int(i), int(j), int(k)} has disabled bonds {missing}, turning off.",
                 ChiralVolumeDisabledWarning,
             )
+        else:
+            kept_idxs.append((c, i, j, k))
+            kept_params.append(p)
+    return _stack_rows(kept_idxs, 4, np.int32), np.array(kept_params, np.float64)
 
-    proper_dummy_chiral_idxs = np.array(proper_dummy_chiral_idxs_, np.int32).reshape(-1, 4)
-    proper_dummy_chiral_params = np.array(proper_dummy_chiral_params_, np.float64)
 
-    mol_c_chiral_atom_idxs = np.concatenate([mol_a_chiral_atom_idxs, proper_dummy_chiral_idxs])
-    mol_c_chiral_atom_params = np.concatenate([np.asarray(mol_a_chiral_atom.params), proper_dummy_chiral_params])
-
-    bond_potential = HarmonicBond(canonicalize_bonds(mol_c_bond_idxs)).bind(np.array(mol_c_bond_params))
-    chiral_atom_potential = ChiralAtomRestraint(canonicalize_chiral_atom_idxs(mol_c_chiral_atom_idxs)).bind(
-        mol_c_chiral_atom_params
+def setup_end_state(ff: Forcefield, mol_a, mol_b, core, a_to_c, b_to_c, anchored_dummy_groups) -> GuestSystem:
+    """One alchemical end state: mol_a fully interacting, plus mol_b's dummy
+    atoms attached through factorizable interactions only (so the dummy
+    partition function separates and the end state matches mol_a's physics;
+    ref semantics single_topology.py:473-720). All index tables land in
+    combined indexing, canonicalized.
+    """
+    # fully-interacting side: every term of mol_a, relabeled a -> combined
+    a_top = topology.BaseTopology(mol_a, ff)
+    a_bond_params, a_hb = a_top.parameterize_harmonic_bond(ff.hb_handle.params)
+    a_angle_params, a_ha = a_top.parameterize_harmonic_angle(ff.ha_handle.params)
+    a_proper_params, a_pt = a_top.parameterize_proper_torsion(ff.pt_handle.params)
+    a_improper_params, a_it = a_top.parameterize_improper_torsion(ff.it_handle.params)
+    a_nbpl_params, a_nbpl = a_top.parameterize_nonbonded_pairlist(
+        ff.q_handle.params, ff.q_handle_intra.params, ff.lj_handle.params, ff.lj_handle_intra.params, intramol_params=True
     )
-    mol_c_chiral_bond_idxs = (
-        canonicalize_bonds(mol_a_chiral_bond_idxs) if len(mol_a_chiral_bond_idxs) else mol_a_chiral_bond_idxs
+    a_chiral_atom, a_chiral_bond = a_top.setup_chiral_restraints(
+        DEFAULT_CHIRAL_ATOM_RESTRAINT_K, DEFAULT_CHIRAL_BOND_RESTRAINT_K
     )
-    chiral_bond_potential = ChiralBondRestraint(
-        mol_c_chiral_bond_idxs, np.asarray(mol_a_chiral_bond.potential.signs)
-    ).bind(np.asarray(mol_a_chiral_bond.params))
+
+    # dummy side: attachment terms of mol_b's dummies, relabeled b -> combined
+    dummy = _collect_dummy_attachment_terms(ff, mol_b, core[:, 1], anchored_dummy_groups)
+
+    def merged(name, a_idxs, a_params, width, param_width):
+        d_idxs, d_params = dummy[name]
+        idxs = np.concatenate([_remap_or_empty(a_to_c, a_idxs, width), _remap_or_empty(b_to_c, d_idxs, width)])
+        params = np.concatenate(
+            [np.asarray(a_params, np.float64).reshape(-1, param_width), d_params.reshape(-1, param_width)]
+        )
+        return idxs, params
+
+    bond_idxs, bond_params = merged("bond", a_hb.idxs, a_bond_params, 2, 2)
+    angle_idxs, angle_params = merged("angle", a_ha.idxs, a_angle_params, 3, 3)
+    improper_idxs, improper_params = merged("improper", a_it.idxs, a_improper_params, 4, 3)
+
+    # chiral volumes: mol_a's must all be backed by bonds; dummy ones are
+    # pruned down to those whose bonds survive at this end state
+    a_chiral_idxs = _remap_or_empty(a_to_c, a_chiral_atom.potential.idxs, 4)
+    a_bonds_present = {frozenset(map(int, b)) for b in bond_idxs}
+    for c, i, j, k in a_chiral_idxs:
+        for x in (i, j, k):
+            assert frozenset((int(c), int(x))) in a_bonds_present
+    d_chiral_idxs, d_chiral_params = _prune_unbonded_chiral_volumes(
+        _remap_or_empty(b_to_c, dummy["chiral_atom"][0], 4), dummy["chiral_atom"][1], bond_idxs
+    )
+    chiral_idxs = np.concatenate([a_chiral_idxs, d_chiral_idxs])
+    chiral_params = np.concatenate([np.asarray(a_chiral_atom.params), d_chiral_params])
+
+    # canonicalize + bind every family
+    canon_rows = lambda rows: np.array([canonicalize_bond(tuple(x)) for x in rows], np.int32)
+    chiral_bond_idxs = _remap_or_empty(a_to_c, a_chiral_bond.potential.idxs, 4)
+
+    system = GuestSystem(
+        bond=HarmonicBond(canonicalize_bonds(bond_idxs)).bind(np.asarray(bond_params, np.float64)),
+        angle=HarmonicAngle(canon_rows(angle_idxs)).bind(np.asarray(angle_params)),
+        proper=PeriodicTorsion(canon_rows(_remap_or_empty(a_to_c, a_pt.idxs, 4)).reshape(-1, 4)).bind(
+            np.asarray(a_proper_params, np.float64).reshape(-1, 3)
+        ),
+        improper=PeriodicTorsion(
+            np.array([canonicalize_improper_idxs(tuple(int(x) for x in row)) for row in improper_idxs], np.int32).reshape(-1, 4)
+        ).bind(np.asarray(improper_params, np.float64).reshape(-1, 3)),
+        nonbonded_pair_list=NonbondedPairListPrecomputed(
+            canon_rows(_remap_or_empty(a_to_c, a_nbpl.idxs, 2)).reshape(-1, 2), a_nbpl.beta, a_nbpl.cutoff
+        ).bind(np.asarray(a_nbpl_params, np.float64)),
+        chiral_atom=ChiralAtomRestraint(canonicalize_chiral_atom_idxs(chiral_idxs)).bind(chiral_params),
+        chiral_bond=ChiralBondRestraint(
+            canonicalize_bonds(chiral_bond_idxs) if len(chiral_bond_idxs) else chiral_bond_idxs,
+            np.asarray(a_chiral_bond.potential.signs),
+        ).bind(np.asarray(a_chiral_bond.params)),
+    )
 
     num_atoms = mol_a.num_atoms + mol_b.num_atoms - len(core)
-    assert get_num_connected_components(num_atoms, bond_potential.potential.idxs) == 1, (
+    assert get_num_connected_components(num_atoms, system.bond.potential.idxs) == 1, (
         "hybrid molecule has multiple connected components"
     )
-
-    return GuestSystem(
-        bond=bond_potential,
-        angle=angle_potential,
-        proper=proper_potential,
-        improper=improper_potential,
-        nonbonded_pair_list=nonbonded_potential,
-        chiral_atom=chiral_atom_potential,
-        chiral_bond=chiral_bond_potential,
-    )
+    return system
 
 
 def find_dummy_groups_and_anchors(mol_a, mol_b, core_atoms_a, core_atoms_b):

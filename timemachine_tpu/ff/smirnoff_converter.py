@@ -1,27 +1,29 @@
-"""Convert SMIRNOFF (openforcefield) XML forcefields to this framework's FF
-dict format.
+"""Convert SMIRNOFF (openforcefield) XML forcefields into this framework's
+serialized FF dict format.
 
-Parity target: reference `timemachine/ff/smirnoff_converter.py` — quantity
-parsing (:16-85, done there via openmm.unit; here via a static MD-unit
-factor table, no OpenMM dependency), tag extraction (:87-190), charge-table
-attachment (:191-198).
+Capability target: reference `timemachine/ff/smirnoff_converter.py`. Instead
+of that module's openmm.unit-backed AST evaluator and minidom walks, units
+are reduced with a tiny `base [** exp] {*,/} ...` tokenizer over a static
+MD-unit factor table (kJ/mol, nm, radian, e, ps) and tags are pulled with
+ElementTree through a declarative per-term extraction spec.
 
 Usage:
     python -m timemachine_tpu.ff.smirnoff_converter input.offxml \
         --charge_type CCC --output_path my_ff.py
 """
 
-import ast
+from __future__ import annotations
+
 import json
-import operator as op
 import pprint
+import re
+import xml.etree.ElementTree as ET
 from argparse import ArgumentParser
 from typing import Any
-from xml.dom import minidom
 
 import numpy as np
 
-# MD unit system: kJ/mol, nm, radian, elementary charge, ps
+# conversion factors into the MD unit system
 _UNIT_FACTORS = {
     "kilocalorie_per_mole": 4.184,
     "kilocalories_per_mole": 4.184,
@@ -45,147 +47,129 @@ _UNIT_FACTORS = {
     "mole": 1.0,
 }
 
-_OPERATORS = {
-    ast.Add: op.add,
-    ast.Sub: op.sub,
-    ast.Mult: op.mul,
-    ast.Div: op.truediv,
-    ast.Pow: op.pow,
-    ast.USub: op.neg,
-}
-
-
-def _ast_eval(node):
-    """Evaluate a unit expression AST against the MD-unit factor table
-    (ref smirnoff_converter.py:16-48)."""
-    if isinstance(node, ast.Constant):
-        return node.value
-    if isinstance(node, ast.BinOp):
-        return _OPERATORS[type(node.op)](_ast_eval(node.left), _ast_eval(node.right))
-    if isinstance(node, ast.UnaryOp):
-        return _OPERATORS[type(node.op)](_ast_eval(node.operand))
-    if isinstance(node, ast.Name):
-        return _UNIT_FACTORS[node.id]
-    if isinstance(node, ast.List):
-        return ast.literal_eval(node)
-    raise TypeError(node)
+_TOKEN = re.compile(r"(\*\*|[*/])")
 
 
 def string_to_unit(unit_string: str) -> float:
-    """Unit expression (e.g. 'kilocalories_per_mole / angstrom ** 2') to an
-    MD-unit conversion factor (ref smirnoff_converter.py:55-72)."""
-    return _ast_eval(ast.parse(unit_string, mode="eval").body)
+    """Reduce a unit expression like 'kilocalories_per_mole / angstrom ** 2'
+    to one MD-unit conversion factor."""
+    tokens = [t.strip() for t in _TOKEN.split(unit_string) if t.strip()]
+    value = 1.0
+    mode = "*"
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        if tok in ("*", "/"):
+            mode = tok
+            i += 1
+            continue
+        base = _UNIT_FACTORS[tok] if tok in _UNIT_FACTORS else float(tok)
+        if i + 1 < len(tokens) and tokens[i + 1] == "**":
+            base **= float(tokens[i + 2])
+            i += 2
+        value = value * base if mode == "*" else value / base
+        i += 1
+    return value
 
 
 def parse_quantity(number_string: str) -> float:
-    """'<number> * <unit expr>' -> value in MD units (ref :75-85)."""
-    pos = number_string.find("*")
-    if pos < 0:
+    """'<number> * <unit expr>' (or a bare number) -> value in MD units."""
+    head, sep, tail = number_string.partition("*")
+    if not sep:
         return float(number_string)
-    number = float(number_string[:pos])
-    return number * string_to_unit(number_string[pos + 2 :])
+    return float(head) * string_to_unit(tail)
 
 
-BOND_TAG = "Bond"
-ANGLE_TAG = "Angle"
-PROPER_TAG = "Proper"
-IMPROPER_TAG = "Improper"
-VDW_TAG = "Atom"
+def _torsion_components(attrib: dict) -> list:
+    """All (k_i/idivf_i, phase_i, period_i) rows a Proper node carries."""
+    rows = []
+    for n in range(1, 100):
+        if f"k{n}" not in attrib:
+            break
+        rows.append(
+            [
+                parse_quantity(attrib[f"k{n}"]) / float(attrib[f"idivf{n}"]),
+                parse_quantity(attrib[f"phase{n}"]),
+                float(attrib[f"periodicity{n}"]),
+            ]
+        )
+    return rows
 
-tags = [BOND_TAG, ANGLE_TAG, PROPER_TAG, IMPROPER_TAG, VDW_TAG]
+
+def _lj_row(attrib: dict) -> list:
+    eps = parse_quantity(attrib["epsilon"])
+    if "rmin_half" in attrib:
+        sigma = 2.0 * parse_quantity(attrib["rmin_half"]) / 2.0 ** (1.0 / 6.0)
+    else:
+        sigma = parse_quantity(attrib["sigma"])
+    # sqrt(eps) stored to keep the Lorentz-Berthelot combining rule
+    # singularity-free under differentiation
+    return [sigma, float(np.sqrt(eps))]
+
+
+# handler name -> (xml tag, attrib -> param row)
+_TERM_SPECS = {
+    "HarmonicBond": ("Bond", lambda a: [parse_quantity(a["k"]), parse_quantity(a["length"])]),
+    "HarmonicAngle": ("Angle", lambda a: [parse_quantity(a["k"]), parse_quantity(a["angle"])]),
+    "ProperTorsion": ("Proper", _torsion_components),
+    # trefoil convention: improper k is split over the 3 central permutations
+    "ImproperTorsion": (
+        "Improper",
+        lambda a: [
+            parse_quantity(a["k1"]) / 3.0,
+            parse_quantity(a["phase1"]),
+            float(a["periodicity1"]),
+        ],
+    ),
+    "LennardJones": ("Atom", _lj_row),
+}
 
 
 def _builtin_charge_table(kind: str) -> dict:
-    """Pull a charge handler block from the builtin converted forcefields
-    (the reference embeds these tables in ff/charges.py)."""
+    """Charge handler block from the builtin converted forcefields (the
+    reference embeds these tables in ff/charges.py)."""
     from timemachine_tpu.ff.serialize import builtin_params_dir
 
-    source = {
+    fname, key = {
         "CCC": ("smirnoff_2_0_0_ccc.json", "AM1CCC"),
         "BCC": ("smirnoff_2_0_0_am1bcc.json", "AM1BCC"),
         "SC": ("smirnoff_1_1_0_sc.json", "SimpleCharge"),
     }[kind]
-    fname, key = source
     with open(builtin_params_dir() / fname) as fh:
         return {key: json.load(fh)[key]}
 
 
 def convert_smirnoff_xml(xml_path: str, charge_type: str = "CCC") -> dict:
-    """SMIRNOFF XML -> FF dict (ref smirnoff_converter.py:96-198)."""
-    xmldoc = minidom.parse(xml_path)
+    """SMIRNOFF XML file -> FF dict with per-handler SMIRKS pattern tables."""
+    root = ET.parse(xml_path).getroot()
     forcefield: dict[str, Any] = {}
 
-    for tag in tags:
-        itemlist = xmldoc.getElementsByTagName(tag)
-        if tag == BOND_TAG:
-            params = []
-            for s in itemlist:
-                patt = s.attributes["smirks"].value
-                b0 = parse_quantity(s.attributes["length"].value)
-                kb = parse_quantity(s.attributes["k"].value)
-                params.append([patt, kb, b0])
-            forcefield["HarmonicBond"] = {"patterns": params}
-        elif tag == ANGLE_TAG:
-            params = []
-            for s in itemlist:
-                patt = s.attributes["smirks"].value
-                a0 = parse_quantity(s.attributes["angle"].value)
-                ka = parse_quantity(s.attributes["k"].value)
-                params.append([patt, ka, a0])
-            forcefield["HarmonicAngle"] = {"patterns": params}
-        elif tag == PROPER_TAG:
-            params = []
-            for s in itemlist:
-                patt = s.attributes["smirks"].value
-                counter = 1
-                components = []
-                while True:
-                    try:
-                        k = parse_quantity(s.attributes["k" + str(counter)].value)
-                        phase = parse_quantity(s.attributes["phase" + str(counter)].value)
-                        period = float(s.attributes["periodicity" + str(counter)].value)
-                        idivf = float(s.attributes["idivf" + str(counter)].value)
-                        components.append([k / idivf, phase, period])
-                        counter += 1
-                    except KeyError:
-                        break
-                params.append([patt, components])
-            forcefield["ProperTorsion"] = {"patterns": params}
-        elif tag == IMPROPER_TAG:
-            params = []
-            for s in itemlist:
-                patt = s.attributes["smirks"].value
-                impdivf = 3  # trefoil convention
-                k = parse_quantity(s.attributes["k1"].value) / impdivf
-                phase = parse_quantity(s.attributes["phase1"].value)
-                period = float(s.attributes["periodicity1"].value)
-                params.append([patt, k, phase, period])
-            forcefield["ImproperTorsion"] = {"patterns": params}
-        elif tag == VDW_TAG:
-            params = []
-            for s in itemlist:
-                patt = s.attributes["smirks"].value
-                epsilon = parse_quantity(s.attributes["epsilon"].value)
-                if "rmin_half" in s.attributes:
-                    rmin_half = parse_quantity(s.attributes["rmin_half"].value)
-                    sigma = 2.0 * rmin_half / (2.0 ** (1.0 / 6.0))
-                else:
-                    sigma = parse_quantity(s.attributes["sigma"].value)
-                # sqrt(eps) stored to keep the combining rule singularity-free
-                params.append([patt, sigma, float(np.sqrt(epsilon))])
-            props: dict[str, Any] = {}
-            vdw_nodes = xmldoc.getElementsByTagName("vdW")
-            if vdw_nodes:
-                for key, val in vdw_nodes[0].attributes.items():
-                    if key in ("cutoff", "switch_width", "version"):
-                        continue
-                    if "scale" in key:
-                        val = float(val)
-                    props[key] = val
-            forcefield["LennardJones"] = {"patterns": params, "props": props}
+    for handler_name, (tag, extract) in _TERM_SPECS.items():
+        patterns = [[node.attrib["smirks"], *_as_row(extract(node.attrib))] for node in root.iter(tag)]
+        forcefield[handler_name] = {"patterns": patterns}
+
+    # vdW block properties (scale factors, combining rule, ...)
+    vdw_node = next(root.iter("vdW"), None)
+    if vdw_node is not None:
+        props = {
+            key: (float(val) if "scale" in key else val)
+            for key, val in vdw_node.attrib.items()
+            if key not in ("cutoff", "switch_width", "version")
+        }
+        forcefield["LennardJones"]["props"] = props
+    else:
+        forcefield["LennardJones"]["props"] = {}
 
     forcefield.update(_builtin_charge_table(charge_type))
     return forcefield
+
+
+def _as_row(extracted):
+    """ProperTorsion extracts a LIST of component rows (kept nested); all
+    other handlers extract one flat row."""
+    if extracted and isinstance(extracted[0], list):
+        return [extracted]
+    return extracted
 
 
 def main():
@@ -197,8 +181,7 @@ def main():
 
     forcefield = convert_smirnoff_xml(args.input_path, args.charge_type)
     stream = open(args.output_path, "w") if args.output_path is not None else None
-    pp = pprint.PrettyPrinter(width=500, compact=False, stream=stream, indent=2)
-    pp.pprint(forcefield)
+    pprint.PrettyPrinter(width=500, compact=False, stream=stream, indent=2).pprint(forcefield)
     if stream is not None:
         stream.close()
 

@@ -1,19 +1,20 @@
-"""Hamiltonian replica exchange: permutation sampler + diagnostics.
+"""Hamiltonian replica exchange: permutation sampling + mixing diagnostics.
 
-Parity target: reference timemachine/md/hrex.py. The neighbor-swap batch is
-one jitted `lax.scan` over K^3 swap attempts (the Chodera-Shirts "many swaps
-per iteration" scheme, JCP 135:194110), operating on the (replica, state)
-log-probability matrix that the TPU driver computes fully on device.
+Capability target: reference timemachine/md/hrex.py (generic HREX driver,
+neighbor-swap batches per Chodera & Shirts JCP 135:194110, diagnostics).
 
-The multi-device story (replicas sharded over a Mesh, log_q_kl via
-all_gather) lives in timemachine_tpu/parallel/hrex_sharded.py; this module is
-the single-host permutation logic both paths share.
+The swap batch is expressed once, as a pure jitted `lax.scan` over attempts
+(`neighbor_swap_scan`), shared by three callers: the generic single-host
+driver here, the replica-parallel production sampler
+(parallel/replica_exchange.py) where it runs *inside* the per-iteration
+device program, and the standalone sharded benchmark driver. Replicas never
+move; the K-vector `replica_idx_by_state` (state -> replica) is what swaps.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Generic, Optional, Sequence, TypeVar
+from typing import Callable, Generic, Optional, Sequence, TypeVar
 
 import jax
 import jax.numpy as jnp
@@ -24,13 +25,64 @@ from timemachine_tpu.md.moves import MixtureOfMoves, MonteCarloMove
 from timemachine_tpu.utils import batches, not_ragged
 
 Replica = TypeVar("Replica")
-Samples = TypeVar("Samples")
-StateIdx = int
-ReplicaIdx = int
+
+
+def get_swap_attempts_per_iter_heuristic(n_states: int) -> int:
+    """K^3 attempts mixes the permutation chain in one iteration
+    (JCP 135:194110)."""
+    return n_states**3
+
+
+def neighbor_swap_scan(replica_idx_by_state, log_q_kl, neighbor_pairs, pair_idxs, uniforms):
+    """Sequential Metropolis swap attempts as one scan (pure, jit/vmap-safe).
+
+    replica_idx_by_state: (K,) int — current permutation (state -> replica)
+    log_q_kl: (K, K) replica-by-state reduced log probabilities
+    neighbor_pairs: (n_pairs, 2) candidate state pairs
+    pair_idxs, uniforms: (n_attempts,) pre-drawn pair choices and MH draws
+
+    Returns (final permutation, accepted-per-pair, proposed-per-pair).
+    """
+
+    def attempt(carry, inputs):
+        perm, n_acc, n_prop = carry
+        which, u = inputs
+        s_lo, s_hi = neighbor_pairs[which][0], neighbor_pairs[which][1]
+        r_lo, r_hi = perm[s_lo], perm[s_hi]
+        # ΔlogQ of exchanging which replica sits at which state
+        gain = (
+            log_q_kl[r_lo, s_hi] + log_q_kl[r_hi, s_lo] - log_q_kl[r_lo, s_lo] - log_q_kl[r_hi, s_hi]
+        )
+        accept = jnp.log(u) < jnp.minimum(gain, 0.0)
+        perm = jnp.where(accept, perm.at[s_lo].set(r_hi).at[s_hi].set(r_lo), perm)
+        n_prop = n_prop.at[which].add(1)
+        n_acc = n_acc.at[which].add(accept.astype(jnp.uint32))
+        return (perm, n_acc, n_prop), None
+
+    n_pairs = neighbor_pairs.shape[0]
+    zeros = jnp.zeros(n_pairs, jnp.uint32)
+    (perm, n_acc, n_prop), _ = jax.lax.scan(
+        attempt, (replica_idx_by_state, zeros, zeros), (pair_idxs, uniforms)
+    )
+    return perm, n_acc, n_prop
+
+
+_run_neighbor_swaps = jax.jit(neighbor_swap_scan)
+
+
+def draw_swap_randomness(key_or_seed, n_pairs: int, n_attempts: int):
+    """(pair choices, MH uniforms) for one swap batch, from a key or seed."""
+    key = key_or_seed if isinstance(key_or_seed, jax.Array) else jax.random.key(key_or_seed)
+    k_pick, k_mh = jax.random.split(key)
+    return (
+        jax.random.choice(k_pick, n_pairs, (n_attempts,)),
+        jax.random.uniform(k_mh, (n_attempts,)),
+    )
 
 
 class NeighborSwapMove(MonteCarloMove):
-    """Reference (slow-path) swap move at a fixed state pair (ref hrex.py:25-47)."""
+    """Python-oracle swap move at one fixed state pair (slow path, used to
+    cross-check the scan statistically)."""
 
     def __init__(self, log_q: Callable, s_a: int, s_b: int):
         super().__init__()
@@ -39,39 +91,16 @@ class NeighborSwapMove(MonteCarloMove):
         self.s_b = s_b
 
     def propose(self, state):
-        s_a, s_b = self.s_a, self.s_b
-        proposed = list(state)
-        proposed[s_a], proposed[s_b] = state[s_b], state[s_a]
-        r_a, r_b = state[s_a], state[s_b]
-        log_q_diff = self.log_q(r_a, s_b) + self.log_q(r_b, s_a) - self.log_q(r_a, s_a) - self.log_q(r_b, s_b)
-        return proposed, np.minimum(log_q_diff, 0.0)
-
-
-@jax.jit
-def _run_neighbor_swaps(replica_idx_by_state, neighbor_pairs, log_q_kl, pair_idxs, uniform_samples):
-    """Batch of sequential swap attempts as one scan (ref hrex.py:50-128)."""
-
-    def swap(carry, inputs):
-        replica_idx_by_state, proposed, accepted = carry
-        pair_idx, u = inputs
-        s_a, s_b = neighbor_pairs[pair_idx]
-        proposed = proposed.at[pair_idx].add(1)
-        r_a = replica_idx_by_state[s_a]
-        r_b = replica_idx_by_state[s_b]
-        log_q_diff = log_q_kl[r_a, s_b] + log_q_kl[r_b, s_a] - log_q_kl[r_a, s_a] - log_q_kl[r_b, s_b]
-        is_accepted = u < jnp.exp(jnp.minimum(log_q_diff, 0.0))
-        new_perm = jnp.where(
-            is_accepted,
-            replica_idx_by_state.at[s_a].set(r_b).at[s_b].set(r_a),
-            replica_idx_by_state,
+        a, b = self.s_a, self.s_b
+        swapped = list(state)
+        swapped[a], swapped[b] = state[b], state[a]
+        gain = (
+            self.log_q(state[a], b)
+            + self.log_q(state[b], a)
+            - self.log_q(state[a], a)
+            - self.log_q(state[b], b)
         )
-        accepted = accepted.at[pair_idx].add(is_accepted.astype(jnp.uint32))
-        return (new_perm, proposed, accepted), None
-
-    n_pairs = neighbor_pairs.shape[0]
-    init = (replica_idx_by_state, jnp.zeros(n_pairs, jnp.uint32), jnp.zeros(n_pairs, jnp.uint32))
-    (replica_idx_by_state, proposed, accepted), _ = jax.lax.scan(swap, init, (pair_idxs, uniform_samples))
-    return replica_idx_by_state, proposed, accepted
+        return swapped, np.minimum(gain, 0.0)
 
 
 @dataclass(frozen=True)
@@ -83,90 +112,96 @@ class HREX(Generic[Replica]):
     def from_replicas(cls, replicas: Sequence) -> "HREX":
         return HREX(list(replicas), list(range(len(replicas))))
 
+    @property
+    def state_replica_pairs(self):
+        return [(s, self.replicas[r]) for s, r in enumerate(self.replica_idx_by_state)]
+
     def sample_replicas(self, sample_replica: Callable, replica_from_samples: Callable):
-        samples_by_state = [sample_replica(replica, state_idx) for state_idx, replica in self.state_replica_pairs]
-        replicas_by_state = [replica_from_samples(s) for s in samples_by_state]
+        """Advance every (state, replica) pairing one segment; returns the
+        updated ensemble and per-state samples."""
+        samples_by_state = [sample_replica(replica, s) for s, replica in self.state_replica_pairs]
         replicas = list(self.replicas)
-        for state_idx, replica in enumerate(replicas_by_state):
-            replicas[self.replica_idx_by_state[state_idx]] = replica
+        for s, samples in enumerate(samples_by_state):
+            replicas[self.replica_idx_by_state[s]] = replica_from_samples(samples)
         return HREX(replicas, self.replica_idx_by_state), samples_by_state
 
     def attempt_neighbor_swaps(self, neighbor_pairs, log_q: Callable, n_swap_attempts: int):
-        """Reference path via MixtureOfMoves (ref hrex.py:155-188)."""
-        move = MixtureOfMoves([NeighborSwapMove(log_q, s_a, s_b) for s_a, s_b in neighbor_pairs])
-        replica_idx_by_state = move.move_n(list(self.replica_idx_by_state), n_swap_attempts)
-        fraction_accepted_by_pair = list(zip(move.n_accepted_by_move, move.n_proposed_by_move))
-        return HREX(self.replicas, replica_idx_by_state), fraction_accepted_by_pair
+        """Oracle path: sequential Python moves through MixtureOfMoves."""
+        move = MixtureOfMoves([NeighborSwapMove(log_q, a, b) for a, b in neighbor_pairs])
+        perm = move.move_n(list(self.replica_idx_by_state), n_swap_attempts)
+        stats = list(zip(move.n_accepted_by_move, move.n_proposed_by_move))
+        return HREX(self.replicas, perm), stats
 
     def attempt_neighbor_swaps_fast(self, neighbor_pairs, log_q_kl, n_swap_attempts: int, seed: int):
-        """Jitted scan path (ref hrex.py:190-234)."""
-        key = jax.random.key(seed)
-        key, subkey = jax.random.split(key)
-        pair_idxs = jax.random.choice(subkey, len(neighbor_pairs), (n_swap_attempts,))
-        uniform_samples = jax.random.uniform(key, (n_swap_attempts,))
-        perm, proposed, accepted = _run_neighbor_swaps(
+        """Production path: the jitted scan."""
+        pair_idxs, uniforms = draw_swap_randomness(seed, len(neighbor_pairs), n_swap_attempts)
+        perm, n_acc, n_prop = _run_neighbor_swaps(
             jnp.asarray(self.replica_idx_by_state),
-            jnp.asarray(np.asarray(neighbor_pairs)),
             jnp.asarray(log_q_kl),
+            jnp.asarray(np.asarray(neighbor_pairs)),
             pair_idxs,
-            uniform_samples,
+            uniforms,
         )
-        return (
-            HREX(self.replicas, [int(i) for i in np.asarray(perm)]),
-            list(zip(np.asarray(accepted).tolist(), np.asarray(proposed).tolist())),
-        )
+        stats = list(zip(np.asarray(n_acc).tolist(), np.asarray(n_prop).tolist()))
+        return HREX(self.replicas, [int(r) for r in np.asarray(perm)]), stats
 
-    @property
-    def state_replica_pairs(self):
-        return [(i, self.replicas[r]) for i, r in enumerate(self.replica_idx_by_state)]
+
+# -- diagnostics --------------------------------------------------------------
+
+
+def get_cumulative_replica_state_counts(replica_idx_by_state_by_iter) -> np.ndarray:
+    """(iter, state, replica) cumulative visit counts."""
+    perms = np.asarray(replica_idx_by_state_by_iter)  # (T, K): state -> replica
+    n_iters, n_states = perms.shape
+    occupancy = np.zeros((n_iters, n_states, n_states), dtype=int)
+    t_idx = np.repeat(np.arange(n_iters), n_states)
+    s_idx = np.tile(np.arange(n_states), n_iters)
+    occupancy[t_idx, s_idx, perms.reshape(-1)] = 1
+    return occupancy.cumsum(axis=0)
 
 
 def get_normalized_kl_divergence(replica_idx_by_state_by_iter) -> float:
-    """Uniformity-of-state-visits heuristic; 0 = perfectly uniform
-    (ref hrex.py:241-262)."""
-    cumulative = get_cumulative_replica_state_counts(replica_idx_by_state_by_iter)
-    n_iters, n_states, _ = cumulative.shape
-    fraction = cumulative[-1] / n_iters
-    return -np.mean(entropy(fraction, axis=0)) + np.log(n_states)
+    """How non-uniformly replicas visit states: mean KL(visit dist ‖ uniform)
+    scaled so 0 = perfect mixing, log(K) = frozen."""
+    visits = get_cumulative_replica_state_counts(replica_idx_by_state_by_iter)[-1]
+    n_states = visits.shape[0]
+    visit_fraction = visits / visits.sum(axis=0, keepdims=True)
+    return float(np.log(n_states) - entropy(visit_fraction, axis=0).mean())
 
 
-def get_cumulative_replica_state_counts(replica_idx_by_state_by_iter):
-    """(iter, state, replica) -> cumulative occupancy (ref hrex.py:265-278)."""
-    arr = np.array(replica_idx_by_state_by_iter)
-    _, n_states = arr.shape
-    states = np.arange(n_states)
-    replica_in_state = arr[:, :, None] == states
-    return np.cumsum(replica_in_state.astype(int), axis=0)
-
-
-def estimate_transition_matrix(replica_idx_by_state_by_iter):
-    """Doubly-stochastic (to, from) state transition estimate
-    (ref hrex.py:281-305)."""
-    arr = np.array(replica_idx_by_state_by_iter)
-    n_iters, _ = arr.shape
-    transition_by_iter = arr[:-1, None, :] == arr[1:, :, None]
-    return np.sum(transition_by_iter, axis=0) / (n_iters - 1)
+def estimate_transition_matrix(replica_idx_by_state_by_iter) -> np.ndarray:
+    """(to_state, from_state) single-iteration transition probabilities,
+    counted over every replica's state track."""
+    perms = np.asarray(replica_idx_by_state_by_iter)
+    n_iters, n_states = perms.shape
+    # state_track[t, r] = state of replica r at iteration t
+    state_track = np.argsort(perms, axis=1)
+    counts = np.zeros((n_states, n_states))
+    np.add.at(counts, (state_track[1:].reshape(-1), state_track[:-1].reshape(-1)), 1.0)
+    return counts / (n_iters - 1)
 
 
 def estimate_relaxation_time(transition_matrix) -> float:
-    """1 / (1 - mu_2) of the symmetrized transition matrix (ref hrex.py:308-330)."""
-    assert np.allclose(np.sum(transition_matrix, axis=0), 1.0), "columns of transition matrix must sum to 1"
-    sym = (transition_matrix + transition_matrix.T) / 2.0
-    eigvals = np.linalg.eigvalsh(sym)
-    return 1 / (1 - eigvals[-2])
+    """1/(1 − μ₂) of the symmetrized transition matrix."""
+    assert np.allclose(transition_matrix.sum(axis=0), 1.0), "columns of transition matrix must sum to 1"
+    reversible = 0.5 * (transition_matrix + transition_matrix.T)
+    mu = np.linalg.eigvalsh(reversible)
+    return float(1.0 / (1.0 - mu[-2]))
 
 
 def get_samples_by_iter_by_replica(samples_by_state_by_iter, replica_idx_by_state_by_iter):
-    """(iter, state) -> samples reshaped to (replica, iter) -> samples
-    (ref hrex.py:333-356)."""
+    """Regroup (iter, state)-indexed samples into (replica, iter) tracks."""
     assert len(samples_by_state_by_iter) == len(replica_idx_by_state_by_iter)
     assert not_ragged(samples_by_state_by_iter)
     assert not_ragged(replica_idx_by_state_by_iter)
-    samples_by_replica_by_iter = [
-        [samples_by_state[state_idx] for state_idx in np.argsort(replica_idx_by_state)]
-        for samples_by_state, replica_idx_by_state in zip(samples_by_state_by_iter, replica_idx_by_state_by_iter)
-    ]
-    return [list(xs) for xs in zip(*samples_by_replica_by_iter)]
+    tracks = []
+    state_of_replica = np.argsort(np.asarray(replica_idx_by_state_by_iter), axis=1)
+    n_replicas = state_of_replica.shape[1]
+    for r in range(n_replicas):
+        tracks.append(
+            [samples_by_state[state_of_replica[t, r]] for t, samples_by_state in enumerate(samples_by_state_by_iter)]
+        )
+    return tracks
 
 
 @dataclass
@@ -175,30 +210,30 @@ class HREXDiagnostics:
     fraction_accepted_by_pair_by_iter: list
 
     @property
-    def cumulative_swap_acceptance_rates(self):
-        n_accepted, n_proposed = np.moveaxis(np.array(self.fraction_accepted_by_pair_by_iter), -1, 0)
-        return np.cumsum(n_accepted, axis=0) / np.cumsum(n_proposed, axis=0)
+    def cumulative_swap_acceptance_rates(self) -> np.ndarray:
+        stats = np.asarray(self.fraction_accepted_by_pair_by_iter)  # (T, n_pairs, 2)
+        accepted = stats[..., 0].cumsum(axis=0)
+        proposed = stats[..., 1].cumsum(axis=0)
+        return accepted / proposed
 
     @property
-    def cumulative_replica_state_counts(self):
+    def cumulative_replica_state_counts(self) -> np.ndarray:
         return get_cumulative_replica_state_counts(self.replica_idx_by_state_by_iter)
 
     @property
-    def transition_matrix(self):
+    def transition_matrix(self) -> np.ndarray:
         return estimate_transition_matrix(self.replica_idx_by_state_by_iter)
 
     @property
-    def relaxation_time(self):
+    def relaxation_time(self) -> float:
         return estimate_relaxation_time(self.transition_matrix)
 
     @property
-    def normalized_kl_divergence(self):
+    def normalized_kl_divergence(self) -> float:
         return get_normalized_kl_divergence(self.replica_idx_by_state_by_iter)
 
 
-def get_swap_attempts_per_iter_heuristic(n_states: int) -> int:
-    """K^3 (ref hrex.py:386-394, JCP 135:194110)."""
-    return n_states**3
+# -- generic single-host driver ----------------------------------------------
 
 
 def run_hrex(
@@ -212,31 +247,32 @@ def run_hrex(
     seed: int,
     n_swap_attempts_per_iter: Optional[int] = None,
 ):
-    """Generic HREX driver (ref hrex.py:397-491)."""
-    n_replicas = len(replicas)
+    """Generic HREX loop over arbitrary replica objects ("fake backend"
+    pattern — estimator tests drive this with exact 1D samplers)."""
+    n_states = len(replicas)
     if n_swap_attempts_per_iter is None:
-        n_swap_attempts_per_iter = get_swap_attempts_per_iter_heuristic(n_replicas)
+        n_swap_attempts_per_iter = get_swap_attempts_per_iter_heuristic(n_states)
 
-    hrex = HREX.from_replicas(replicas)
+    ensemble = HREX.from_replicas(replicas)
     samples_by_state_by_iter = []
-    replica_idx_by_state_by_iter = []
-    fraction_accepted_by_pair_by_iter = []
+    perm_by_iter = []
+    swap_stats_by_iter = []
 
-    for iteration, n_samples_batch in enumerate(batches(n_samples, n_samples_per_iter)):
-        log_q = get_log_q(hrex.replicas)
+    for iteration, batch in enumerate(batches(n_samples, n_samples_per_iter)):
+        log_q = get_log_q(ensemble.replicas)
         log_q_kl = (
-            jnp.array([[log_q(r, s) for s in range(n_replicas)] for r in range(n_replicas)])
+            jnp.array([[log_q(r, s) for s in range(n_states)] for r in range(n_states)])
             if callable(log_q)
             else log_q
         )
-        hrex, fraction_accepted_by_pair = hrex.attempt_neighbor_swaps_fast(
+        ensemble, swap_stats = ensemble.attempt_neighbor_swaps_fast(
             neighbor_pairs, log_q_kl, n_swap_attempts_per_iter, seed + iteration
         )
-        hrex, samples_by_state = hrex.sample_replicas(
-            lambda replica, state_idx: sample_replica(replica, state_idx, n_samples_batch), replica_from_samples
+        ensemble, samples_by_state = ensemble.sample_replicas(
+            lambda replica, s: sample_replica(replica, s, batch), replica_from_samples
         )
-        fraction_accepted_by_pair_by_iter.append(fraction_accepted_by_pair)
-        replica_idx_by_state_by_iter.append(hrex.replica_idx_by_state)
         samples_by_state_by_iter.append(samples_by_state)
+        perm_by_iter.append(ensemble.replica_idx_by_state)
+        swap_stats_by_iter.append(swap_stats)
 
-    return samples_by_state_by_iter, HREXDiagnostics(replica_idx_by_state_by_iter, fraction_accepted_by_pair_by_iter)
+    return samples_by_state_by_iter, HREXDiagnostics(perm_by_iter, swap_stats_by_iter)

@@ -1,21 +1,22 @@
-"""Offline lambda-protocol optimization by sample reweighting.
+"""λ-protocol optimization by reweighting already-collected samples.
 
-Parity target: reference `timemachine/optimize/protocol.py` — thermodynamic
-distances between lambda windows (work stddev :153-225, pair overlap
-:227-354) estimated by reweighting already-collected samples with linearly
-interpolated energies, then a greedy left-to-right placement
-(`greedily_optimize_protocol` :356-393).
+Capability target: reference `timemachine/optimize/protocol.py`. Given
+(lambdas, u_kn, f_k, N_k) from a pilot run, estimate a thermodynamic
+distance between any two λ values — either work stddev or 1−overlap — by
+treating the pooled samples as draws from the MBAR mixture and linearly
+interpolating per-sample energies in λ. A greedy left-to-right pass then
+places windows at equal distance. Pure post-processing: no new simulation.
 
-Everything here is deterministic post-processing of (lambdas, u_kn, f_k,
-N_k): no new simulation and no new potential evaluations. The reweighting
-math is jitted JAX; the outer greedy/bisection loop is host-side scalar
-control flow (it must be — the protocol length is data-dependent).
+Flattened relative to the reference's factory-of-factory layout: the two
+distance families are built by `work_stddev_distance_fxn` /
+`make_fast_approx_overlap_distance_fxn` directly over a shared
+`_MixtureReweighter` holding the interpolant and mixture log-weights.
 """
 
 from __future__ import annotations
 
 import warnings
-from functools import partial
+from dataclasses import dataclass
 from typing import Callable
 
 import jax
@@ -26,142 +27,108 @@ from scipy.optimize import bisect
 
 from timemachine_tpu.fe.reweighting import interpret_as_mixture_potential
 
-Float = float
-DistanceFxn = Callable[[Float, Float], Float]
-WorkStddevEstimator = DistanceFxn
+DistanceFxn = Callable[[float, float], float]
 
 
 def log_weights_from_mixture(u_kn, f_k, N_k):
-    """Log unnormalized mixture density of the pooled samples
-    (ref protocol.py:113-133): log Σ_k N_k exp(f_k − u_k(x_n))."""
-    u_kn = jnp.asarray(u_kn)
-    f_k = jnp.asarray(f_k)
-    N_k = np.asarray(N_k, dtype=np.float64)
-    return logsumexp(f_k[:, None] - u_kn, b=N_k[:, None], axis=0)
+    """Log unnormalized MBAR mixture density of each pooled sample:
+    log Σ_k N_k exp(f_k − u_k(x_n))."""
+    return logsumexp(
+        jnp.asarray(f_k)[:, None] - jnp.asarray(u_kn),
+        b=np.asarray(N_k, dtype=np.float64)[:, None],
+        axis=0,
+    )
 
 
 def linear_u_kn_interpolant(lambdas, u_kn) -> Callable:
-    """vec_u(lam)[n] ≈ u(x_n, lam) by per-sample linear interpolation over
-    the source lambdas (ref protocol.py:135-151)."""
+    """vec_u(λ)[n] ≈ u(x_n, λ) by per-sample linear interpolation over the
+    source λ grid; non-finite energies propagate as +inf."""
     lambdas = jnp.asarray(lambdas)
-    u_kn = jnp.asarray(u_kn)
+    u_nk = jnp.asarray(u_kn).T  # (n_samples, K)
 
     @jax.jit
-    def vec_u_interp(lam):
-        def u_one(u_n):
-            return jnp.nan_to_num(jnp.interp(lam, lambdas, u_n), nan=+jnp.inf, posinf=+jnp.inf)
+    def vec_u(lam):
+        interp = jax.vmap(lambda u_n: jnp.interp(lam, lambdas, u_n))(u_nk)
+        return jnp.nan_to_num(interp, nan=+jnp.inf, posinf=+jnp.inf)
 
-        return jax.vmap(u_one, in_axes=1)(u_kn)
-
-    return vec_u_interp
+    return vec_u
 
 
-def reweighted_stddev(f_n, target_logpdf_n, source_logpdf_n):
-    """stddev(f) under p_target estimated from samples of p_source
-    (ref protocol.py:171-204)."""
-    log_weights_n = jnp.asarray(target_logpdf_n) - jnp.asarray(source_logpdf_n)
-    weights = jnp.exp(log_weights_n - logsumexp(log_weights_n)).flatten()
-    f_n = jnp.asarray(f_n)
-    f_mean = jnp.sum(weights * f_n)
-    weighted_sq = weights * (f_n - f_mean) ** 2
-    return jnp.sqrt(jnp.sum(jnp.nan_to_num(weighted_sq, nan=0.0)))  # 0·inf → 0
+@dataclass(frozen=True)
+class _MixtureReweighter:
+    """Pooled pilot samples viewed as draws from the MBAR mixture, with a
+    λ-interpolated energy model — the shared engine behind both distance
+    families."""
+
+    vec_u: Callable  # λ -> per-sample energies
+    source_logpdf_n: jnp.ndarray  # log density the samples were drawn from
+
+    @classmethod
+    def from_pilot(cls, lambdas, u_kn, f_k, N_k, *, mixture_log_weights: bool):
+        vec_u = linear_u_kn_interpolant(lambdas, np.nan_to_num(u_kn, nan=np.inf))
+        if mixture_log_weights:
+            source = log_weights_from_mixture(u_kn, f_k, N_k)
+        else:
+            source = jnp.asarray(interpret_as_mixture_potential(u_kn, f_k, N_k))
+        return cls(vec_u, source)
+
+    def work_stddev(self, lam_from: float, lam_to: float):
+        """stddev of the instantaneous work λ_from→λ_to under p(λ_from)."""
+        target_logpdf = -self.vec_u(lam_from)
+        works = self.vec_u(lam_to) - self.vec_u(lam_from)
+        lw = target_logpdf - self.source_logpdf_n
+        w = jnp.exp(lw - logsumexp(lw)).flatten()
+        mean = jnp.sum(w * works)
+        var_terms = jnp.nan_to_num(w * (works - mean) ** 2, nan=0.0)  # 0·inf → 0
+        return jnp.sqrt(jnp.sum(var_terms))
+
+    def overlap(self, lam_a: float, lam_b: float):
+        """pymbar-style pair overlap (sec. 3.4 of doi:10.1021/ct501101f),
+        all three densities estimated from the same reference samples."""
+        log_q_a = -self.vec_u(lam_a)
+        log_q_b = -self.vec_u(lam_b)
+        log_q_ref = -jnp.asarray(self.source_logpdf_n)
+        log_n = jnp.log(len(log_q_ref))
+
+        log_p_ref = log_q_ref - logsumexp(log_q_ref - log_n)
+        log_p_a = log_q_a - logsumexp(log_q_a - log_p_ref - log_n)
+        log_p_b = log_q_b - logsumexp(log_q_b - log_p_ref - log_n)
+
+        log_prod = log_p_a + log_p_b
+        log_mix = logsumexp(jnp.stack([log_p_a, log_p_b]), axis=0) - jnp.log(2)
+        log_denom = log_mix + log_p_ref
+        valid = log_denom > -jnp.inf
+        ratios = jnp.where(valid, log_prod - log_denom, 0.0)
+        return jnp.clip(jnp.exp(logsumexp(ratios - jnp.log(jnp.sum(valid)))), 0.0, 1.0)
 
 
-def construct_work_stddev_estimator(reference_log_weights_n, vec_u: Callable) -> WorkStddevEstimator:
-    """(ref protocol.py:153-169)"""
+def work_stddev_distance_fxn(lambdas, u_kn, f_k, N_k, max_step: float = 0.25) -> DistanceFxn:
+    """d(a, b) = max(work_stddev(a→b), work_stddev(b→a)); +inf beyond
+    max_step so the greedy pass never leaps over unsampled territory."""
+    rw = _MixtureReweighter.from_pilot(lambdas, u_kn, f_k, N_k, mixture_log_weights=True)
 
-    def work_stddev_estimator(prev_lam: Float, next_lam: Float) -> Float:
-        target_logpdf_n = -vec_u(prev_lam)
-        delta_us = vec_u(next_lam) - vec_u(prev_lam)
-        return reweighted_stddev(delta_us, target_logpdf_n, reference_log_weights_n)
-
-    return work_stddev_estimator
-
-
-def construct_max_work_stddev_distance(work_stddev_estimator) -> DistanceFxn:
-    """d(a, b) = max(stddev(a→b), stddev(b→a)), +inf beyond max_step
-    (ref protocol.py:206-225)."""
-
-    def max_work_stddev_distance(prev_lam, next_lam, max_step=0.25):
-        if next_lam - prev_lam > max_step:
+    def distance(lam_prev, lam_next):
+        if lam_next - lam_prev > max_step:
             return +jnp.inf
-        fwd = work_stddev_estimator(prev_lam, next_lam)
-        rev = work_stddev_estimator(next_lam, prev_lam)
-        return max(fwd, rev)
+        return max(rw.work_stddev(lam_prev, lam_next), rw.work_stddev(lam_next, lam_prev))
 
-    return max_work_stddev_distance
+    return distance
 
 
-def rebalance_initial_protocol_by_work_stddev(
-    lambdas_k,
-    f_k,
-    u_kn,
-    N_k,
-    work_stddev_threshold: Float = 1.0,
-):
-    """New protocol with work_stddev(i→i±1) ≤ threshold for all i
-    (ref protocol.py:69-111)."""
-    reference_log_weights_n = log_weights_from_mixture(u_kn, f_k, N_k)
-    vec_u_interp = linear_u_kn_interpolant(lambdas_k, u_kn)
-    work_stddev_estimator = construct_work_stddev_estimator(reference_log_weights_n, vec_u_interp)
-    distance_fxn = construct_max_work_stddev_distance(work_stddev_estimator)
-    return greedily_optimize_protocol(distance_fxn, target_distance=work_stddev_threshold)
+def make_fast_approx_overlap_distance_fxn(lambdas, u_kn, f_k, N_k) -> DistanceFxn:
+    """d(a, b) = 1 − overlap(a, b), reweighted + λ-interpolated."""
+    rw = _MixtureReweighter.from_pilot(lambdas, u_kn, f_k, N_k, mixture_log_weights=False)
+
+    def distance(lam_a, lam_b):
+        return 1.0 - rw.overlap(lam_a, lam_b)
+
+    return distance
 
 
-def reweighted_pair_overlap(u_n_A, u_n_B, u_n_ref):
-    """overlap(A, B) estimated by reweighting ref samples to A and B
-    (ref protocol.py:227-263; pymbar overlap sec. 3.4 of
-    doi:10.1021/ct501101f)."""
-    log_q_A = -jnp.asarray(u_n_A)
-    log_q_B = -jnp.asarray(u_n_B)
-    log_q_ref = -jnp.asarray(u_n_ref)
-    log_N = jnp.log(len(log_q_ref))
-
-    log_p_ref_n = log_q_ref - logsumexp(log_q_ref - log_N)
-    log_p_A = log_q_A - logsumexp(log_q_A - log_p_ref_n - log_N)
-    log_p_B = log_q_B - logsumexp(log_q_B - log_p_ref_n - log_N)
-
-    log_prod_AB_n = log_p_A + log_p_B
-    log_p_mix_n = logsumexp(jnp.array([log_p_A, log_p_B]), axis=0) - jnp.log(2)
-
-    log_denom = log_p_mix_n + log_p_ref_n
-    mask = log_denom > -jnp.inf
-    log_f_n = jnp.where(mask, log_prod_AB_n - log_denom, 0.0)
-    log_mean_f = logsumexp(log_f_n - jnp.log(jnp.sum(mask)))
-    return jnp.exp(log_mean_f)
-
-
-def make_one_minus_similarity_fxn(sim_fxn):
-    def one_minus_f(a, b):
-        return 1 - sim_fxn(a, b)
-
-    return one_minus_f
-
-
-def make_overlap_fxn(u_lam, src_u_n):
-    """(lam_a, lam_b) → clamped overlap estimate (ref protocol.py:272-294)."""
-
-    def overlap_fxn(lam_a, lam_b):
-        return jnp.clip(reweighted_pair_overlap(u_lam(lam_a), u_lam(lam_b), src_u_n), 0.0, 1.0)
-
-    return overlap_fxn
-
-
-def make_fast_approx_overlap_fxn(lambdas, u_kn, f_k, N_k):
-    """(ref protocol.py:296-322)"""
-    linear_u_lam = linear_u_kn_interpolant(lambdas, np.nan_to_num(u_kn, nan=np.inf))
-    mixture_u_n = interpret_as_mixture_potential(u_kn, f_k, N_k)
-    return make_overlap_fxn(linear_u_lam, mixture_u_n)
-
-
-def make_overlap_distance_fxn(u_lam, src_u_n):
-    return make_one_minus_similarity_fxn(make_overlap_fxn(u_lam, src_u_n))
-
-
-def make_fast_approx_overlap_distance_fxn(lambdas, u_kn, f_k, N_k):
-    """d(a,b) = 1 − overlap(a,b) via reweighting + interpolated energies
-    (ref protocol.py:344-354)."""
-    return make_one_minus_similarity_fxn(make_fast_approx_overlap_fxn(lambdas, u_kn, f_k, N_k))
+def rebalance_initial_protocol_by_work_stddev(lambdas_k, f_k, u_kn, N_k, work_stddev_threshold: float = 1.0):
+    """New protocol with work_stddev(i→i±1) ≤ threshold everywhere."""
+    distance = work_stddev_distance_fxn(lambdas_k, u_kn, f_k, N_k)
+    return greedily_optimize_protocol(distance, target_distance=work_stddev_threshold)
 
 
 def greedily_optimize_protocol(
@@ -171,26 +138,27 @@ def greedily_optimize_protocol(
     bisection_xtol=1e-4,
     protocol_interval: tuple[float, float] = (0.0, 1.0),
 ):
-    """Left-to-right greedy placement: next lambda at a fixed thermodynamic
-    distance from the previous one (ref protocol.py:356-393)."""
-    start_lamb, end_lamb = protocol_interval
-    protocol = [start_lamb]
+    """Left-to-right placement: each new λ sits at the target thermodynamic
+    distance from the previous one (located by scalar bisection); stops when
+    the remaining gap to the endpoint is within target."""
+    lam_lo, lam_hi = protocol_interval
+    protocol = [lam_lo]
 
-    for t in range(max_iterations):
-        prev_lam = protocol[-1]
-        if distance_fxn(prev_lam, end_lamb) < target_distance:
+    for iteration in range(max_iterations):
+        prev = protocol[-1]
+        if distance_fxn(prev, lam_hi) < target_distance:
             break
-        next_lam = bisect(
-            f=lambda trial_lam: float(distance_fxn(prev_lam, trial_lam)) - target_distance,
-            a=prev_lam,
-            b=end_lamb,
-            xtol=bisection_xtol,
+        protocol.append(
+            bisect(
+                f=lambda trial: float(distance_fxn(prev, trial)) - target_distance,
+                a=prev,
+                b=lam_hi,
+                xtol=bisection_xtol,
+            )
         )
-        protocol.append(next_lam)
-        if t == max_iterations - 1:
+        if iteration == max_iterations - 1:
             warnings.warn("Exceeded max_iterations!")
 
-    if protocol[-1] != end_lamb:
-        protocol.append(end_lamb)
-
+    if protocol[-1] != lam_hi:
+        protocol.append(lam_hi)
     return jnp.array(protocol)
