@@ -1,0 +1,511 @@
+"""Quadscan nonbonded kernel (Pallas/TPU) — v4 of the MD hot path.
+
+Occupancy-driven redesign of the rowscan kernel (rowscan_kernel.py): the
+measured cost model is ~flat per pair SLOT, so the lever is padded-slot
+count. Changes vs rowscan:
+
+* 32-atom COLUMN granularity: interaction culling runs on (32 row x 32 col)
+  chunk pairs (vs 32 x 128). Compute still happens on full (32, 128) lane
+  tiles: each inner iteration PACKS four accepted 32-atom column quarters
+  into one tile. Measured slot count at 23k-atom water: 85.3M -> 59.2M
+  (snake sort) -> lower still with compact chunks.
+* per-entry constant image shift: at 32-atom granularity every chunk pair
+  admits one box image vector valid for ALL its pairs (chunk half-diagonals
+  + cutoff < box/2, checked by the builder), so the kernel applies a
+  per-quarter shift at load time and drops the 9-op/slot minimum-image
+  round-trip entirely. dx stays a direct subtraction — no
+  cancellation-prone distance algebra.
+* Newton gate peeling: entries are sorted so each row's diagonal chunk is
+  its FIRST entry; only the first packed tile pays the per-pair global-id
+  comparison, all others use the builder's chunk-level (col > row) filter.
+* quarter-granular layouts: atom data and the triangular reaction-force
+  accumulator are stored as (n_chunks32 * 8, 32) so both the quarter loads
+  and the read-modify-write accumulation are DYNAMIC-SUBLANE slices (the
+  well-supported direction on TPU), not dynamic-lane ones.
+
+Parity: same physics as rowscan (4D lifted LJ + switched-erfc Chebyshev ES,
+force = exact gradient of the polynomial energy); tile culling mirrors the
+reference's block-bounds neighborlist (neighborlist.cu) at finer grain.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from timemachine_tpu.ops.pallas.rowscan_kernel import _clenshaw, es_energy_force_series
+
+ROW = 32  # atoms per row chunk (grid step)
+Q = 32  # atoms per column quarter-chunk (culling granularity)
+PACK = 4  # quarters packed per (ROW, 128) compute tile
+LANES = Q * PACK  # 128
+SHIFT_BITS = 12  # col ids live in the low bits; image shift in bits 12..17
+
+
+def _decode(entry):
+    cid = entry & (2**SHIFT_BITS - 1)
+    sx = ((entry >> SHIFT_BITS) & 3) - 1
+    sy = ((entry >> (SHIFT_BITS + 2)) & 3) - 1
+    sz = ((entry >> (SHIFT_BITS + 4)) & 3) - 1
+    return cid, sx, sy, sz
+
+
+def _quadscan_kernel(
+    row_base_ref,  # (1,) int32: global row-chunk offset of this shard
+    row_start_ref,  # (nR,) int32: offset into entries (units of packed tiles)
+    row_count_ref,  # (nR,) int32: packed-tile count for this row
+    entries_ref,  # (T,) int32: encoded (quarter id | image shift)
+    rowT_ref,  # (ROW, 8) block: this row chunk, transposed atom data
+    atoms_q_ref,  # (nC32 * 8, Q) whole array: quarter-major atom data
+    scal_ref,  # (1, 8) SMEM: box_x, box_y, box_z, cutoff, ...
+    out_ref,  # (ROW, 8) block: [u, fx, fy, fz, 0...]
+    out_cols_ref,  # (nC32 * 8, Q) whole: quarter-major reaction forces
+    *,
+    h_coeffs,
+    p_coeffs,
+    compute_u: bool,
+):
+    i = pl.program_id(0)
+    start = row_start_ref[i]
+    count = row_count_ref[i]
+
+    @pl.when(i == 0)
+    def _():
+        out_cols_ref[:, :] = jnp.zeros_like(out_cols_ref)
+
+    box_x = scal_ref[0, 0]
+    box_y = scal_ref[0, 1]
+    box_z = scal_ref[0, 2]
+    cutoff = scal_ref[0, 3]
+    cut2 = cutoff * cutoff
+    # switch domain rides scal slot 4 (the physical switch cutoff)
+    k1 = 4.0 / scal_ref[0, 4]
+    k0 = -2.0
+
+    rowT = rowT_ref[:, :]
+    x_i = rowT[:, 0:1]
+    y_i = rowT[:, 1:2]
+    z_i = rowT[:, 2:3]
+    w_i = rowT[:, 3:4]
+    q_i = rowT[:, 4:5]
+    s_i = rowT[:, 5:6]
+    e_i = rowT[:, 6:7]
+
+    zeros = jnp.zeros((ROW, LANES), jnp.float32)
+    row_gid = jnp.float32((row_base_ref[0] + i) * ROW) + jax.lax.broadcasted_iota(
+        jnp.int32, (ROW, 1), 0
+    ).astype(jnp.float32)
+
+    def load_packed(tile_idx):
+        """4 quarters -> ((8, 128) shifted col tile, (PACK,) cids)."""
+        parts = []
+        cids = []
+        for k in range(PACK):
+            entry = entries_ref[(start + tile_idx) * PACK + k]
+            cid, sx, sy, sz = _decode(entry)
+            cids.append(cid)
+            quarter = atoms_q_ref[pl.ds(cid * 8, 8), :]  # (8, Q)
+            adj = (
+                jnp.stack(
+                    [
+                        sx.astype(jnp.float32) * box_x,
+                        sy.astype(jnp.float32) * box_y,
+                        sz.astype(jnp.float32) * box_z,
+                    ]
+                ).reshape(3, 1)
+            )
+            quarter = quarter.at[0:3, :].add(adj)
+            parts.append(quarter)
+        return jnp.concatenate(parts, axis=1), cids
+
+    def pair_tile(col, newton_gate_cids):
+        """Pair math on one (ROW, 128) tile; returns (de_r, e_pair, diffs)."""
+        dx = x_i - col[0].reshape(1, LANES)
+        dy = y_i - col[1].reshape(1, LANES)
+        dz = z_i - col[2].reshape(1, LANES)
+        dw = w_i - col[3].reshape(1, LANES)
+        r2 = dx * dx + dy * dy + dz * dz + dw * dw
+
+        r2s = jnp.maximum(r2, 1e-8)
+        inv_r = jax.lax.rsqrt(r2s)
+        inv_r2 = inv_r * inv_r
+
+        qq = q_i * col[4].reshape(1, LANES)
+        sg = s_i + col[5].reshape(1, LANES)
+        e4 = e_i * col[6].reshape(1, LANES)
+
+        s2 = sg * sg * inv_r2
+        t6 = s2 * s2 * s2
+        t12 = t6 * t6
+        flj = e4 * inv_r2 * (6.0 * t6 - 12.0 * t12)
+
+        r = r2s * inv_r
+        t2 = k1 * r + k0
+        p = _clenshaw(t2, p_coeffs)
+        fes = qq * p * (inv_r * inv_r2)
+
+        gate = (r2 < cut2) & (r2 > 1e-7)
+        if newton_gate_cids is not None:
+            col_gid = jnp.concatenate(
+                [
+                    jnp.float32(cid * Q)
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1).astype(jnp.float32)
+                    for cid in newton_gate_cids
+                ],
+                axis=1,
+            )
+            gate = gate & (row_gid < col_gid)
+        de_r = jnp.where(gate, flj + fes, 0.0)
+        if compute_u:
+            h = _clenshaw(t2, h_coeffs)
+            e_pair = jnp.where(gate, e4 * (t12 - t6) + qq * h * inv_r, 0.0)
+        else:
+            e_pair = None
+        return de_r, e_pair, (dx, dy, dz)
+
+    def accumulate(acc, de_r, e_pair, diffs, cids):
+        acc_fx, acc_fy, acc_fz, acc_u = acc
+        dx, dy, dz = diffs
+        tx = de_r * dx
+        ty = de_r * dy
+        tz = de_r * dz
+        acc_fx = acc_fx + tx
+        acc_fy = acc_fy + ty
+        acc_fz = acc_fz + tz
+        # reaction forces: per-quarter (8, Q) RMW at a dynamic sublane offset
+        fxc = -jnp.sum(tx, axis=0, keepdims=True)
+        fyc = -jnp.sum(ty, axis=0, keepdims=True)
+        fzc = -jnp.sum(tz, axis=0, keepdims=True)
+        zc = jnp.zeros((1, LANES), jnp.float32)
+        neg = jnp.concatenate([zc, fxc, fyc, fzc, zc, zc, zc, zc], axis=0)  # (8, 128)
+        for k, cid in enumerate(cids):
+            piece = neg[:, k * Q : (k + 1) * Q]
+            sl = pl.ds(cid * 8, 8)
+            out_cols_ref[sl, :] = out_cols_ref[sl, :] + piece
+        if compute_u:
+            acc_u = acc_u + e_pair
+        return acc_fx, acc_fy, acc_fz, acc_u
+
+    if compute_u:
+        init = (zeros, zeros, zeros, zeros)
+    else:
+        init = (zeros, zeros, zeros, zeros[:, :1])
+
+    # peel tile 0: it contains this row's diagonal quarter (builder orders
+    # entries ascending), the only tile needing the per-pair Newton gate
+    def tile0(acc):
+        col, cids = load_packed(0)
+        de_r, e_pair, diffs = pair_tile(col, newton_gate_cids=cids)
+        return accumulate(acc, de_r, e_pair, diffs, cids)
+
+    acc = jax.lax.cond(count > 0, tile0, lambda a: a, init)
+
+    def body(tile_idx, acc):
+        col, cids = load_packed(tile_idx)
+        de_r, e_pair, diffs = pair_tile(col, newton_gate_cids=None)
+        return accumulate(acc, de_r, e_pair, diffs, cids)
+
+    acc_fx, acc_fy, acc_fz, acc_u = jax.lax.fori_loop(1, count, body, acc)
+
+    fx = jnp.sum(acc_fx, axis=1)
+    fy = jnp.sum(acc_fy, axis=1)
+    fz = jnp.sum(acc_fz, axis=1)
+    u = jnp.sum(acc_u, axis=1) if compute_u else jnp.zeros((ROW,), jnp.float32)
+    z = jnp.zeros((ROW,), jnp.float32)
+    out_ref[:, :] = jnp.stack([u, fx, fy, fz, z, z, z, z], axis=1)
+
+
+def _quadscan_call(
+    atomsT,  # (n_row_atoms, 8)
+    atoms_q,  # (nC32 * 8, Q)
+    row_start,
+    row_count,
+    entries,
+    scalars,
+    n_rows: int,
+    *,
+    row_base=None,
+    h_coeffs,
+    p_coeffs,
+    compute_u: bool,
+    interpret: bool,
+):
+    n_q8 = atoms_q.shape[0]
+    n_row_atoms = n_rows * ROW
+    if row_base is None:
+        row_base = jnp.zeros((1,), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_rows,),
+        in_specs=[
+            pl.BlockSpec((ROW, 8), lambda i, rb, rs, rc, en: (i, 0)),
+            pl.BlockSpec((n_q8, Q), lambda i, rb, rs, rc, en: (0, 0)),
+            pl.BlockSpec((1, 8), lambda i, rb, rs, rc, en: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ROW, 8), lambda i, rb, rs, rc, en: (i, 0)),
+            pl.BlockSpec((n_q8, Q), lambda i, rb, rs, rc, en: (0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_quadscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_row_atoms, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_q8, Q), jnp.float32),
+        ],
+        interpret=interpret,
+    )(row_base, row_start, row_count, entries, atomsT, atoms_q, scalars)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_rows", "h_coeffs", "p_coeffs", "compute_u", "interpret"),
+)
+def quadscan_sweep(
+    atoms8,  # (8, Npad)
+    atomsT,  # (Npad, 8)
+    row_start,
+    row_count,
+    entries,
+    scalars,
+    n_rows: int,
+    h_coeffs,
+    p_coeffs,
+    compute_u: bool = False,
+    interpret: bool = False,
+):
+    """Returns (Npad, 8): [u_atom, du/dx(3), 0...] in sorted order, both
+    Newton-pair sides included."""
+    n_pad = atoms8.shape[1]
+    n_q = n_pad // Q
+    atoms_q = atoms8.reshape(8, n_q, Q).transpose(1, 0, 2).reshape(n_q * 8, Q)
+    out_rows, out_cols = _quadscan_call(
+        atomsT,
+        atoms_q,
+        row_start,
+        row_count,
+        entries,
+        scalars,
+        n_rows,
+        h_coeffs=h_coeffs,
+        p_coeffs=p_coeffs,
+        compute_u=compute_u,
+        interpret=interpret,
+    )
+    cols = out_cols.reshape(n_q, 8, Q).transpose(1, 0, 2).reshape(8, n_pad)
+    return out_rows.at[:, 1:4].add(cols[1:4].T)
+
+
+def _hilbert_keys(frac, bits: int = 7):
+    """Positions (fractional, in [0,1)) -> Hilbert curve index on a
+    2^bits-cube grid (x-major cell LUT from the v1 kernel)."""
+    from timemachine_tpu.ops.pallas.nonbonded_kernel import hilbert_lut
+
+    lut = jnp.asarray(hilbert_lut(bits))  # linear cell (x-major) -> curve idx
+    side = 1 << bits
+    cell = jnp.minimum((frac * side).astype(jnp.int32), side - 1)
+    flat = (cell[:, 0] * side + cell[:, 1]) * side + cell[:, 2]
+    return lut[flat]
+
+
+@partial(jax.jit, static_argnames=("max_tiles", "sort"))
+def build_quadscan_tiles(conf, params, box, cutoff, max_tiles: int, sort: str = "hilbert"):
+    """32-granularity culled tile list with packed image shifts.
+
+    Returns (pad_order, row_start, row_count, entries, overflow):
+    row_start/row_count are in units of PACKED TILES (4 quarters each);
+    entries is (max_tiles * PACK,) int32 of encoded (quarter id | shift).
+    """
+    n = conf.shape[0]
+    n_pad = (-(-n // LANES) + 1) * LANES  # one spare all-padding 128-block
+    n_rows = n_pad // ROW
+    n_q = n_pad // Q
+
+    box_diag = jnp.diagonal(box)
+    wrapped = conf[:, :3] - box_diag * jnp.floor(conf[:, :3] / box_diag)
+    frac = wrapped / box_diag
+    frac = frac - jnp.floor(frac)
+    if sort == "hilbert":
+        keys = _hilbert_keys(frac)
+    else:
+        cell = 0.65
+        dims = jnp.maximum(jnp.floor(box_diag / cell).astype(jnp.int32), 1)
+        cxyz = jnp.minimum((frac * dims).astype(jnp.int32), dims - 1)
+        cx, cy, cz = cxyz[:, 0], cxyz[:, 1], cxyz[:, 2]
+        ky = jnp.where(cz % 2 == 0, cy, dims[1] - 1 - cy)
+        row_parity = (cz * dims[1] + ky) % 2
+        kx = jnp.where(row_parity == 0, cx, dims[0] - 1 - cx)
+        keys = (cz * dims[1] + ky) * dims[0] + kx
+    order = jnp.argsort(keys).astype(jnp.int32)
+    pad_order = jnp.concatenate([order, jnp.zeros(n_pad - n, dtype=jnp.int32)])
+
+    xs = wrapped[pad_order]
+    valid = jnp.concatenate([jnp.ones(n), jnp.zeros(n_pad - n)])
+    vq = valid.reshape(n_q, Q, 1) > 0
+    xq = xs.reshape(n_q, Q, 3)
+    big = jnp.asarray(1e9, jnp.float32)
+    qmin = jnp.min(jnp.where(vq, xq, big), axis=1)
+    qmax = jnp.max(jnp.where(vq, xq, -big), axis=1)
+    qcen = 0.5 * (qmin + qmax)
+    qhal = 0.5 * (qmax - qmin)
+    q_has = jnp.any(vq[:, :, 0], axis=1)
+
+    # row chunks == column quarters (ROW == Q): one chunking serves both
+    dc = qcen[:, None, :] - qcen[None, :, :]
+    shift = -jnp.floor(dc / box_diag + 0.5)  # integer images in {-1, 0, 1}
+    dc_im = dc + shift * box_diag
+    gap = jnp.maximum(jnp.abs(dc_im) - (qhal[:, None, :] + qhal[None, :, :]), 0.0)
+    d2 = jnp.sum(gap * gap, axis=2)
+    inter = (d2 < cutoff * cutoff) & q_has[:, None] & q_has[None, :]
+    # Newton: col quarter id >= row chunk id
+    inter = inter & (jnp.arange(n_q)[None, :] >= jnp.arange(n_q)[:, None])
+
+    # encode entries: quarter id | image shift to ADD to the column coords
+    # (dx = x_i - (x_j - shift*L), so the stored shift is negated)
+    neg = (-shift).astype(jnp.int32)
+    sx = (neg[:, :, 0] + 1) << SHIFT_BITS
+    sy = (neg[:, :, 1] + 1) << (SHIFT_BITS + 2)
+    sz = (neg[:, :, 2] + 1) << (SHIFT_BITS + 4)
+    codes = jnp.arange(n_q, dtype=jnp.int32)[None, :] + sx + sy + sz
+
+    counts = jnp.sum(inter, axis=1).astype(jnp.int32)  # quarters per row
+    padded = -(-counts // PACK) * PACK
+    tile_count = padded // PACK
+    tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
+    start_real = jnp.cumsum(counts) - counts
+    total_tiles = jnp.sum(tile_count)
+    overflow = jnp.maximum(total_tiles - max_tiles, 0)
+
+    flat = inter.reshape(-1)
+    idx = jnp.arange(n_rows * n_q)
+    sort_keys = jnp.where(flat, idx, n_rows * n_q + idx)
+    take = min(max_tiles * PACK, n_rows * n_q)
+    sorted_idx = jnp.argsort(sort_keys)[:take]
+    entry_row = sorted_idx // n_q
+    entry_code = codes.reshape(-1)[sorted_idx]
+    seq = jnp.arange(take)
+    rank = seq - start_real[entry_row]
+    target = tile_start[entry_row] * PACK + rank
+    ok = (seq < jnp.sum(counts)) & (target < max_tiles * PACK)
+    # padding entries point at the guaranteed all-zero last quarter, no shift
+    zero_code = jnp.int32(n_q - 1) + (1 << SHIFT_BITS) + (1 << (SHIFT_BITS + 2)) + (1 << (SHIFT_BITS + 4))
+    entries = jnp.full((max_tiles * PACK,), zero_code, jnp.int32)
+    entries = entries.at[jnp.where(ok, target, max_tiles * PACK)].set(entry_code, mode="drop")
+
+    allowed = jnp.maximum(max_tiles - tile_start, 0)
+    row_count = jnp.minimum(tile_count, allowed).astype(jnp.int32)
+    row_start = jnp.minimum(tile_start, max_tiles - 1).astype(jnp.int32)
+    return pad_order, row_start, row_count, entries, overflow
+
+
+def suggest_max_tiles(conf, box, cutoff, margin: float = 1.3, sort: str = "hilbert") -> int:
+    n = conf.shape[0]
+    n_pad = (-(-n // LANES) + 1) * LANES
+    cap = (n_pad // ROW) * (-(-(n_pad // Q) // PACK))
+    _, _, counts, _, _ = build_quadscan_tiles(
+        jnp.asarray(conf, jnp.float32),
+        jnp.zeros((n, 4), jnp.float32),
+        jnp.asarray(box, jnp.float32),
+        cutoff,
+        max_tiles=cap,
+        sort=sort,
+    )
+    total = int(np.asarray(counts).sum())
+    want = int(np.ceil(total * margin / 32) * 32)
+    return min(max(want, 32), cap)
+
+
+def _scalars(box, cutoff, switch_cutoff: float = 1.2):
+    return jnp.concatenate(
+        [
+            jnp.diagonal(jnp.asarray(box, jnp.float32)),
+            jnp.asarray([cutoff, switch_cutoff], jnp.float32),
+            jnp.zeros(3, jnp.float32),
+        ]
+    ).reshape(1, 8)
+
+
+def make_nonbonded_quadscan_md(
+    beta: float,
+    cutoff: float,
+    max_tiles: int,
+    skin: float = 0.1,
+    rebuild_interval: int = 20,
+    interpret: bool = False,
+    sort: str = "hilbert",
+):
+    """Stateful MD force provider on the quadscan kernel (same contract as
+    rowscan_kernel.make_nonbonded_rowscan_md)."""
+    h_coeffs, p_coeffs = es_energy_force_series(beta, cutoff)
+
+    def _param_rows(params, pad_order, n):
+        n_pad = pad_order.shape[0]
+        params = jnp.asarray(params, jnp.float32)
+        valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
+        pr = params[pad_order]
+        rowsT = jnp.stack([pr[:, 3], pr[:, 0] * valid, pr[:, 1], 2.0 * pr[:, 2] * valid], axis=1)
+        return rowsT.T, rowsT
+
+    def _build(conf, params, box):
+        pad_order, row_start, row_count, entries, overflow = build_quadscan_tiles(
+            jnp.asarray(conf, jnp.float32),
+            jnp.asarray(params, jnp.float32),
+            jnp.asarray(box, jnp.float32),
+            cutoff + skin,
+            max_tiles=max_tiles,
+            sort=sort,
+        )
+        n = conf.shape[0]
+        inv = jnp.zeros(n, dtype=jnp.int32).at[pad_order[:n]].set(jnp.arange(n, dtype=jnp.int32))
+        prows, prowsT = _param_rows(params, pad_order, n)
+        return (pad_order, inv, row_start, row_count, entries, overflow, prows, prowsT)
+
+    def init_fn(conf, params, box):
+        return _build(conf, params, box)
+
+    def _sweep_from_state(state, conf, box, compute_u):
+        pad_order, inv, row_start, row_count, entries, _, prows, prowsT = state
+        n_pad = pad_order.shape[0]
+        conf = jnp.asarray(conf, jnp.float32)
+        box32 = jnp.asarray(box, jnp.float32)
+        box_diag = jnp.diagonal(box32)
+        wrapped = conf[:, :3] - box_diag * jnp.floor(conf[:, :3] / box_diag)
+        xyzN = wrapped[pad_order]
+        z1 = jnp.zeros((1, n_pad), jnp.float32)
+        atoms8 = jnp.concatenate([xyzN.T, prows, z1], axis=0)
+        atomsT = jnp.concatenate([xyzN, prowsT, z1.T], axis=1)
+        return quadscan_sweep(
+            atoms8,
+            atomsT,
+            row_start,
+            row_count,
+            entries,
+            _scalars(box, cutoff),
+            n_rows=n_pad // ROW,
+            h_coeffs=h_coeffs,
+            p_coeffs=p_coeffs,
+            compute_u=compute_u,
+            interpret=interpret,
+        )
+
+    def apply_fn(state, conf, params, box, t):
+        state = jax.lax.cond(
+            (t % rebuild_interval) == 0,
+            lambda: _build(conf, params, box),
+            lambda: state,
+        )
+        out = _sweep_from_state(state, conf, box, compute_u=False)
+        force = -out[state[1], 1:4]
+        return jnp.zeros((), jnp.float32), force, state
+
+    def energy_fn(state, conf, params, box):
+        out = _sweep_from_state(state, conf, box, compute_u=True)
+        return jnp.sum(out[:, 0])
+
+    return init_fn, apply_fn, energy_fn

@@ -90,6 +90,10 @@ def _clenshaw(t2, coeffs):
 
 
 def _rowscan_kernel(
+    row_base_ref,  # (1,) int32 scalar prefetch: global row-chunk offset of
+    #               this shard (0 on a single device; d*nR_local when the row
+    #               axis is sharded over a mesh — the Newton pair-ordering
+    #               gate needs GLOBAL atom ids)
     row_start_ref,  # (nR,) int32 scalar prefetch: offset into col_ids
     row_count_ref,  # (nR,) int32 scalar prefetch: neighbor chunk count
     col_ids_ref,  # (T,) int32 scalar prefetch: flat column chunk ids
@@ -139,7 +143,7 @@ def _rowscan_kernel(
     zeros = jnp.zeros((ROW, COL), jnp.float32)
 
     if triangular:
-        row_gid = jnp.float32(i * ROW) + jax.lax.broadcasted_iota(jnp.int32, (ROW, 1), 0).astype(jnp.float32)
+        row_gid = jnp.float32((row_base_ref[0] + i) * ROW) + jax.lax.broadcasted_iota(jnp.int32, (ROW, 1), 0).astype(jnp.float32)
 
     def one_col(cid, acc):
         acc_fx, acc_fy, acc_fz, acc_u = acc
@@ -231,6 +235,69 @@ def _rowscan_kernel(
     out_ref[:, :] = jnp.stack([u, fx, fy, fz, z, z, z, z], axis=1)
 
 
+def _rowscan_call(
+    atomsT,  # (n_row_atoms, 8) f32 — row-side atoms (may be a shard)
+    atoms_cm,  # (nC, 8, COL) f32 — ALL column chunks, chunk-major
+    row_start,
+    row_count,
+    col_ids,
+    scalars,
+    n_rows: int,
+    *,
+    row_base=None,  # (1,) int32 global row-chunk offset (sharded callers)
+    h_coeffs,
+    p_coeffs,
+    compute_u: bool,
+    interpret: bool,
+    triangular: bool,
+):
+    """Raw pallas invocation. Returns (out_rows (n_row_atoms, 8), out_cols
+    (8, Npad) | None). Row blocks index atomsT locally, so a caller may pass
+    a row SHARD with matching row_start/row_count (col data stays whole)."""
+    n_chunks = atoms_cm.shape[0]
+    n_pad = n_chunks * COL
+    n_row_atoms = n_rows * ROW
+    if row_base is None:
+        row_base = jnp.zeros((1,), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_rows,),
+        in_specs=[
+            pl.BlockSpec((ROW, 8), lambda i, rb, rs, rc, ci: (i, 0)),
+            pl.BlockSpec((n_chunks, 8, COL), lambda i, rb, rs, rc, ci: (0, 0, 0)),
+            pl.BlockSpec((1, 8), lambda i, rb, rs, rc, ci: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW, 8), lambda i, rb, rs, rc, ci: (i, 0)),
+    )
+    if not triangular:
+        out_rows = pl.pallas_call(
+            partial(_rowscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_row_atoms, 8), jnp.float32),
+            interpret=interpret,
+        )(row_base, row_start, row_count, col_ids, atomsT, atoms_cm, scalars)
+        return out_rows, None
+    grid_spec_tri = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_rows,),
+        in_specs=grid_spec.in_specs,
+        out_specs=[
+            pl.BlockSpec((ROW, 8), lambda i, rb, rs, rc, ci: (i, 0)),
+            pl.BlockSpec((8, n_pad), lambda i, rb, rs, rc, ci: (0, 0)),
+        ],
+    )
+    out_rows, out_cols = pl.pallas_call(
+        partial(_rowscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u, triangular=True),
+        grid_spec=grid_spec_tri,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_row_atoms, 8), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(row_base, row_start, row_count, col_ids, atomsT, atoms_cm, scalars)
+    return out_rows, out_cols
+
+
 @partial(jax.jit, static_argnames=("n_rows", "max_pairs", "h_coeffs", "p_coeffs", "compute_u", "interpret", "triangular"))
 def rowscan_sweep(
     atoms8,  # (8, Npad) f32
@@ -253,42 +320,88 @@ def rowscan_sweep(
     n_pad = atoms8.shape[1]
     n_chunks = n_pad // COL
     atoms_cm = atoms8.reshape(8, n_chunks, COL).transpose(1, 0, 2)  # chunk-major
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_rows,),
-        in_specs=[
-            pl.BlockSpec((ROW, 8), lambda i, rs, rc, ci: (i, 0)),
-            pl.BlockSpec((n_chunks, 8, COL), lambda i, rs, rc, ci: (0, 0, 0)),
-            pl.BlockSpec((1, 8), lambda i, rs, rc, ci: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((ROW, 8), lambda i, rs, rc, ci: (i, 0)),
+    out_rows, out_cols = _rowscan_call(
+        atomsT, atoms_cm, row_start, row_count, col_ids, scalars, n_rows,
+        h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u,
+        interpret=interpret, triangular=triangular,
     )
-    if not triangular:
-        return pl.pallas_call(
-            partial(_rowscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
-            interpret=interpret,
-        )(row_start, row_count, col_ids, atomsT, atoms_cm, scalars)
-    grid_spec_tri = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_rows,),
-        in_specs=grid_spec.in_specs,
-        out_specs=[
-            pl.BlockSpec((ROW, 8), lambda i, rs, rc, ci: (i, 0)),
-            pl.BlockSpec((8, n_pad), lambda i, rs, rc, ci: (0, 0)),
-        ],
-    )
-    out_rows, out_cols = pl.pallas_call(
-        partial(_rowscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u, triangular=True),
-        grid_spec=grid_spec_tri,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
-            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
-        ],
-        interpret=interpret,
-    )(row_start, row_count, col_ids, atomsT, atoms_cm, scalars)
+    if out_cols is None:
+        return out_rows
     return out_rows.at[:, 1:4].add(out_cols[1:4].T)
+
+
+def rowscan_sweep_sharded(
+    atoms8,
+    atomsT,
+    row_start,
+    row_count,
+    col_ids,
+    scalars,
+    n_rows: int,
+    h_coeffs,
+    p_coeffs,
+    mesh,
+    axis_name: str = "rows",
+    compute_u: bool = False,
+    interpret: bool = False,
+    triangular: bool = False,
+):
+    """Spatially-decomposed sweep over a device mesh: the snake-sorted row
+    chunks are block-partitioned across devices (each device integrates the
+    pair interactions of its contiguous spatial slab); column atom data is
+    replicated (at ~1 MB per 23k atoms this is far below the ICI budget —
+    true halo exchange becomes worthwhile only at millions of atoms). In
+    triangular (Newton) mode the column-side reaction forces are reduced
+    with one psum over the mesh.
+
+    Requires n_rows % n_devices == 0 (builder pads rows; pick Npad so the
+    row-chunk count divides the mesh).
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    assert n_rows % n_dev == 0, f"{n_rows} row chunks not divisible over {n_dev} devices"
+    n_rows_local = n_rows // n_dev
+    n_pad = atoms8.shape[1]
+    n_chunks = n_pad // COL
+    atoms_cm = atoms8.reshape(8, n_chunks, COL).transpose(1, 0, 2)
+
+    def local_sweep(row_base_shard, atomsT_shard, atoms_cm_all, row_start_shard, row_count_shard, col_ids_all, scalars_all):
+        out_rows, out_cols = _rowscan_call(
+            atomsT_shard,
+            atoms_cm_all,
+            row_start_shard,
+            row_count_shard,
+            col_ids_all,
+            scalars_all,
+            n_rows_local,
+            row_base=row_base_shard,
+            h_coeffs=h_coeffs,
+            p_coeffs=p_coeffs,
+            compute_u=compute_u,
+            interpret=interpret,
+            triangular=triangular,
+        )
+        if out_cols is not None:
+            out_cols = jax.lax.psum(out_cols, axis_name)
+        else:
+            out_cols = jnp.zeros((8, n_pad), jnp.float32)
+        return out_rows, out_cols
+
+    row_base = jnp.arange(n_dev, dtype=jnp.int32) * n_rows_local
+    sharded = shard_map(
+        local_sweep,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P(axis_name), P(axis_name), P(), P()),
+        out_specs=(P(axis_name), P()),
+        check_rep=False,
+    )
+    out_rows, out_cols = sharded(row_base, atomsT, atoms_cm, row_start, row_count, col_ids, scalars)
+    if triangular:
+        return out_rows.at[:, 1:4].add(out_cols[1:4].T)
+    return out_rows
 
 
 @partial(jax.jit, static_argnames=("max_pairs", "cell_size", "triangular"))
@@ -413,7 +526,9 @@ def suggest_max_pairs(conf, box, cutoff, margin: float = 1.3, atom_mask=None, tr
     and pad with margin (diffusion headroom between rebuilds)."""
     n = conf.shape[0]
     n_pad = (-(-n // COL) + 1) * COL
-    cap = (n_pad // ROW) * (n_pad // COL)
+    # worst case: every row visits every column chunk, each row's list padded
+    # up to a multiple of UNROLL
+    cap = (n_pad // ROW) * (-(-(n_pad // COL) // UNROLL) * UNROLL)
     _, _, counts, _, _ = build_rowscan_tiles(
         jnp.asarray(conf, jnp.float32),
         jnp.zeros((n, 4), jnp.float32),
