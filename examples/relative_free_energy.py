@@ -39,25 +39,25 @@ def write_trajectory_as_cif(mol_a, mol_b, core, all_frames, host_topology, prefi
         writer.close()
 
 
-def run_pair(mol_a, mol_b, core, forcefield, md_params, protein_path):
+def run_pair(mol_a, mol_b, core, forcefield, md_params, protein_path, legs=("solvent", "complex"), output_dir=".", n_windows=None):
     """(ref relative_free_energy.py:31-52)"""
-    solvent_res, solvent_host_config = run_solvent(mol_a, mol_b, core, forcefield, None, md_params=md_params)
-    with open("solvent_overlap.png", "wb") as fh:
-        fh.write(solvent_res.plots.overlap_detail_png)
-    write_trajectory_as_cif(mol_a, mol_b, core, solvent_res.frames, solvent_host_config.host_topology, "solvent_traj")
-    print(
-        f"solvent dG: {np.sum(solvent_res.final_result.dGs):.3f} "
-        f"+- {np.linalg.norm(solvent_res.final_result.dG_errs):.3f} kJ/mol"
-    )
+    from pathlib import Path
 
-    complex_res, complex_host_config = run_complex(mol_a, mol_b, core, forcefield, protein_path, md_params=md_params)
-    with open("complex_overlap.png", "wb") as fh:
-        fh.write(complex_res.plots.overlap_detail_png)
-    write_trajectory_as_cif(mol_a, mol_b, core, complex_res.frames, complex_host_config.host_topology, "complex_traj")
-    print(
-        f"complex dG: {np.sum(complex_res.final_result.dGs):.3f} "
-        f"+- {np.linalg.norm(complex_res.final_result.dG_errs):.3f} kJ/mol"
-    )
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    runners = {"solvent": (run_solvent, None), "complex": (run_complex, protein_path)}
+    for leg in legs:
+        runner, host_arg = runners[leg]
+        res, host_config = runner(mol_a, mol_b, core, forcefield, host_arg, md_params=md_params, n_windows=n_windows)
+        with open(out / f"{leg}_overlap.png", "wb") as fh:
+            fh.write(res.plots.overlap_detail_png)
+        write_trajectory_as_cif(
+            mol_a, mol_b, core, res.frames, host_config.host_topology, str(out / f"{leg}_traj")
+        )
+        print(
+            f"{leg} dG: {np.sum(res.final_result.dGs):.3f} "
+            f"+- {np.linalg.norm(res.final_result.dG_errs):.3f} kJ/mol"
+        )
 
 
 def hif2a_pair():
@@ -89,6 +89,9 @@ def read_from_args():
     parser.add_argument("--seed", type=int, default=2023)
     parser.add_argument("--use_hrex", action="store_true")
     parser.add_argument("--use_water_sampling", action="store_true")
+    parser.add_argument("--legs", nargs="+", default=["solvent", "complex"], choices=["solvent", "complex"])
+    parser.add_argument("--output_dir", default=".")
+    parser.add_argument("--n_windows", type=int, default=None)
     args = parser.parse_args()
 
     mols = read_sdf(args.ligands)
@@ -106,7 +109,10 @@ def read_from_args():
         water_sampling_params=WaterSamplingParams() if args.use_water_sampling else None,
     )
     forcefield = Forcefield.load_default()
-    run_pair(mol_a, mol_b, core, forcefield, md_params, args.protein)
+    run_pair(
+        mol_a, mol_b, core, forcefield, md_params, args.protein,
+        legs=tuple(args.legs), output_dir=args.output_dir, n_windows=args.n_windows,
+    )
 
 
 if __name__ == "__main__":

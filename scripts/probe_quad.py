@@ -37,7 +37,15 @@ def main():
 
     from timemachine_tpu.ops.pallas import quadscan_kernel as qk
 
+    print("building hilbert LUT...", flush=True)
+    import time as _t
+    t0 = _t.time()
+    from timemachine_tpu.ops.pallas.nonbonded_kernel import hilbert_lut
+    hilbert_lut(7)
+    print(f"LUT built in {_t.time()-t0:.1f}s", flush=True)
+
     for sort in ("hilbert", "snake"):
+        print(f"suggest_max_tiles[{sort}]...", flush=True)
         mt = qk.suggest_max_tiles(np.asarray(x0), np.asarray(box), cutoff + 0.1, sort=sort)
         print(f"[{sort}] max_tiles={mt} slots={mt * 4096 / 1e6:.1f}M", flush=True)
         init_fn, apply_fn, energy_fn = qk.make_nonbonded_quadscan_md(

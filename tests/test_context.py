@@ -161,3 +161,36 @@ def test_validate_box_vs_cutoff():
     ctxt = Context(x0, np.zeros_like(x0), box, intg, bps)
     with pytest.raises(RuntimeError, match="box"):
         ctxt.multiple_steps(1)
+
+
+def test_velocity_verlet_through_context():
+    """Context.multiple_steps with VelocityVerletIntegrator reproduces the
+    reference leapfrog (initialize / kick-drift / finalize semantics,
+    ref verlet_integrator.cu) and conserves energy."""
+    from timemachine_tpu.integrator import velocity_verlet_trajectory
+    from timemachine_tpu.integrators import VelocityVerletIntegrator
+
+    x0, box, masses, bps, _ = _dimer_system()
+    v0 = np.zeros_like(x0)
+    n_steps = 50
+
+    intg = VelocityVerletIntegrator(dt=5e-4, masses=masses)
+    ctxt = Context(x0, v0, box, intg, bps)
+    u0 = ctxt.compute_u_t()
+    ctxt.multiple_steps(n_steps)
+    x_ctx, v_ctx = ctxt.get_x_t(), ctxt.get_v_t()
+
+    import jax
+    import jax.numpy as jnp
+
+    boxj = jnp.asarray(box)
+    force_fn = lambda x: -jax.grad(lambda xx: sum(bp(xx, boxj) for bp in bps))(x)
+    cb = jnp.asarray((5e-4 / masses)[:, None])
+    xs, vs = velocity_verlet_trajectory(x0, v0, force_fn, cb, n_steps, 5e-4)
+    np.testing.assert_allclose(x_ctx, np.asarray(xs[-1]), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(v_ctx, np.asarray(vs[-1]), rtol=1e-10, atol=1e-12)
+
+    # symplectic energy behavior: total energy drift is small
+    ke = 0.5 * np.sum(masses[:, None] * v_ctx**2)
+    u1 = ctxt.compute_u_t()
+    assert abs((u1 + ke) - (u0 + 0.0)) < 0.05 * max(1.0, abs(u0))

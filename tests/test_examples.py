@@ -1,0 +1,130 @@
+"""Every example CLI runs as a subprocess at toy scale (the reference keeps
+the same guarantee in tests/test_examples.py:37-70 — examples are product
+surface, not documentation).
+
+Marked nightly: each example compiles its own jit programs in a fresh
+process (~1-5 min each on CPU)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+EXAMPLES = REPO / "examples"
+HIF2A_SDF = "/root/reference/timemachine/testsystems/fep_benchmark/hif2a/ligands.sdf"
+
+pytestmark = pytest.mark.nightly
+
+
+def run_example(name: str, cli_args: list[str], timeout: float = 1500) -> subprocess.CompletedProcess:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO)
+    proc = subprocess.run(
+        [sys.executable, str(EXAMPLES / name), *cli_args],
+        env=env,
+        cwd=str(REPO),
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    assert proc.returncode == 0, f"{name} failed:\nstdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    return proc
+
+
+def test_biphenyl_torsion_sampling_hrex():
+    run_example(
+        "biphenyl_torsion_sampling_hrex.py",
+        ["--n_states", "3", "--n_frames", "4", "--steps_per_frame", "10", "--seed", "2026"],
+    )
+
+
+def test_water_sampling_mc():
+    run_example(
+        "water_sampling_mc.py",
+        [
+            "--box_width", "2.2",
+            "--n_iterations", "2",
+            "--md_steps_per_batch", "10",
+            "--mc_proposals_per_batch", "20",
+            "--seed", "2026",
+        ],
+    )
+
+
+def test_water_sampling_hrex():
+    run_example(
+        "water_sampling_hrex.py",
+        [
+            "--box_width", "2.2",
+            "--n_windows", "2",
+            "--n_frames", "3",
+            "--steps_per_frame", "10",
+            "--n_eq_steps", "20",
+            "--water_sampling_interval", "10",
+            "--n_proposals", "20",
+            "--seed", "2026",
+        ],
+    )
+
+
+@pytest.mark.skipif(not Path(HIF2A_SDF).exists(), reason="reference benchmark data absent")
+def test_run_rbfe_legs_vacuum(tmp_path):
+    run_example(
+        "run_rbfe_legs.py",
+        [
+            "--sdf_path", HIF2A_SDF,
+            "--mol_a", "338",
+            "--mol_b", "43",
+            "--legs", "vacuum",
+            "--n_eq_steps", "100",
+            "--n_frames", "4",
+            "--steps_per_frame", "20",
+            "--n_windows", "3",
+            "--seed", "2026",
+            "--output_dir", str(tmp_path),
+        ],
+        timeout=2400,
+    )
+
+
+@pytest.mark.skipif(not Path(HIF2A_SDF).exists(), reason="reference benchmark data absent")
+def test_relative_free_energy_solvent(tmp_path):
+    run_example(
+        "relative_free_energy.py",
+        [
+            "--ligands", HIF2A_SDF,
+            "--mol_a_name", "338",
+            "--mol_b_name", "43",
+            "--protein", "none",
+            "--n_frames", "3",
+            "--n_eq_steps", "50",
+            "--steps_per_frame", "10",
+            "--n_windows", "2",
+            "--seed", "2026",
+            "--legs", "solvent",
+            "--output_dir", str(tmp_path),
+        ],
+        timeout=2400,
+    )
+
+
+def test_run_smc_on_freesolv(tmp_path):
+    freesolv = Path("/root/reference/timemachine/testsystems/freesolv/freesolv.sdf")
+    if not freesolv.exists():
+        pytest.skip("freesolv data absent")
+    run_example(
+        "run_smc_on_freesolv.py",
+        [
+            "--n_walkers", "4",
+            "--n_windows", "4",
+            "--n_md_steps", "5",
+            "--n_mols", "1",
+            "--seed", "2026",
+            "--result_path", str(tmp_path),
+        ],
+        timeout=2400,
+    )

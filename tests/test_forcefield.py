@@ -179,3 +179,38 @@ def test_proper_torsion_multiplicity(ff):
     assert len(cccc) == 3
     periods = sorted(np.asarray(params)[cccc][:, 2])
     assert periods == [1.0, 2.0, 3.0]
+
+
+def test_gasteiger_fallback_is_loud_and_strict_mode_errors(monkeypatch):
+    """Charge-model honesty: uncached mols warn loudly by default and ERROR
+    under TM_STRICT_CHARGES=1; mols carrying charges never hit the fallback."""
+    import warnings as _warnings
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from timemachine_tpu.chem import mol_from_smiles
+    from timemachine_tpu.ff.handlers import (
+        GasteigerFallbackWarning,
+        MissingBaseChargesError,
+        compute_or_load_base_charges,
+    )
+
+    mol = mol_from_smiles("CCO", add_hs=True)
+    with _pytest.warns(GasteigerFallbackWarning):
+        q = compute_or_load_base_charges(mol.copy())
+    assert _np.isfinite(q).all()
+
+    monkeypatch.setenv("TM_STRICT_CHARGES", "1")
+    with _pytest.raises(MissingBaseChargesError):
+        compute_or_load_base_charges(mol.copy())
+    monkeypatch.delenv("TM_STRICT_CHARGES")
+
+    # a mol with supplied charges is exempt in both modes
+    charged = mol.copy()
+    charged.props["PartialCharges"] = " ".join("0.01" for _ in range(charged.num_atoms))
+    monkeypatch.setenv("TM_STRICT_CHARGES", "1")
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", GasteigerFallbackWarning)
+        q2 = compute_or_load_base_charges(charged)
+    assert q2.shape == (charged.num_atoms,)

@@ -77,10 +77,28 @@ def test_local_md_selection_varies_with_seed(water_ctxt_factory):
     assert not np.array_equal(x0, x1)
 
 
-def test_local_md_freeze_reference_false_rejected(water_ctxt_factory):
-    ctxt, _ = water_ctxt_factory()
-    with pytest.raises(NotImplementedError):
-        ctxt.setup_local_md(300.0, freeze_reference=False)
+def test_local_md_free_reference(water_ctxt_factory):
+    """freeze_reference=False: the reference atom moves too, tethered by the
+    log-complement flat-bottom restraint on the frozen shell (ref
+    local_md_potentials.cu:77-82); distant atoms still never move."""
+    ctxt, hc = water_ctxt_factory()
+    x_before = ctxt.get_x_t()
+    ctxt.multiple_steps_local(
+        50, np.array([0, 1, 2], dtype=np.int32), k=10_000.0, radius=0.5, seed=5, freeze_reference=False
+    )
+    x_after = ctxt.get_x_t()
+    moved = np.linalg.norm(x_after - x_before, axis=1)
+
+    ref = np.array([0, 1, 2])[np.random.default_rng(5).integers(3)]
+    assert moved[ref] > 0.0  # the reference is free now
+    assert np.all(np.isfinite(x_after))
+
+    box_diag = np.diagonal(hc.box)
+    diff = x_before - x_before[ref]
+    diff -= box_diag * np.floor(diff / box_diag + 0.5)
+    d0 = np.linalg.norm(diff, axis=1)
+    # frozen atoms (far outside the radius) still never move
+    assert (moved[d0 > 1.5] == 0).all()
 
 
 def test_sample_with_local_md_params(water_ctxt_factory):

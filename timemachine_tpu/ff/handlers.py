@@ -41,6 +41,22 @@ BOND_SMIRK_MATCH_CACHE = "BondSmirkMatchCache"
 GASTEIGER_CHARGE_CACHE = "GasteigerCache"
 
 
+class GasteigerFallbackWarning(UserWarning):
+    """Base charges degraded from AM1-family to Gasteiger PEOE."""
+
+
+class MissingBaseChargesError(RuntimeError):
+    """Strict charge mode: no cached/precomputed base charges available."""
+
+
+def strict_base_charges() -> bool:
+    """Whether missing AM1-family charges are an error (TM_STRICT_CHARGES=1)
+    instead of a Gasteiger fallback with a warning."""
+    import os
+
+    return os.environ.get("TM_STRICT_CHARGES", "0") == "1"
+
+
 def canonicalize_bond(arr):
     """Orient an index tuple so arr[0] < arr[-1] (ref handlers/utils.py:41-69)."""
     if len(arr) == 0:
@@ -156,10 +172,20 @@ def compute_or_load_base_charges(mol: Mol, mode: str = "AM1ELF10"):
         q = np.array([float(x) for x in str(mol.props["PartialCharges"]).split()])
         assert len(q) == mol.num_atoms
         return q * np.sqrt(constants.ONE_4PI_EPS0)
+    if strict_base_charges():
+        raise MissingBaseChargesError(
+            f"No {mode} charge cache on mol {mol.name!r} and no QM backend available. "
+            "Strict charge mode is on (TM_STRICT_CHARGES=1): supply per-atom charges via "
+            "the mol's 'PartialCharges' property or a cached AM1 property, or unset "
+            "TM_STRICT_CHARGES to accept the Gasteiger (PEOE) fallback."
+        )
     warnings.warn(
         f"No {mode} charge cache on mol {mol.name!r} and no QM backend available; "
-        "falling back to native Gasteiger (PEOE) base charges. Cache AM1 charges "
-        "on the molecule for production-accuracy electrostatics."
+        "falling back to native Gasteiger (PEOE) base charges. This CHANGES THE "
+        "PHYSICS relative to the reference's AM1-family electrostatics — cache AM1 "
+        "charges on the molecule (or set TM_STRICT_CHARGES=1 to make this an error) "
+        "for production-accuracy results.",
+        GasteigerFallbackWarning,
     )
     from timemachine_tpu.ff.gasteiger import gasteiger_charges
 

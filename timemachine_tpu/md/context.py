@@ -154,10 +154,13 @@ class Context:
 
     def _make_step_fn(self, free_mask=None):
         """One global MD step: integrator update then movers on their
-        intervals (ref context.cu:262-277)."""
-        if isinstance(self.integrator, VelocityVerletIntegrator):
-            raise NotImplementedError("use multiple_steps with LangevinIntegrator; Verlet via md.moves")
-        assert isinstance(self.integrator, LangevinIntegrator)
+        intervals (ref context.cu:262-277). Langevin uses the fused BAOAB
+        update; VelocityVerlet uses a kick-drift leapfrog step — the
+        surrounding half-(un)kicks live in `_multiple_steps_impl`, matching
+        the reference Context's initialize/finalize contract
+        (verlet_integrator.cu)."""
+        assert isinstance(self.integrator, (LangevinIntegrator, VelocityVerletIntegrator))
+        is_verlet = isinstance(self.integrator, VelocityVerletIntegrator)
         energy_fn = self._energy_fn
 
         def force_fn_builder(params_list):
@@ -166,7 +169,14 @@ class Context:
 
             return force_fn
 
-        ca, cb, cc = self.integrator.coefficients(free_mask)
+        if is_verlet:
+            cb_vv = (self.integrator.dt / np.asarray(self.integrator.masses, dtype=np.float64))[:, None]
+            cb_vv = np.where(np.isfinite(cb_vv), cb_vv, 0.0)
+            if free_mask is not None:
+                cb_vv = cb_vv * np.asarray(free_mask, dtype=np.float64)[:, None]
+            ca, cb, cc = 1.0, cb_vv, np.zeros_like(cb_vv)
+        else:
+            ca, cb, cc = self.integrator.coefficients(free_mask)
         dt = self.integrator.dt
 
         # split potentials into three tiers:
@@ -233,10 +243,15 @@ class Context:
             k_int, k_movers = jax.random.split(key_t)
 
             force, prov_states = total_force(x, box, params_list, prov_states, t)
-            noise = jax.random.normal(k_int, x.shape, dtype=x.dtype)
-            v_mid = v + jnp.asarray(cb, x.dtype) * force
-            v = ca * v_mid + jnp.asarray(cc, x.dtype) * noise
-            x = x + 0.5 * dt * (v_mid + v)
+            if is_verlet:
+                # kick-drift leapfrog (half-kicks applied by the caller)
+                v = v + jnp.asarray(cb, x.dtype) * force
+                x = x + dt * v
+            else:
+                noise = jax.random.normal(k_int, x.shape, dtype=x.dtype)
+                v_mid = v + jnp.asarray(cb, x.dtype) * force
+                v = ca * v_mid + jnp.asarray(cc, x.dtype) * noise
+                x = x + 0.5 * dt * (v_mid + v)
 
             new_mover_states = []
             for i, mover in enumerate(self.movers):
@@ -338,6 +353,14 @@ class Context:
         mover_states = tuple(self._mover_states)
         xs_out, boxes_out = [], []
         x, v, box = jnp.asarray(self._x), jnp.asarray(self._v), jnp.asarray(self._box)
+
+        is_verlet = isinstance(self.integrator, VelocityVerletIntegrator)
+        if is_verlet:
+            # enter the half-step velocity lattice (reference initialize):
+            # v_{-1/2} = v_0 - (dt/2m) F(x_0); the scan's kick-drift steps
+            # then advance on-step positions with half-step velocities, and
+            # finalize recovers on-step velocities
+            v = self._vv_half_kick(x, v, box, -0.5, free_mask)
         # int32 holds ~2.1B steps (~5.4 µs of MD at 2.5 fs) — plenty for a
         # single Context lifetime; avoids x64-truncation warnings on TPU
         t0 = jnp.asarray(self._step, dtype=jnp.result_type(int))
@@ -358,6 +381,9 @@ class Context:
             carry, xs, boxes = run(x, v, box, t0, mover_states, prov_states, self._params, self._base_key)
             x, v, box, t0, mover_states, prov_states = carry
 
+        if is_verlet:
+            v = self._vv_half_kick(x, v, box, +0.5, free_mask)  # finalize
+
         self._x = np.asarray(x)
         self._v = np.asarray(v)
         self._box = np.asarray(box)
@@ -370,6 +396,24 @@ class Context:
             return np.concatenate(xs_out), np.concatenate(boxes_out)
         return np.zeros((0, *self._x.shape)), np.zeros((0, 3, 3))
 
+    def _vv_half_kick(self, x, v, box, sign: float, free_mask=None):
+        """v + sign * (dt/m) * F(x) — the Verlet initialize/finalize kicks."""
+        cache_key = ("vv_half", None if free_mask is None else tuple(np.asarray(free_mask).tolist()))
+        if cache_key not in self._runner_cache:
+            cb = (self.integrator.dt / np.asarray(self.integrator.masses, dtype=np.float64))[:, None]
+            cb = np.where(np.isfinite(cb), cb, 0.0)
+            if free_mask is not None:
+                cb = cb * np.asarray(free_mask, dtype=np.float64)[:, None]
+            energy_fn = self._energy_fn
+
+            @jax.jit
+            def half_kick(x, v, box, params_list, sign):
+                force = -jax.grad(energy_fn)(x, box, params_list)
+                return v + sign * jnp.asarray(cb, x.dtype) * force
+
+            self._runner_cache[cache_key] = half_kick
+        return self._runner_cache[cache_key](x, v, box, self._params, sign)
+
     def step(self):
         """Single unstored step (ref Context::step)."""
         self._multiple_steps_impl(1, 1, None, None)
@@ -380,14 +424,10 @@ class Context:
         """Declare local-MD settings (ref Context::setup_local_md,
         context.cu:90-100). On TPU there is nothing to pre-build: the free
         selection is a runtime mask input to one compiled local runner."""
-        if not freeze_reference:
-            raise NotImplementedError(
-                "freeze_reference=False (log-flat-bottom reference restraint) not implemented yet"
-            )
         self._local_md_temperature = temperature
         self._local_md_freeze_reference = freeze_reference
 
-    def _get_local_runner(self, steps_per_frame: int, n_frames: int):
+    def _get_local_runner(self, steps_per_frame: int, n_frames: int, freeze_reference: bool = True):
         """Local-MD runner: like _get_runner but with a runtime (free-mask,
         reference restraint) input so new particle selections never recompile.
 
@@ -398,7 +438,7 @@ class Context:
         atoms are masked out of the integrator update — identical dynamics
         for the free atoms (frozen-frozen forces are computed then
         discarded)."""
-        cache_key = ("local", steps_per_frame, n_frames)
+        cache_key = ("local", steps_per_frame, n_frames, freeze_reference)
         if cache_key in self._runner_cache:
             return self._runner_cache[cache_key]
 
@@ -412,7 +452,13 @@ class Context:
         fused_fns = {i: self.potentials[i].energy_force_fn() for i in fused_idx}
         grad_idx = [i for i in range(len(self.potentials)) if i not in fused_fns]
 
+        from timemachine_tpu.constants import BOLTZ as _BOLTZ
         from timemachine_tpu.ops.pbc import lifted_distance_on_pairs
+
+        restraint_temp = getattr(self, "_local_md_temperature", None) or getattr(
+            self.integrator, "temperature", 300.0
+        )
+        inv_kT = 1.0 / (_BOLTZ * restraint_temp)
 
         def total_force(x, box, params_list, ref_idx, free, k, radius):
             force = jnp.zeros_like(x)
@@ -427,11 +473,22 @@ class Context:
                 force = force + f
 
             # flat-bottom restraint of each free atom to the reference
-            # (ref k_local_md.cuh k_construct_bonded_params: k, r_min=0, r_max=radius)
+            # (ref k_local_md.cuh k_construct_bonded_params: k, r_min=0, r_max=radius);
+            # with a FREE reference, frozen atoms additionally carry the
+            # log-complement restraint -(1/beta) log(1 - exp(-beta U_fb)) so
+            # the shell tracks the moving reference with the stationary
+            # distribution preserved (ref local_md_potentials.cu:77-82)
             def u_restraint(xx):
                 d = lifted_distance_on_pairs(xx[ref_idx][None, :].repeat(xx.shape[0], 0), xx, box)
                 over = jnp.maximum(d - radius, 0.0)
-                return jnp.sum(free * (k / 4.0) * over**4)
+                u_fb = (k / 4.0) * over**4
+                u = jnp.sum(free * u_fb)
+                if not freeze_reference:
+                    is_self = jnp.arange(xx.shape[0]) == ref_idx
+                    frozen = (1.0 - free) * (1.0 - is_self.astype(xx.dtype))
+                    log_term = -jnp.log1p(-jnp.exp(-inv_kT * u_fb) * (1.0 - 1e-12))
+                    u = u + jnp.sum(frozen * log_term) / inv_kT
+                return u
 
             return force - jax.grad(u_restraint)(x)
 
@@ -484,8 +541,6 @@ class Context:
         Returns (frames, boxes) like multiple_steps."""
         from timemachine_tpu.constants import BOLTZ
 
-        if not freeze_reference:
-            raise NotImplementedError("freeze_reference=False not implemented yet")
         assert len(local_idxs) > 0
         n_atoms = self._x.shape[0]
         temperature = temperature if temperature is not None else getattr(self.integrator, "temperature", 300.0)
@@ -502,7 +557,10 @@ class Context:
         over = np.maximum(d - radius, 0.0)
         p_sel = np.exp(-(k / 4.0) * over**4 / kBT)
         free = (rng.random(n_atoms) < p_sel).astype(np.float64)
-        free[reference_idx] = 0.0  # frozen reference
+        # freeze_reference=True: the reference anchors the region (frozen);
+        # False: it moves too, and the frozen shell is tethered to it by the
+        # log-complement restraint inside the runner
+        free[reference_idx] = 0.0 if freeze_reference else 1.0
         if free.sum() == 0:
             raise RuntimeError("local MD selection has no free particles")
 
@@ -515,13 +573,13 @@ class Context:
         xs_out, boxes_out = [], []
 
         if n_frames > 0:
-            run = self._get_local_runner(interval, n_frames)
+            run = self._get_local_runner(interval, n_frames, freeze_reference)
             carry, xs, boxes = run(x, v, box, t0, self._params, reference_idx, freej, k, radius)
             x, v, box, t0 = carry
             xs_out.append(np.asarray(xs))
             boxes_out.append(np.asarray(boxes))
         if tail > 0:
-            run = self._get_local_runner(tail, 1)
+            run = self._get_local_runner(tail, 1, freeze_reference)
             carry, _, _ = run(x, v, box, t0, self._params, reference_idx, freej, k, radius)
             x, v, box, t0 = carry
 

@@ -250,3 +250,59 @@ def harmonic_positional_restraint(x_init, x_new, box, k=DEFAULT_POSITIONAL_RESTR
     (ref bonded.py:256-269)."""
     d2 = jnp.sum(periodic_delta(x_new, x_init, box) ** 2, axis=-1)
     return jnp.sum(0.5 * k * d2)
+
+
+def water_bond_energy_force(conf, params, nw: int):
+    """Analytic (u, force) of the first nw waters' O-H bonds — forward-only
+    strided math, no autodiff adjoint, forces assembled by reshape (atoms of
+    water w are contiguous rows 3w..3w+2). Layout per builders.py:126."""
+    xT = conf[: 3 * nw].reshape(nw, 3, 3)  # (water, atom{O,H1,H2}, xyz)
+    o = xT[:, 0]
+    u = jnp.asarray(0.0, dtype=conf.dtype)
+    f_o = jnp.zeros_like(o)
+    f_h = []
+    for h_idx, row_off in ((1, 0), (2, 1)):
+        d = xT[:, h_idx] - o  # (nw, 3)
+        r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=1), 1e-24))
+        k = params[row_off : 2 * nw : 2, 0]
+        r0 = params[row_off : 2 * nw : 2, 1]
+        delta = r - r0
+        u = u + jnp.sum(0.5 * k * delta * delta)
+        pref = (k * delta / r)[:, None]  # dU/dr / r
+        f_h.append(-pref * d)
+        f_o = f_o + pref * d
+    force_w = jnp.stack([f_o, f_h[0], f_h[1]], axis=1).reshape(3 * nw, 3)
+    force = jnp.concatenate([force_w, jnp.zeros((conf.shape[0] - 3 * nw, 3), conf.dtype)])
+    return u, force
+
+
+def water_angle_energy_force(conf, params, nw: int):
+    """Analytic (u, force) of the first nw waters' H-O-H angles (standard
+    arccos form — identical to `stable_angle` at eps = 0, which is what the
+    water FF rows carry; H-O-H never approaches the linear/collapsed
+    singularities)."""
+    xT = conf[: 3 * nw].reshape(nw, 3, 3)
+    o, h1, h2 = xT[:, 0], xT[:, 1], xT[:, 2]
+    d1 = h1 - o
+    d2 = h2 - o
+    r1 = jnp.sqrt(jnp.maximum(jnp.sum(d1 * d1, axis=1), 1e-24))
+    r2 = jnp.sqrt(jnp.maximum(jnp.sum(d2 * d2, axis=1), 1e-24))
+    u1 = d1 / r1[:, None]
+    u2 = d2 / r2[:, None]
+    c = jnp.clip(jnp.sum(u1 * u2, axis=1), -1.0 + 1e-7, 1.0 - 1e-7)
+    s_inv = (1.0 - c * c) ** -0.5
+    theta = jnp.arccos(c)
+
+    k = params[:nw, 0]
+    a0 = params[:nw, 1]
+    delta = theta - a0
+    u = jnp.sum(0.5 * k * delta * delta)
+
+    # dtheta/d(d1) = (c*u1 - u2) * s_inv / r1 ; force = -k*delta * dtheta/dx
+    g = (k * delta * s_inv)[:, None]
+    f_h1 = -g * (c[:, None] * u1 - u2) / r1[:, None]
+    f_h2 = -g * (c[:, None] * u2 - u1) / r2[:, None]
+    f_o = -(f_h1 + f_h2)
+    force_w = jnp.stack([f_o, f_h1, f_h2], axis=1).reshape(3 * nw, 3)
+    force = jnp.concatenate([force_w, jnp.zeros((conf.shape[0] - 3 * nw, 3), conf.dtype)])
+    return u, force

@@ -304,14 +304,40 @@ def quadscan_sweep(
 
 def _hilbert_keys(frac, bits: int = 7):
     """Positions (fractional, in [0,1)) -> Hilbert curve index on a
-    2^bits-cube grid (x-major cell LUT from the v1 kernel)."""
-    from timemachine_tpu.ops.pallas.nonbonded_kernel import hilbert_lut
-
-    lut = jnp.asarray(hilbert_lut(bits))  # linear cell (x-major) -> curve idx
+    2^bits-cube grid, via the Skilling transpose algorithm computed
+    arithmetically in-jit (an embedded 2M-entry LUT constant stalls the TPU
+    compile; ~60 vector ops on (N,) arrays are effectively free)."""
     side = 1 << bits
-    cell = jnp.minimum((frac * side).astype(jnp.int32), side - 1)
-    flat = (cell[:, 0] * side + cell[:, 1]) * side + cell[:, 2]
-    return lut[flat]
+    cell = jnp.minimum((frac * side).astype(jnp.uint32), side - 1)
+    x = [cell[:, 0], cell[:, 1], cell[:, 2]]
+
+    # Skilling: Gray-decode axes into transpose form
+    q = side >> 1
+    while q > 1:
+        p = q - 1
+        for i in range(3):
+            cond = (x[i] & q) != 0
+            x[0] = jnp.where(cond, x[0] ^ p, x[0])
+            t = jnp.where(cond, jnp.uint32(0), (x[0] ^ x[i]) & p)
+            x[0] = x[0] ^ t
+            x[i] = x[i] ^ t
+        q >>= 1
+    for i in range(1, 3):
+        x[i] = x[i] ^ x[i - 1]
+    t = jnp.zeros_like(x[0])
+    q = side >> 1
+    while q > 1:
+        t = jnp.where((x[2] & q) != 0, t ^ jnp.uint32(q - 1), t)
+        q >>= 1
+    for i in range(3):
+        x[i] = x[i] ^ t
+
+    # interleave the transpose-form bits into the curve index
+    key = jnp.zeros_like(x[0])
+    for b in range(bits - 1, -1, -1):
+        for i in range(3):
+            key = (key << 1) | ((x[i] >> b) & 1)
+    return key.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("max_tiles", "sort"))

@@ -87,6 +87,29 @@ class HarmonicBond(Potential):
     def __call__(self, conf, params, box):
         return bonded.harmonic_bond(conf, params, box, self.idxs)
 
+    def energy_force_fn(self):
+        """Fused analytic (u, force) when leading waters are strided — skips
+        the autodiff adjoint on the dominant solvent term; ligand/tail bonds
+        still go through grad."""
+        nw = bonded._leading_water_bonds(np.asarray(self.idxs))
+        if nw == 0:
+            return None
+        rest_idxs = np.asarray(self.idxs)[2 * nw :]
+
+        def ef(conf, params, box):
+            u, force = bonded.water_bond_energy_force(conf, params[: 2 * nw], nw)
+            if len(rest_idxs):
+                import jax as _jax
+
+                u_rest, pull = _jax.value_and_grad(
+                    lambda x: bonded.harmonic_bond(x, params[2 * nw :], box, rest_idxs)
+                )(conf)
+                u = u + u_rest
+                force = force - pull
+            return u, force
+
+        return ef
+
 
 @dataclass(eq=False)
 class HarmonicAngle(Potential):
@@ -98,6 +121,31 @@ class HarmonicAngle(Potential):
 
     def __call__(self, conf, params, box):
         return bonded.harmonic_angle(conf, params, box, self.idxs)
+
+    def energy_force_fn(self):
+        """Fused analytic (u, force) for the strided leading-water angles.
+        Valid because water angle rows carry eps == 0 (builders.py:127 and
+        the OpenMM deserializer both emit 0.0; the analytic arccos form then
+        equals `stable_angle` exactly). Ligand/tail angles — where nonzero
+        eps can appear at intermediate lambdas — go through autodiff."""
+        nw = bonded._leading_water_angles(np.asarray(self.idxs))
+        if nw == 0:
+            return None
+        rest_idxs = np.asarray(self.idxs)[nw:]
+
+        def ef(conf, params, box):
+            u, force = bonded.water_angle_energy_force(conf, params[:nw], nw)
+            if len(rest_idxs):
+                import jax as _jax
+
+                u_rest, pull = _jax.value_and_grad(
+                    lambda x: bonded.harmonic_angle(x, params[nw:], box, rest_idxs)
+                )(conf)
+                u = u + u_rest
+                force = force - pull
+            return u, force
+
+        return ef
 
 
 @dataclass(eq=False)
