@@ -40,90 +40,72 @@ ROTATABLE_BOND_SMARTS = "[!$(*#*)&!D1]-&!@[!$(*#*)&!D1]"
 
 
 def identify_rotatable_bonds(mol):
-    """Crude rotatable-bond detection via SMARTS (ref enhanced.py:34-66;
-    same pattern, matched with the native engine)."""
+    """Rotatable bonds via the Lipinski-style (non-strict) SMARTS, matched
+    with the native engine; canonicalized (i < j) pairs."""
     from timemachine_tpu.chem.smarts import match_smarts
 
-    matches = match_smarts(mol, ROTATABLE_BOND_SMARTS)
-    sorted_matches = set()
-    for i, j in matches:
-        if j < i:
-            i, j = j, i
-        sorted_matches.add((i, j))
-    return sorted_matches
+    return {(min(i, j), max(i, j)) for i, j in match_smarts(mol, ROTATABLE_BOND_SMARTS)}
 
 
 class VacuumState:
-    """Vacuum energies with parts of the forcefield disabled, for proposal
-    distributions that cross rotational barriers (ref enhanced.py:68-220)."""
+    """Vacuum energy ladder for barrier-crossing proposals: U_easy (rigid
+    scaffold only — rotatable torsions and nonbonded off) -> U_decharged ->
+    U_full. Built once as a table of bound term closures."""
 
     def __init__(self, mol, ff):
         self.mol = mol
         bt = topology.BaseTopology(mol, ff)
-        self.bond_params, self.hb_potential = bt.parameterize_harmonic_bond(ff.hb_handle.params)
-        self.angle_params, self.ha_potential = bt.parameterize_harmonic_angle(ff.ha_handle.params)
-        self.proper_torsion_params, self.pt_potential = bt.parameterize_proper_torsion(ff.pt_handle.params)
-        self.improper_torsion_params, self.it_potential = bt.parameterize_improper_torsion(ff.it_handle.params)
-        self.lamb = 0.0
-        self.nb_params, self.nb_potential = bt.parameterize_nonbonded(
-            ff.q_handle.params,
-            ff.q_handle_intra.params,
-            ff.lj_handle.params,
-            ff.lj_handle_intra.params,
-            self.lamb,
-        )
         self.box = None
+        vac_box = np.eye(3) * 1000.0
 
-        # U_easy torsion subset: rotatable torsions removed (ref :146-163)
-        rotatable_bonds = identify_rotatable_bonds(self.mol)
-        easy_idxs, easy_params = [], []
-        for idxs, params in zip(self.pt_potential.idxs, np.asarray(self.proper_torsion_params)):
-            _, j, k, _ = idxs
-            if (int(j), int(k)) in rotatable_bonds or (int(k), int(j)) in rotatable_bonds:
-                logger.debug("turning off torsion %s", idxs)
-                continue
-            easy_idxs.append(idxs)
-            easy_params.append(params)
-        self._easy_torsion_idxs = np.array(easy_idxs, dtype=np.int32).reshape(-1, 4)
-        self._easy_torsion_params = np.array(easy_params, dtype=np.float64).reshape(-1, 3)
-
-    def _bonded_nrg(self, x):
-        return (
-            self.hb_potential(x, self.bond_params, self.box)
-            + self.ha_potential(x, self.angle_params, self.box)
-            + self.it_potential(x, self.improper_torsion_params, self.box)
+        hb_p, hb = bt.parameterize_harmonic_bond(ff.hb_handle.params)
+        ha_p, ha = bt.parameterize_harmonic_angle(ff.ha_handle.params)
+        pt_p, pt = bt.parameterize_proper_torsion(ff.pt_handle.params)
+        it_p, it = bt.parameterize_improper_torsion(ff.it_handle.params)
+        nb_p, nb = bt.parameterize_nonbonded(
+            ff.q_handle.params, ff.q_handle_intra.params, ff.lj_handle.params, ff.lj_handle_intra.params, 0.0
         )
+        # kept public: estimator tests and reweighting introspect these
+        self.bond_params, self.hb_potential = hb_p, hb
+        self.angle_params, self.ha_potential = ha_p, ha
+        self.proper_torsion_params, self.pt_potential = pt_p, pt
+        self.improper_torsion_params, self.it_potential = it_p, it
+        self.nb_params, self.nb_potential = nb_p, nb
+        self.lamb = 0.0
 
-    def _nonbonded_nrg(self, x, decharge: bool):
-        if decharge:
-            nb_params = jnp.asarray(self.nb_params).at[:, 0].set(0.0)
-        else:
-            nb_params = self.nb_params
-        box = np.eye(3) * 1000.0
-        return self.nb_potential(x, nb_params, box)
+        # vectorized easy-torsion selection: keep propers whose central bond
+        # is NOT rotatable
+        rotatable = identify_rotatable_bonds(mol)
+        pt_idxs = np.asarray(pt.idxs).reshape(-1, 4)
+        central = np.stack(
+            [np.minimum(pt_idxs[:, 1], pt_idxs[:, 2]), np.maximum(pt_idxs[:, 1], pt_idxs[:, 2])], axis=1
+        )
+        keep = np.array([tuple(b) not in rotatable for b in central], dtype=bool)
+        self._easy_torsion_idxs = pt_idxs[keep].astype(np.int32)
+        self._easy_torsion_params = np.asarray(pt_p, np.float64).reshape(-1, 3)[keep]
+
+        scaffold = lambda x: hb(x, hb_p, None) + ha(x, ha_p, None) + it(x, it_p, None)
+        decharged_nb = jnp.asarray(nb_p).at[:, 0].set(0.0)
+        self._terms = {
+            "scaffold": scaffold,
+            "easy_torsions": lambda x: bonded.periodic_torsion(
+                x, self._easy_torsion_params, None, self._easy_torsion_idxs
+            ),
+            "propers": lambda x: pt(x, pt_p, None),
+            "nonbonded": lambda x: nb(x, nb_p, vac_box),
+            "nonbonded_decharged": lambda x: nb(x, decharged_nb, vac_box),
+        }
 
     def U_easy(self, x):
-        """Proposal potential: rotatable torsions and all nonbonded terms off
-        (ref enhanced.py:129-170)."""
-        torsion_nrg = bonded.periodic_torsion(x, self._easy_torsion_params, self.box, self._easy_torsion_idxs)
-        return self._bonded_nrg(x) + torsion_nrg
+        """Proposal potential: rotatable torsions and all nonbonded off."""
+        return self._terms["scaffold"](x) + self._terms["easy_torsions"](x)
 
     def U_full(self, x):
-        """Fully interacting vacuum potential (ref enhanced.py:172-191)."""
-        return (
-            self._bonded_nrg(x)
-            + self.pt_potential(x, self.proper_torsion_params, self.box)
-            + self._nonbonded_nrg(x, decharge=False)
-        )
+        return self._terms["scaffold"](x) + self._terms["propers"](x) + self._terms["nonbonded"](x)
 
     def U_decharged(self, x):
-        """Interacting but decharged — better overlap with condensed states
-        (ref enhanced.py:193-220)."""
-        return (
-            self._bonded_nrg(x)
-            + self.pt_potential(x, self.proper_torsion_params, self.box)
-            + self._nonbonded_nrg(x, decharge=True)
-        )
+        """Interacting but decharged — better overlap with condensed states."""
+        return self._terms["scaffold"](x) + self._terms["propers"](x) + self._terms["nonbonded_decharged"](x)
 
 
 def simulate_batch(x0, U_fn, temperature, masses, steps_per_batch, num_batches, num_walkers, seed, dt=1.5e-3, friction=1.0):

@@ -430,6 +430,38 @@ def build_quadscan_tiles(conf, params, box, cutoff, max_tiles: int, sort: str = 
     return pad_order, row_start, row_count, entries, overflow
 
 
+def constant_shift_valid(conf, box, cutoff, sort: str = "hilbert") -> bool:
+    """Host-side check of the per-chunk-pair constant-image-shift invariant:
+    every interacting pair's image must equal its chunk centers' image,
+    guaranteed when max row half-extent + max col half-extent + cutoff <
+    box/2 per axis. Falls back to the rowscan kernel when violated (small
+    boxes)."""
+    import jax as _jax
+
+    n = conf.shape[0]
+    n_pad = (-(-n // LANES) + 1) * LANES
+    box_diag = np.diagonal(np.asarray(box))
+    wrapped = np.asarray(conf)[:, :3] - box_diag * np.floor(np.asarray(conf)[:, :3] / box_diag)
+    frac = wrapped / box_diag
+    frac = frac - np.floor(frac)
+    if sort == "hilbert":
+        keys = np.asarray(_hilbert_keys(jnp.asarray(frac, jnp.float32)))
+    else:
+        cell = 0.65
+        dims = np.maximum(np.floor(box_diag / cell).astype(int), 1)
+        cxyz = np.minimum((frac * dims).astype(int), dims - 1)
+        keys = (cxyz[:, 2] * dims[1] + cxyz[:, 1]) * dims[0] + cxyz[:, 0]
+    xs = wrapped[np.argsort(keys)]
+    xs = np.concatenate([xs, np.tile(xs[-1:], (n_pad - n, 1))])
+    xq = xs.reshape(-1, Q, 3)
+    half_ext = 0.5 * (xq.max(axis=1) - xq.min(axis=1))  # (n_q, 3)
+    # soundness bound over the worst PAIR of chunks per axis: the two
+    # largest half-extents (a chunk can't pair with itself across an image
+    # at these box sizes)
+    top2 = np.sort(half_ext, axis=0)[-2:]
+    return bool(np.all(top2.sum(axis=0) + cutoff < 0.5 * box_diag))
+
+
 def suggest_max_tiles(conf, box, cutoff, margin: float = 1.3, sort: str = "hilbert") -> int:
     n = conf.shape[0]
     n_pad = (-(-n // LANES) + 1) * LANES

@@ -253,7 +253,7 @@ class NonbondedAllPairs(Potential):
         return self
 
     def configure_pallas(self, box, conf, margin: float = 1.4, interpret: bool = False, cb: int = 2,
-                         kernel: str = "rowscan"):
+                         kernel: str = "quad"):
         """Switch to the fused Pallas tile kernel (the production TPU MD
         path), sizing the static tile budget from the actual geometry.
 
@@ -281,8 +281,19 @@ class NonbondedAllPairs(Potential):
         mask = self._atom_mask  # static subset supported via invalid rows/cols
 
         self.impl = "pallas"
-        self.pallas_kernel = kernel
         skin = 0.1
+        if kernel == "quad":
+            # quad = rowscan energy/analysis paths + the quadscan MD hot-loop
+            # provider (32-granularity packed tiles, per-entry image shifts);
+            # requires the constant-shift box invariant and no atom subset —
+            # otherwise fall back to rowscan wholesale
+            from timemachine_tpu.ops.pallas.quadscan_kernel import constant_shift_valid
+
+            if mask is not None or not constant_shift_valid(
+                np.asarray(conf), np.asarray(box), self.cutoff + skin
+            ):
+                kernel = "rowscan"
+        self.pallas_kernel = kernel
         if kernel == "gather":
             from timemachine_tpu.ops.pallas.gather_kernel import (
                 make_nonbonded_gather,
@@ -346,6 +357,40 @@ class NonbondedAllPairs(Potential):
             self._pallas_md = make_nonbonded_rowscan_md(
                 self.beta, self.cutoff, md_pairs, skin=skin, rebuild_interval=20, interpret=interpret,
                 atom_mask=mask,
+            )
+            return self
+        if kernel == "quad":
+            from timemachine_tpu.ops.pallas.quadscan_kernel import (
+                make_nonbonded_quadscan_md,
+            )
+            from timemachine_tpu.ops.pallas.quadscan_kernel import (
+                suggest_max_tiles as suggest_quad_tiles,
+            )
+            from timemachine_tpu.ops.pallas.rowscan_kernel import (
+                es_energy_force_series,
+                make_nonbonded_rowscan,
+                make_nonbonded_rowscan_energy_force,
+                suggest_max_pairs,
+            )
+
+            self._es_series = es_energy_force_series(self.beta, self.cutoff)
+            max_pairs = suggest_max_pairs(
+                np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, triangular=True
+            )
+            dp_tiles = suggest_max_tiles(
+                np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, cb=cb
+            )
+            self.pallas_max_tiles = max_pairs
+            self._pallas_energy = make_nonbonded_rowscan(
+                self.beta, self.cutoff, max_pairs, interpret=interpret,
+                dp_max_tiles=dp_tiles, dp_cb=cb,
+            )
+            self._pallas_energy_force = make_nonbonded_rowscan_energy_force(
+                self.beta, self.cutoff, max_pairs, interpret=interpret
+            )
+            md_tiles = suggest_quad_tiles(np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin)
+            self._pallas_md = make_nonbonded_quadscan_md(
+                self.beta, self.cutoff, md_tiles, skin=skin, rebuild_interval=20, interpret=interpret
             )
             return self
 
