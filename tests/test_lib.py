@@ -101,3 +101,41 @@ def test_segmented_sampler_rejects_bad_weights():
     for bad in ([[-1.0, 2.0]], [[np.inf, 1.0]], [[0.0, 0.0]]):
         with pytest.raises(RuntimeError):
             sampler.sample(bad)
+
+
+def test_nonbonded_mol_energy():
+    """Per-mol interaction energies vs the system match a brute-force sum
+    (ref custom_ops.NonbondedMolEnergy semantics)."""
+    import jax.numpy as jnp
+
+    from timemachine_tpu.lib import NonbondedMolEnergy
+    from timemachine_tpu.ops.nonbonded import nonbonded_block_unsummed
+
+    rng = np.random.default_rng(3)
+    n = 60
+    conf = rng.uniform(0, 2.4, (n, 3))
+    box = np.eye(3) * 2.4
+    params = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(0.05, 0.15, n), rng.uniform(0.1, 0.6, n), np.zeros(n)], 1
+    )
+    mols = [[0, 1, 2], [3, 4, 5], [9, 10, 11]]
+    me = NonbondedMolEnergy(n, mols, beta=2.0, cutoff=1.2)
+    out = me.execute(conf, params, box)
+    assert out.shape == (3,)
+
+    for mol_idx, m in enumerate(mols):
+        other = np.setdiff1d(np.arange(n), m)
+        u_ref = float(
+            jnp.sum(
+                nonbonded_block_unsummed(
+                    jnp.asarray(conf[m]), jnp.asarray(conf[other]), jnp.asarray(box),
+                    jnp.asarray(params[m]), jnp.asarray(params[other]), 2.0, 1.2,
+                )
+            )
+        )
+        assert out[mol_idx] == pytest.approx(u_ref, rel=1e-10)
+
+    # ragged groups take the per-mol path, same semantics
+    ragged = NonbondedMolEnergy(n, [[0, 1, 2], [7, 8]], beta=2.0, cutoff=1.2)
+    out2 = ragged.execute(conf, params, box)
+    assert out2[0] == pytest.approx(out[0], rel=1e-12)

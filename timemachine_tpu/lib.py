@@ -11,6 +11,8 @@ Pallas machinery in ops/pallas directly.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -205,3 +207,72 @@ HilbertSort_f32 = HilbertSort_f64 = HilbertSort
 Neighborlist_f32 = Neighborlist_f64 = Neighborlist
 SegmentedSumExp_f32 = SegmentedSumExp_f64 = SegmentedSumExp
 SegmentedWeightedRandomSampler_f32 = SegmentedWeightedRandomSampler_f64 = SegmentedWeightedRandomSampler
+
+
+class NonbondedMolEnergy:
+    """Per-molecule interaction energy of target mols vs the remaining system
+    (parity: custom_ops.NonbondedMolEnergy, nonbonded_mol_energy.cu /
+    k_nonbonded.cuh:435-608 — the exchange movers' inner loop, exposed
+    standalone).
+
+    target_mols: sequence of atom-index lists. Equal-size groups evaluate as
+    one chunked vmapped block sweep; ragged groups fall back to a per-mol
+    loop.
+    """
+
+    def __init__(self, num_atoms: int, target_mols, beta: float, cutoff: float):
+        import jax
+        import jax.numpy as jnp
+
+        from timemachine_tpu.ops.nonbonded import nonbonded_block_unsummed
+
+        self.num_atoms = num_atoms
+        self.beta = beta
+        self.cutoff = cutoff
+        self._mols = [np.asarray(m, dtype=np.int32) for m in target_mols]
+        sizes = {len(m) for m in self._mols}
+        self._uniform = len(sizes) == 1
+        num_mols = len(self._mols)
+
+        # atom -> owning target mol (num_mols for non-target atoms): used to
+        # zero each mol's own columns out of its block
+        owner = np.full(num_atoms, num_mols, dtype=np.int32)
+        for mol_idx, m in enumerate(self._mols):
+            owner[m] = mol_idx
+        owner = jnp.asarray(owner)
+
+        def mol_energy(conf, params, box, mol_atom_idxs, mol_idx):
+            u = nonbonded_block_unsummed(
+                conf[mol_atom_idxs], conf, box, params[mol_atom_idxs], params, beta, cutoff
+            )
+            u = jnp.where(jnp.isnan(u), jnp.inf, u)
+            u = jnp.where((owner == mol_idx)[None, :], 0.0, u)
+            return jnp.sum(u)
+
+        if self._uniform:
+            idx_mat = jnp.asarray(np.stack(self._mols))
+
+            @jax.jit
+            def execute(conf, params, box):
+                return jax.vmap(mol_energy, in_axes=(None, None, None, 0, 0))(
+                    jnp.asarray(conf), jnp.asarray(params), jnp.asarray(box),
+                    idx_mat, jnp.arange(num_mols),
+                )
+
+            self._execute = execute
+        else:
+            fns = [
+                jax.jit(partial(mol_energy, mol_atom_idxs=jnp.asarray(m), mol_idx=i))
+                for i, m in enumerate(self._mols)
+            ]
+
+            def execute(conf, params, box):
+                return jnp.stack([f(jnp.asarray(conf), jnp.asarray(params), jnp.asarray(box)) for f in fns])
+
+            self._execute = execute
+
+    def execute(self, coords, params, box) -> np.ndarray:
+        return np.asarray(self._execute(coords, params, box))
+
+
+NonbondedMolEnergy_f32 = NonbondedMolEnergy_f64 = NonbondedMolEnergy
