@@ -12,12 +12,15 @@ no numbers (BASELINE.md), so this is the commonly-reported CUDA throughput
 for a ~23k-atom unconstrained HMR system on a modern datacenter GPU.
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 BASELINE_NS_PER_DAY = 500.0  # assumed CUDA reference (none published; see BASELINE.md)
+
+BENCH_KERNEL = None  # set by --kernel
 
 N_ATOMS_TARGET = 23_000
 DT_PS = 2.5e-3
@@ -42,7 +45,8 @@ def build_system():
     if jax.devices()[0].platform == "cpu":
         nb.set_impl("tiled").configure_tiled(host_config.box, conf=host_config.conf)
     else:
-        nb.configure_pallas(host_config.box, host_config.conf)
+        kwargs = {"kernel": BENCH_KERNEL} if BENCH_KERNEL else {}
+        nb.configure_pallas(host_config.box, host_config.conf, **kwargs)
 
     bond_idxs = host_config.host_system.bond.potential.idxs
     masses = apply_hmr(host_config.masses, bond_idxs)
@@ -50,6 +54,13 @@ def build_system():
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the timed region to DIR (view with xprof/tensorboard)")
+    parser.add_argument("--kernel", default=None, choices=["quad", "rowscan", "gather", "v1"],
+                        help="override the pallas kernel selection")
+    args = parser.parse_args()
+
     import jax
 
     from timemachine_tpu.integrators import LangevinIntegrator
@@ -59,6 +70,8 @@ def main():
     from timemachine_tpu.md.fire import fire_minimize_jax
     from timemachine_tpu.md.utils import sample_velocities
 
+    global BENCH_KERNEL
+    BENCH_KERNEL = args.kernel
     host_config, bps, masses = build_system()
     n_atoms = host_config.conf.shape[0]
     box = host_config.box
@@ -86,9 +99,15 @@ def main():
     # timed region
     ctxt.multiple_steps(n_steps)
 
-    t0 = time.perf_counter()
-    ctxt.multiple_steps(n_steps)
-    elapsed = time.perf_counter() - t0
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            t0 = time.perf_counter()
+            ctxt.multiple_steps(n_steps)
+            elapsed = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        ctxt.multiple_steps(n_steps)
+        elapsed = time.perf_counter() - t0
 
     ns_simulated = n_steps * DT_PS / 1000.0
     ns_per_day = ns_simulated / elapsed * 86_400.0

@@ -566,4 +566,16 @@ def make_nonbonded_quadscan_md(
         out = _sweep_from_state(state, conf, box, compute_u=True)
         return jnp.sum(out[:, 0])
 
-    return init_fn, apply_fn, energy_fn
+    def energy_with_params_fn(state, conf, params, box):
+        """Tile-reusing energy under DIFFERENT parameters (HREX U_kl path)."""
+        pad_order = state[0]
+        prows, prowsT = _param_rows(params, pad_order, conf.shape[0])
+        refreshed = (*state[:6], prows, prowsT)
+        out = _sweep_from_state(refreshed, conf, box, compute_u=True)
+        return jnp.sum(out[:, 0])
+
+    # tuple contract (md/context.py energy_with_states): [2] energy through
+    # cached tiles+params; [3] the rigid-move energy variant (same here — the
+    # nonbonded term is never rigid-invariant); [4] tile-reusing energy under
+    # DIFFERENT params (HREX banded-U_kl path, parallel/replica_exchange.py)
+    return init_fn, apply_fn, energy_fn, energy_fn, energy_with_params_fn

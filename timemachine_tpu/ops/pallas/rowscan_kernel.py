@@ -650,7 +650,23 @@ def make_nonbonded_rowscan_md(
         out = _sweep_from_state(state, conf, box, compute_u=True)
         return jnp.sum(out[:, 0])
 
-    return init_fn, apply_fn, energy_fn
+    def energy_with_params_fn(state, conf, params, box):
+        """Energy reusing the state's TILE lists but with freshly gathered
+        parameter rows — the HREX banded-U_kl path, where one replica's
+        geometry is evaluated under neighbor states' parameters. Valid for
+        any conf within skin/2 of the tiles' build conf."""
+        pad_order = state[0]
+        n = conf.shape[0]
+        prows, prowsT = _param_rows(params, pad_order, n)
+        refreshed = (*state[:6], prows, prowsT)
+        out = _sweep_from_state(refreshed, conf, box, compute_u=True)
+        return jnp.sum(out[:, 0])
+
+    # tuple contract (md/context.py energy_with_states): [2] energy through
+    # cached tiles+params; [3] the rigid-move energy variant (same here — the
+    # nonbonded term is never rigid-invariant); [4] tile-reusing energy under
+    # DIFFERENT params (HREX banded-U_kl path, parallel/replica_exchange.py)
+    return init_fn, apply_fn, energy_fn, energy_fn, energy_with_params_fn
 
 
 def make_nonbonded_rowscan_energy_force(

@@ -171,9 +171,12 @@ class ReplicaExchangeRunner:
         ctx = self._context
         step_fn = ctx._make_step_fn()
         energy_fn = ctx._energy_fn
-        prov_init_fns = {
-            i: ctx.potentials[i].md_force_provider()[0] for i in ctx._stateful_provider_idx
-        }
+        providers = {i: ctx.potentials[i].md_force_provider() for i in ctx._stateful_provider_idx}
+        prov_init_fns = {i: prov[0] for i, prov in providers.items()}
+        # tile-reusing cross-params energies for the banded U_kl (provider
+        # tuple slot 4); fall back to the full potential call otherwise
+        prov_u_params = {i: prov[4] for i, prov in providers.items() if len(prov) > 4}
+        prov_order = sorted(prov_init_fns.keys())
         params_by_state = self._params_by_state
         water_params = self._water_params
         water_idx = self._water_mover_idx
@@ -191,21 +194,30 @@ class ReplicaExchangeRunner:
             # iteration, from the replica's CURRENT params — mirroring
             # Context.multiple_steps, and necessary because swaps re-point
             # replicas at different parameter rows
-            pstates = tuple(
-                prov_init_fns[i](x, plist[i], box) for i in sorted(prov_init_fns.keys())
-            )
+            pstates = tuple(prov_init_fns[i](x, plist[i], box) for i in prov_order)
 
             def body(carry, _):
                 return step_fn(carry, plist, rkey)
 
             carry = (x, v, box, t0, mstates, pstates)
-            (x, v, box, _, mstates, _), _ = jax.lax.scan(body, carry, None, length=n_steps)
-            return x, v, box, mstates
+            (x, v, box, _, mstates, pstates), _ = jax.lax.scan(body, carry, None, length=n_steps)
+            return x, v, box, mstates, pstates
 
-        def banded_energies(x, box, s_r):
+        def total_energy(x, box, plist, pstates):
+            """Full potential energy; stateful providers reuse their (fresh,
+            in-skin) tile lists with the target state's parameter rows."""
+            u = 0.0
+            for i, pot in enumerate(ctx.potentials):
+                if i in prov_u_params:
+                    u = u + prov_u_params[i](pstates[prov_order.index(i)], x, plist[i], box)
+                else:
+                    u = u + pot(x, plist[i], box)
+            return u
+
+        def banded_energies(x, box, s_r, pstates):
             """One replica's energies at its 2Δ+1 neighboring states."""
             cols = jnp.clip(s_r + jnp.arange(-delta, delta + 1), 0, K - 1)
-            u = jax.vmap(lambda c: energy_fn(x, box, gather_params(c)))(cols)
+            u = jax.vmap(lambda c: total_energy(x, box, gather_params(c), pstates))(cols)
             return jnp.full((K,), jnp.inf, u.dtype).at[cols].set(u)
 
         @jax.jit
@@ -220,7 +232,7 @@ class ReplicaExchangeRunner:
                     )
                 mover_states = tuple(mover_states)
 
-            xs, vs, boxes, mover_states = jax.vmap(segment, in_axes=(0, 0, 0, None, 0, 0, 0))(
+            xs, vs, boxes, mover_states, pstates = jax.vmap(segment, in_axes=(0, 0, 0, None, 0, 0, 0))(
                 self._constrain(xs),
                 self._constrain(vs),
                 boxes,
@@ -238,7 +250,7 @@ class ReplicaExchangeRunner:
             frames_by_state = xs[perm]
             boxes_by_state = boxes[perm]
 
-            U = jax.vmap(banded_energies)(xs, boxes, state_of_replica)
+            U = jax.vmap(banded_energies)(xs, boxes, state_of_replica, pstates)
             U = jnp.where(jnp.isnan(U), jnp.inf, U)
             log_q = -U / kT
 
