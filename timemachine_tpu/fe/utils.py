@@ -212,3 +212,78 @@ def extract_delta_Us_from_U_knk(U_knk):
 def get_romol_bonds(mol: Mol) -> np.ndarray:
     """(B, 2) bond indices (ref fe/utils.py:437-445)."""
     return np.array([[b.src, b.dst] for b in mol.bonds], dtype=np.int32)
+
+
+def _mol_to_sdf_block(mol, conf=None) -> str:
+    """Minimal V2000 molblock of one conformer (enough for 3Dmol.js)."""
+    conf = mol.get_conf() if conf is None else np.asarray(conf)
+    angstrom = conf * 10.0
+    name = getattr(mol, "name", None) or "mol"
+    lines = [name, "  timemachine_tpu", "", f"{mol.num_atoms:3d}{mol.num_bonds:3d}  0  0  0  0  0  0  0  0999 V2000"]
+    for i in range(mol.num_atoms):
+        x, y, z = angstrom[i]
+        lines.append(f"{x:10.4f}{y:10.4f}{z:10.4f} {mol.atoms[i].symbol:<3s} 0  0  0  0  0  0  0  0  0  0  0  0")
+    for b in mol.bonds:
+        order = int(b.order) if b.order in (1, 2, 3) else 1
+        lines.append(f"{b.src + 1:3d}{b.dst + 1:3d}{order:3d}  0")
+    lines.append("M  END")
+    lines.append("$$$$")
+    return "\n".join(lines)
+
+
+_VIEWER_TEMPLATE = """<!DOCTYPE html><html><head>
+<script src="https://cdnjs.cloudflare.com/ajax/libs/3Dmol/2.0.4/3Dmol-min.js"></script>
+</head><body><div id="viewer" style="width:100%;height:640px;position:relative"></div>
+<script>
+const viewer = $3Dmol.createViewer(document.getElementById("viewer"));
+{body}
+viewer.zoomTo(); viewer.render();
+</script></body></html>"""
+
+
+def view_atom_mapping_3d(mol_a, mol_b, core) -> str:
+    """Standalone HTML (3Dmol.js) showing both conformers with mapped atoms
+    highlighted in matching colors (capability of reference fe/utils.py
+    view_atom_mapping_3d, without the py3Dmol dependency — open the returned
+    string in a browser)."""
+    import json as _json
+
+    core = np.asarray(core)
+    rng = np.random.default_rng(2022)
+    colors = [f"#{rng.integers(0x444444, 0xFFFFFF):06x}" for _ in range(len(core))]
+
+    body = []
+    for mol_idx, (mol, col) in enumerate(((mol_a, 0), (mol_b, 1))):
+        block = _mol_to_sdf_block(mol)
+        body.append(f"viewer.addModel({_json.dumps(block)}, 'sdf');")
+        body.append(f"viewer.setStyle({{model: {mol_idx}}}, {{stick: {{radius: 0.12}}}});")
+        for pair_idx, pair in enumerate(core):
+            atom = int(pair[col])
+            body.append(
+                f"viewer.addStyle({{model: {mol_idx}, serial: {atom}}}, "
+                f"{{sphere: {{radius: 0.3, color: '{colors[pair_idx]}'}}}});"
+            )
+    return _VIEWER_TEMPLATE.replace("{body}", "\n".join(body))
+
+
+def view_rest_region_3d(single_topology) -> str:
+    """Standalone HTML highlighting a SingleTopologyREST hot region on both
+    end-state molecules (capability of reference fe/utils.py
+    view_rest_region_3d)."""
+    import json as _json
+
+    st = single_topology
+    region = st.rest_region_atom_idxs
+    idxs_a, idxs_b = st.split_combined_idxs(region)
+
+    body = []
+    for mol_idx, (mol, idxs) in enumerate(((st.mol_a, idxs_a), (st.mol_b, idxs_b))):
+        block = _mol_to_sdf_block(mol)
+        body.append(f"viewer.addModel({_json.dumps(block)}, 'sdf');")
+        body.append(f"viewer.setStyle({{model: {mol_idx}}}, {{stick: {{radius: 0.12}}}});")
+        for atom in idxs:
+            body.append(
+                f"viewer.addStyle({{model: {mol_idx}, serial: {int(atom)}}}, "
+                f"{{sphere: {{radius: 0.35, color: 'orange'}}}});"
+            )
+    return _VIEWER_TEMPLATE.replace("{body}", "\n".join(body))
