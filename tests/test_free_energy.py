@@ -186,3 +186,26 @@ def test_assert_ensembles_compatible():
     s_box.box0 = np.eye(3) * 11.0
     with pytest.raises(AssertionError):
         assert_ensembles_compatible(s1, s_box)
+
+
+def test_run_sims_hrex_local_md_fallback():
+    """HREX + local MD routes through the time-multiplexed fallback driver
+    (the sharded runner doesn't support local segments yet) and still
+    produces a full set of trajectories and diagnostics."""
+    from timemachine_tpu.fe.free_energy import LocalMDParams
+
+    md_params = MDParams(
+        n_frames=4,
+        n_eq_steps=20,
+        steps_per_frame=10,
+        seed=8,
+        hrex_params=HREXParams(n_frames_bisection=2),
+        local_md_params=LocalMDParams(local_steps=5, k=10_000.0, min_radius=0.3, max_radius=0.5),
+    )
+    states = [make_harmonic_state(lamb) for lamb in (0.0, 1.0)]
+    pair_bar, trajs, diag, wsd = run_sims_hrex(states, md_params, print_diagnostics_interval=None)
+    assert len(trajs) == 2
+    assert all(len(t.frames) == 4 for t in trajs)
+    assert np.all(np.isfinite(np.array([t.frames[-1] for t in trajs])))
+    for perm in diag.replica_idx_by_state_by_iter:
+        assert sorted(perm) == [0, 1]
