@@ -862,9 +862,15 @@ def run_sims_sequential(
     for s in initial_states[1:]:
         assert_potentials_compatible(initial_states[0].potentials, s.potentials)
 
+    # ONE Context reused across windows: per-window Contexts each recompile
+    # their scan runners (compile-cache discipline, ARCHITECTURE.md)
+    ctxt = get_context(initial_states[0], md_params)
     stored_trajectories = []
     for initial_state in initial_states:
-        traj = sample(initial_state, md_params, max_buffer_frames=100)
+        ctxt.reset_for_state(initial_state)
+        traj = sample_with_context(
+            ctxt, md_params, initial_state.integrator.temperature, initial_state.ligand_idxs, max_buffer_frames=100
+        )
         print(f"completed simulation at lambda={initial_state.lamb}!")
         stored_trajectories.append(traj)
 
