@@ -71,3 +71,26 @@ def test_trajectory_bitwise_reproducible(golden_system):
     x_once = run([30])
     x_chunked = run([10, 5, 15])
     np.testing.assert_array_equal(x_once, x_chunked)
+
+
+def test_hrex_replica_parallel_fixed_output():
+    """The replica-parallel HREX driver is bitwise deterministic from
+    (InitialStates, MDParams): pinned digest over final frames + the full
+    permutation history (regenerate only for intentional changes to the
+    sampling path; digest from 2026-08-17, XLA:CPU x64)."""
+    import hashlib
+
+    from tests.test_free_energy import make_harmonic_state
+
+    from timemachine_tpu.fe.free_energy import HREXParams, MDParams, run_sims_hrex
+
+    md = MDParams(
+        n_frames=6, n_eq_steps=10, steps_per_frame=5, seed=11, hrex_params=HREXParams(n_frames_bisection=2)
+    )
+    states = [make_harmonic_state(lamb) for lamb in (0.0, 0.5, 1.0)]
+    _, trajs, diag, _ = run_sims_hrex(states, md, print_diagnostics_interval=None)
+    m = hashlib.sha256()
+    for t in trajs:
+        m.update(np.ascontiguousarray(np.asarray(t.frames[-1], np.float64)).tobytes())
+    m.update(np.asarray(diag.replica_idx_by_state_by_iter).tobytes())
+    assert m.hexdigest()[:16] == "f59d1a62e7f3387a"
