@@ -56,7 +56,7 @@ def main():
     mt = qk.suggest_max_tiles(np.asarray(x0), np.asarray(box), cutoff + 0.1, sort="hilbert")
     print(f"quad max_tiles={mt} slots={mt * 4096 / 1e6:.1f}M ({time.time() - t0:.1f}s)", flush=True)
 
-    q_init, q_apply, q_energy = qk.make_nonbonded_quadscan_md(beta, cutoff, mt, skin=0.1, rebuild_interval=20)
+    q_init, q_apply = qk.make_nonbonded_quadscan_md(beta, cutoff, mt, skin=0.1, rebuild_interval=20)[:2]
     q_state = q_init(x0, params, box)
     jax.block_until_ready(jax.tree.leaves(q_state))
     print("quad state built", flush=True)
@@ -78,7 +78,7 @@ def main():
     print("rowscan baseline...", flush=True)
     mp = suggest_max_pairs(np.asarray(x0), np.asarray(box), cutoff + 0.1, triangular=True)
     print(f"rowscan max_pairs={mp} slots={mp * 4096 / 1e6:.1f}M", flush=True)
-    r_init, r_apply, _ = make_nonbonded_rowscan_md(beta, cutoff, mp, skin=0.1, rebuild_interval=20)
+    r_init, r_apply = make_nonbonded_rowscan_md(beta, cutoff, mp, skin=0.1, rebuild_interval=20)[:2]
     r_state = r_init(x0, params, box)
     jax.block_until_ready(jax.tree.leaves(r_state))
 

@@ -69,6 +69,8 @@ def _quadscan_kernel(
     h_coeffs,
     p_coeffs,
     compute_u: bool,
+    has_w: bool = True,
+    tiles_per_iter: int = 1,
 ):
     i = pl.program_id(0)
     start = row_start_ref[i]
@@ -128,8 +130,10 @@ def _quadscan_kernel(
         dx = x_i - col[0].reshape(1, LANES)
         dy = y_i - col[1].reshape(1, LANES)
         dz = z_i - col[2].reshape(1, LANES)
-        dw = w_i - col[3].reshape(1, LANES)
-        r2 = dx * dx + dy * dy + dz * dz + dw * dw
+        r2 = dx * dx + dy * dy + dz * dz
+        if has_w:
+            dw = w_i - col[3].reshape(1, LANES)
+            r2 = r2 + dw * dw
 
         r2s = jnp.maximum(r2, 1e-8)
         inv_r = jax.lax.rsqrt(r2s)
@@ -205,12 +209,19 @@ def _quadscan_kernel(
 
     acc = jax.lax.cond(count > 0, tile0, lambda a: a, init)
 
-    def body(tile_idx, acc):
-        col, cids = load_packed(tile_idx)
-        de_r, e_pair, diffs = pair_tile(col, newton_gate_cids=None)
-        return accumulate(acc, de_r, e_pair, diffs, cids)
+    def body(jj, acc):
+        base = 1 + jj * tiles_per_iter
+        for k in range(tiles_per_iter):
+            col, cids = load_packed(base + k)
+            de_r, e_pair, diffs = pair_tile(col, newton_gate_cids=None)
+            acc = accumulate(acc, de_r, e_pair, diffs, cids)
+        return acc
 
-    acc_fx, acc_fy, acc_fz, acc_u = jax.lax.fori_loop(1, count, body, acc)
+    # builder pads each row's tile count so (count - 1) is a multiple of
+    # tiles_per_iter (padding tiles point at the all-zero quarter)
+    acc_fx, acc_fy, acc_fz, acc_u = jax.lax.fori_loop(
+        0, (count - 1 + tiles_per_iter - 1) // tiles_per_iter, body, acc
+    )
 
     fx = jnp.sum(acc_fx, axis=1)
     fy = jnp.sum(acc_fy, axis=1)
@@ -234,6 +245,8 @@ def _quadscan_call(
     p_coeffs,
     compute_u: bool,
     interpret: bool,
+    has_w: bool = True,
+    tiles_per_iter: int = 1,
 ):
     n_q8 = atoms_q.shape[0]
     n_row_atoms = n_rows * ROW
@@ -253,7 +266,8 @@ def _quadscan_call(
         ],
     )
     return pl.pallas_call(
-        partial(_quadscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u),
+        partial(_quadscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u,
+                has_w=has_w, tiles_per_iter=tiles_per_iter),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_row_atoms, 8), jnp.float32),
@@ -265,7 +279,7 @@ def _quadscan_call(
 
 @partial(
     jax.jit,
-    static_argnames=("n_rows", "h_coeffs", "p_coeffs", "compute_u", "interpret"),
+    static_argnames=("n_rows", "h_coeffs", "p_coeffs", "compute_u", "interpret", "has_w", "tiles_per_iter"),
 )
 def quadscan_sweep(
     atoms8,  # (8, Npad)
@@ -279,6 +293,8 @@ def quadscan_sweep(
     p_coeffs,
     compute_u: bool = False,
     interpret: bool = False,
+    has_w: bool = True,
+    tiles_per_iter: int = 1,
 ):
     """Returns (Npad, 8): [u_atom, du/dx(3), 0...] in sorted order, both
     Newton-pair sides included."""
@@ -297,6 +313,8 @@ def quadscan_sweep(
         p_coeffs=p_coeffs,
         compute_u=compute_u,
         interpret=interpret,
+        has_w=has_w,
+        tiles_per_iter=tiles_per_iter,
     )
     cols = out_cols.reshape(n_q, 8, Q).transpose(1, 0, 2).reshape(8, n_pad)
     return out_rows.at[:, 1:4].add(cols[1:4].T)
@@ -340,8 +358,8 @@ def _hilbert_keys(frac, bits: int = 7):
     return key.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("max_tiles", "sort"))
-def build_quadscan_tiles(conf, params, box, cutoff, max_tiles: int, sort: str = "hilbert"):
+@partial(jax.jit, static_argnames=("max_tiles", "sort", "tiles_per_iter"))
+def build_quadscan_tiles(conf, params, box, cutoff, max_tiles: int, sort: str = "hilbert", tiles_per_iter: int = 1):
     """32-granularity culled tile list with packed image shifts.
 
     Returns (pad_order, row_start, row_count, entries, overflow):
@@ -403,6 +421,14 @@ def build_quadscan_tiles(conf, params, box, cutoff, max_tiles: int, sort: str = 
     counts = jnp.sum(inter, axis=1).astype(jnp.int32)  # quarters per row
     padded = -(-counts // PACK) * PACK
     tile_count = padded // PACK
+    if tiles_per_iter > 1:
+        # the kernel peels tile 0 (Newton diagonal) and consumes the rest in
+        # groups of tiles_per_iter
+        tail = jnp.maximum(tile_count - 1, 0)
+        tile_count = jnp.where(
+            tile_count > 0, 1 + -(-tail // tiles_per_iter) * tiles_per_iter, 0
+        )
+    padded = tile_count * PACK
     tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
     start_real = jnp.cumsum(counts) - counts
     total_tiles = jnp.sum(tile_count)
@@ -462,10 +488,10 @@ def constant_shift_valid(conf, box, cutoff, sort: str = "hilbert") -> bool:
     return bool(np.all(top2.sum(axis=0) + cutoff < 0.5 * box_diag))
 
 
-def suggest_max_tiles(conf, box, cutoff, margin: float = 1.3, sort: str = "hilbert") -> int:
+def suggest_max_tiles(conf, box, cutoff, margin: float = 1.3, sort: str = "hilbert", tiles_per_iter: int = 1) -> int:
     n = conf.shape[0]
     n_pad = (-(-n // LANES) + 1) * LANES
-    cap = (n_pad // ROW) * (-(-(n_pad // Q) // PACK))
+    cap = (n_pad // ROW) * (1 + -(-(n_pad // Q) // PACK))
     _, _, counts, _, _ = build_quadscan_tiles(
         jnp.asarray(conf, jnp.float32),
         jnp.zeros((n, 4), jnp.float32),
@@ -473,6 +499,7 @@ def suggest_max_tiles(conf, box, cutoff, margin: float = 1.3, sort: str = "hilbe
         cutoff,
         max_tiles=cap,
         sort=sort,
+        tiles_per_iter=tiles_per_iter,
     )
     total = int(np.asarray(counts).sum())
     want = int(np.ceil(total * margin / 32) * 32)
@@ -497,6 +524,8 @@ def make_nonbonded_quadscan_md(
     rebuild_interval: int = 20,
     interpret: bool = False,
     sort: str = "hilbert",
+    has_w: bool = True,
+    tiles_per_iter: int = 1,
 ):
     """Stateful MD force provider on the quadscan kernel (same contract as
     rowscan_kernel.make_nonbonded_rowscan_md)."""
@@ -518,6 +547,7 @@ def make_nonbonded_quadscan_md(
             cutoff + skin,
             max_tiles=max_tiles,
             sort=sort,
+            tiles_per_iter=tiles_per_iter,
         )
         n = conf.shape[0]
         inv = jnp.zeros(n, dtype=jnp.int32).at[pad_order[:n]].set(jnp.arange(n, dtype=jnp.int32))
@@ -545,11 +575,13 @@ def make_nonbonded_quadscan_md(
             row_count,
             entries,
             _scalars(box, cutoff),
-            n_rows=n_pad // ROW,
-            h_coeffs=h_coeffs,
-            p_coeffs=p_coeffs,
+            n_pad // ROW,
+            h_coeffs,
+            p_coeffs,
             compute_u=compute_u,
             interpret=interpret,
+            has_w=has_w,
+            tiles_per_iter=tiles_per_iter,
         )
 
     def apply_fn(state, conf, params, box, t):
