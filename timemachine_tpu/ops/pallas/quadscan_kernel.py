@@ -112,17 +112,18 @@ def _quadscan_kernel(
             cid, sx, sy, sz = _decode(entry)
             cids.append(cid)
             quarter = atoms_q_ref[pl.ds(cid * 8, 8), :]  # (8, Q)
-            adj = (
-                jnp.stack(
-                    [
-                        sx.astype(jnp.float32) * box_x,
-                        sy.astype(jnp.float32) * box_y,
-                        sz.astype(jnp.float32) * box_z,
-                    ]
-                ).reshape(3, 1)
-            )
-            quarter = quarter.at[0:3, :].add(adj)
-            parts.append(quarter)
+            # (8, 1) additive shift vector [sx*L, sy*L, sz*L, 0, 0, 0, 0, 0]
+            # (a scatter-free broadcast add — Mosaic has no scatter lowering)
+            adj = jnp.stack(
+                [
+                    sx.astype(jnp.float32) * box_x,
+                    sy.astype(jnp.float32) * box_y,
+                    sz.astype(jnp.float32) * box_z,
+                    jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+                    jnp.float32(0.0), jnp.float32(0.0),
+                ]
+            ).reshape(8, 1)
+            parts.append(quarter + adj)
         return jnp.concatenate(parts, axis=1), cids
 
     def pair_tile(col, newton_gate_cids):
