@@ -253,7 +253,7 @@ class NonbondedAllPairs(Potential):
         return self
 
     def configure_pallas(self, box, conf, margin: float = 1.4, interpret: bool = False, cb: int = 2,
-                         kernel: str = "quad"):
+                         kernel: str = "quad", quad_has_w: bool = True):
         """Switch to the fused Pallas tile kernel (the production TPU MD
         path), sizing the static tile budget from the actual geometry.
 
@@ -390,7 +390,8 @@ class NonbondedAllPairs(Potential):
             )
             md_tiles = suggest_quad_tiles(np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin)
             self._pallas_md = make_nonbonded_quadscan_md(
-                self.beta, self.cutoff, md_tiles, skin=skin, rebuild_interval=20, interpret=interpret
+                self.beta, self.cutoff, md_tiles, skin=skin, rebuild_interval=20, interpret=interpret,
+                has_w=quad_has_w,
             )
             return self
 
