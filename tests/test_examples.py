@@ -46,7 +46,7 @@ def test_water_sampling_mc():
     run_example(
         "water_sampling_mc.py",
         [
-            "--box_width", "2.2",
+            "--box_width", "2.6",
             "--n_iterations", "2",
             "--md_steps_per_batch", "10",
             "--mc_proposals_per_batch", "20",
@@ -59,7 +59,7 @@ def test_water_sampling_hrex():
     run_example(
         "water_sampling_hrex.py",
         [
-            "--box_width", "2.2",
+            "--box_width", "2.6",
             "--n_windows", "2",
             "--n_frames", "3",
             "--steps_per_frame", "10",

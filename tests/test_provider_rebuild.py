@@ -44,7 +44,7 @@ def fluid():
 
 def make_provider(conf, params, box, skin=0.1):
     mp = suggest_max_pairs(np.asarray(conf), np.asarray(box), CUTOFF + skin, triangular=True)
-    return make_nonbonded_rowscan_md(BETA, CUTOFF, mp, skin=skin, rebuild_interval=20, interpret=True)
+    return make_nonbonded_rowscan_md(BETA, CUTOFF, mp, skin=skin, rebuild_interval=20, interpret=True)[:3]
 
 
 def test_within_skin_reuse_matches_fresh_build(fluid):
