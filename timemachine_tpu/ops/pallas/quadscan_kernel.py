@@ -71,6 +71,7 @@ def _quadscan_kernel(
     compute_u: bool,
     has_w: bool = True,
     tiles_per_iter: int = 1,
+    use_shifts: bool = True,
 ):
     i = pl.program_id(0)
     start = row_start_ref[i]
@@ -83,6 +84,9 @@ def _quadscan_kernel(
     box_x = scal_ref[0, 0]
     box_y = scal_ref[0, 1]
     box_z = scal_ref[0, 2]
+    inv_bx = 1.0 / box_x
+    inv_by = 1.0 / box_y
+    inv_bz = 1.0 / box_z
     cutoff = scal_ref[0, 3]
     cut2 = cutoff * cutoff
     # switch domain rides scal slot 4 (the physical switch cutoff)
@@ -112,18 +116,20 @@ def _quadscan_kernel(
             cid, sx, sy, sz = _decode(entry)
             cids.append(cid)
             quarter = atoms_q_ref[pl.ds(cid * 8, 8), :]  # (8, Q)
-            # (8, 1) additive shift vector [sx*L, sy*L, sz*L, 0, 0, 0, 0, 0]
-            # (a scatter-free broadcast add — Mosaic has no scatter lowering)
-            adj = jnp.stack(
-                [
-                    sx.astype(jnp.float32) * box_x,
-                    sy.astype(jnp.float32) * box_y,
-                    sz.astype(jnp.float32) * box_z,
-                    jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-                    jnp.float32(0.0), jnp.float32(0.0),
-                ]
-            ).reshape(8, 1)
-            parts.append(quarter + adj)
+            if use_shifts:
+                # (8, 1) additive shift [sx*L, sy*L, sz*L, 0...] (scatter-free
+                # broadcast add — Mosaic has no scatter lowering)
+                adj = jnp.stack(
+                    [
+                        sx.astype(jnp.float32) * box_x,
+                        sy.astype(jnp.float32) * box_y,
+                        sz.astype(jnp.float32) * box_z,
+                        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+                        jnp.float32(0.0), jnp.float32(0.0),
+                    ]
+                ).reshape(8, 1)
+                quarter = quarter + adj
+            parts.append(quarter)
         return jnp.concatenate(parts, axis=1), cids
 
     def pair_tile(col, newton_gate_cids):
@@ -131,6 +137,10 @@ def _quadscan_kernel(
         dx = x_i - col[0].reshape(1, LANES)
         dy = y_i - col[1].reshape(1, LANES)
         dz = z_i - col[2].reshape(1, LANES)
+        if not use_shifts:
+            dx = dx - box_x * jax.lax.round(dx * inv_bx)
+            dy = dy - box_y * jax.lax.round(dy * inv_by)
+            dz = dz - box_z * jax.lax.round(dz * inv_bz)
         r2 = dx * dx + dy * dy + dz * dz
         if has_w:
             dw = w_i - col[3].reshape(1, LANES)
@@ -248,6 +258,7 @@ def _quadscan_call(
     interpret: bool,
     has_w: bool = True,
     tiles_per_iter: int = 1,
+    use_shifts: bool = True,
 ):
     n_q8 = atoms_q.shape[0]
     n_row_atoms = n_rows * ROW
@@ -268,7 +279,7 @@ def _quadscan_call(
     )
     return pl.pallas_call(
         partial(_quadscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u,
-                has_w=has_w, tiles_per_iter=tiles_per_iter),
+                has_w=has_w, tiles_per_iter=tiles_per_iter, use_shifts=use_shifts),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_row_atoms, 8), jnp.float32),
@@ -280,7 +291,7 @@ def _quadscan_call(
 
 @partial(
     jax.jit,
-    static_argnames=("n_rows", "h_coeffs", "p_coeffs", "compute_u", "interpret", "has_w", "tiles_per_iter"),
+    static_argnames=("n_rows", "h_coeffs", "p_coeffs", "compute_u", "interpret", "has_w", "tiles_per_iter", "use_shifts"),
 )
 def quadscan_sweep(
     atoms8,  # (8, Npad)
@@ -296,6 +307,7 @@ def quadscan_sweep(
     interpret: bool = False,
     has_w: bool = True,
     tiles_per_iter: int = 1,
+    use_shifts: bool = True,
 ):
     """Returns (Npad, 8): [u_atom, du/dx(3), 0...] in sorted order, both
     Newton-pair sides included."""
@@ -316,6 +328,7 @@ def quadscan_sweep(
         interpret=interpret,
         has_w=has_w,
         tiles_per_iter=tiles_per_iter,
+        use_shifts=use_shifts,
     )
     cols = out_cols.reshape(n_q, 8, Q).transpose(1, 0, 2).reshape(8, n_pad)
     return out_rows.at[:, 1:4].add(cols[1:4].T)
@@ -527,6 +540,7 @@ def make_nonbonded_quadscan_md(
     sort: str = "hilbert",
     has_w: bool = True,
     tiles_per_iter: int = 1,
+    use_shifts: bool = True,
 ):
     """Stateful MD force provider on the quadscan kernel (same contract as
     rowscan_kernel.make_nonbonded_rowscan_md)."""
@@ -583,6 +597,7 @@ def make_nonbonded_quadscan_md(
             interpret=interpret,
             has_w=has_w,
             tiles_per_iter=tiles_per_iter,
+            use_shifts=use_shifts,
         )
 
     def apply_fn(state, conf, params, box, t):
