@@ -107,6 +107,7 @@ def _rowscan_kernel(
     p_coeffs,
     compute_u: bool,
     triangular: bool = False,
+    has_w: bool = True,
 ):
     i = pl.program_id(0)
     start = row_start_ref[i]
@@ -155,8 +156,10 @@ def _rowscan_kernel(
         dx = dx - box_x * jax.lax.round(dx * inv_bx)
         dy = dy - box_y * jax.lax.round(dy * inv_by)
         dz = dz - box_z * jax.lax.round(dz * inv_bz)
-        dw = w_i - col[3].reshape(1, COL)
-        r2 = dx * dx + dy * dy + dz * dz + dw * dw
+        r2 = dx * dx + dy * dy + dz * dz
+        if has_w:
+            dw = w_i - col[3].reshape(1, COL)
+            r2 = r2 + dw * dw
 
         r2s = jnp.maximum(r2, 1e-8)
         inv_r = jax.lax.rsqrt(r2s)
@@ -250,6 +253,7 @@ def _rowscan_call(
     compute_u: bool,
     interpret: bool,
     triangular: bool,
+    has_w: bool = True,
 ):
     """Raw pallas invocation. Returns (out_rows (n_row_atoms, 8), out_cols
     (8, Npad) | None). Row blocks index atomsT locally, so a caller may pass
@@ -271,7 +275,7 @@ def _rowscan_call(
     )
     if not triangular:
         out_rows = pl.pallas_call(
-            partial(_rowscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u),
+            partial(_rowscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u, has_w=has_w),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_row_atoms, 8), jnp.float32),
             interpret=interpret,
@@ -287,7 +291,8 @@ def _rowscan_call(
         ],
     )
     out_rows, out_cols = pl.pallas_call(
-        partial(_rowscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u, triangular=True),
+        partial(_rowscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u, triangular=True,
+                has_w=has_w),
         grid_spec=grid_spec_tri,
         out_shape=[
             jax.ShapeDtypeStruct((n_row_atoms, 8), jnp.float32),
@@ -298,7 +303,7 @@ def _rowscan_call(
     return out_rows, out_cols
 
 
-@partial(jax.jit, static_argnames=("n_rows", "max_pairs", "h_coeffs", "p_coeffs", "compute_u", "interpret", "triangular"))
+@partial(jax.jit, static_argnames=("n_rows", "max_pairs", "h_coeffs", "p_coeffs", "compute_u", "interpret", "triangular", "has_w"))
 def rowscan_sweep(
     atoms8,  # (8, Npad) f32
     atomsT,  # (Npad, 8) f32
@@ -313,6 +318,7 @@ def rowscan_sweep(
     compute_u: bool = False,
     interpret: bool = False,
     triangular: bool = False,
+    has_w: bool = True,
 ):
     """Returns (Npad, 8) f32: columns [u_atom, du/dx(3), 0...] in sorted
     order; sum of column 0 = total energy (if compute_u). In triangular mode
@@ -323,7 +329,7 @@ def rowscan_sweep(
     out_rows, out_cols = _rowscan_call(
         atomsT, atoms_cm, row_start, row_count, col_ids, scalars, n_rows,
         h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u,
-        interpret=interpret, triangular=triangular,
+        interpret=interpret, triangular=triangular, has_w=has_w,
     )
     if out_cols is None:
         return out_rows
@@ -553,6 +559,7 @@ def make_nonbonded_rowscan_md(
     interpret: bool = False,
     atom_mask=None,
     triangular: bool = True,
+    has_w: bool = True,
 ):
     """Stateful MD force provider on the rowscan kernel (API-compatible with
     nonbonded_kernel.make_nonbonded_pallas_md): tile lists culled at
@@ -633,6 +640,7 @@ def make_nonbonded_rowscan_md(
             compute_u=compute_u,
             interpret=interpret,
             triangular=triangular,
+            has_w=has_w,
         )
 
     def apply_fn(state, conf, params, box, t):
