@@ -46,8 +46,7 @@ def build_system():
         nb.set_impl("tiled").configure_tiled(host_config.box, conf=host_config.conf)
     else:
         kwargs = {"kernel": BENCH_KERNEL} if BENCH_KERNEL else {}
-        # the apo water benchmark has no alchemical atoms: w == 0 everywhere
-        nb.configure_pallas(host_config.box, host_config.conf, quad_has_w=False, **kwargs)
+        nb.configure_pallas(host_config.box, host_config.conf, **kwargs)
 
     bond_idxs = host_config.host_system.bond.potential.idxs
     masses = apply_hmr(host_config.masses, bond_idxs)

@@ -26,6 +26,17 @@ count. Changes vs rowscan:
 Parity: same physics as rowscan (4D lifted LJ + switched-erfc Chebyshev ES,
 force = exact gradient of the polynomial energy); tile culling mirrors the
 reference's block-bounds neighborlist (neighborlist.cu) at finer grain.
+
+MEASURED VERDICT (v5e, 23k water, 2026-08-17): NON-DEFAULT. The finer
+culling delivers only 1.3x fewer slots at water density (59M vs 85M — the
+2-cutoff Minkowski sphere dominates swept volume, so chunk compactness
+barely matters), while the per-tile quarter machinery costs ~2.4x per slot
+under current Mosaic (7.2 ms vs rowscan's 3.26 ms; the wraps variant shows
+~1.1 ms of that is scalar shift-decode + vector-build, the rest the
+4x dynamic-sublane loads/concat and 4x (8,32) reaction-force RMWs per
+tile). Kept as a validated experiment: force parity vs rowscan is 3.4e-6
+compiled on hardware, and the per-entry constant-image-shift idea (sound
+under `constant_shift_valid`) transfers to future kernels.
 """
 
 from __future__ import annotations

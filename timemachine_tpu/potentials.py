@@ -253,7 +253,7 @@ class NonbondedAllPairs(Potential):
         return self
 
     def configure_pallas(self, box, conf, margin: float = 1.4, interpret: bool = False, cb: int = 2,
-                         kernel: str = "quad", quad_has_w: bool = True):
+                         kernel: str = "rowscan", quad_has_w: bool = True):
         """Switch to the fused Pallas tile kernel (the production TPU MD
         path), sizing the static tile budget from the actual geometry.
 
