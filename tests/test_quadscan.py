@@ -28,7 +28,7 @@ def lattice_fluid(n, n_side, jitter, seed, spacing=0.31):
     return conf, params, box
 
 
-def run_quadscan(conf, params, box, sort):
+def run_quadscan(conf, params, box, sort, **sweep_kwargs):
     conf32 = jnp.asarray(conf, jnp.float32)
     params32 = jnp.asarray(params, jnp.float32)
     box32 = jnp.asarray(box, jnp.float32)
@@ -50,7 +50,7 @@ def run_quadscan(conf, params, box, sort):
     h, p = qk.es_energy_force_series(BETA, CUTOFF)
     out = qk.quadscan_sweep(
         atoms8, atomsT, rs, rc, en, qk._scalars(box32, CUTOFF), n_pad // 32, h, p,
-        compute_u=True, interpret=True,
+        compute_u=True, interpret=True, **sweep_kwargs,
     )
     return float(jnp.sum(out[:, 0])), -np.asarray(out[inv, 1:4])
 
@@ -73,6 +73,12 @@ def test_quadscan_matches_rowscan():
     assert u_q == pytest.approx(float(u_ref), rel=2e-4)
     err = np.abs(f_q - np.asarray(f_ref)).max()
     assert err / np.abs(np.asarray(f_ref)).max() < 5e-5
+
+    # the wrap-math variant (per-pair minimum image instead of per-entry
+    # shifts) must agree bitwise-closely with the shifted variant
+    u_w, f_w = run_quadscan(conf, params, box, sort, use_shifts=False)
+    assert u_w == pytest.approx(u_q, rel=1e-6)
+    np.testing.assert_allclose(f_w, f_q, rtol=1e-4, atol=5e-3)
 
 
 def test_constant_shift_validity_gate():
