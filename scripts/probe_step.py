@@ -53,7 +53,7 @@ def main():
 
     mp = suggest_max_pairs(np.asarray(x0), np.asarray(box), cutoff + 0.1, triangular=True)
     print(f"max_pairs={mp}", flush=True)
-    init_fn, apply_fn, energy_fn = make_nonbonded_rowscan_md(beta, cutoff, mp, skin=0.1, rebuild_interval=20)
+    init_fn, apply_fn, energy_fn = make_nonbonded_rowscan_md(beta, cutoff, mp, skin=0.1, rebuild_interval=20)[:3]
     state0 = init_fn(x0, params, box)
     jax.block_until_ready(jax.tree.leaves(state0))
 
