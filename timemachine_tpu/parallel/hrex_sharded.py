@@ -1,9 +1,15 @@
-"""Multi-device HREX: replicas sharded over a device mesh.
+"""Multi-device HREX over a bare (u_fn, params-ladder) interface.
 
-This is the headline TPU redesign of the reference's HREX driver
-(free_energy.py:1383-1531): there, replicas are TIME-MULTIPLEXED on one GPU —
-one Context, with set_params/set_x_t swaps per frame and host round-trips
-every iteration. Here:
+NOTE: the PRODUCTION replica-parallel engine is
+parallel/replica_exchange.ReplicaExchangeRunner (full Context step with
+movers, banded U_kl, InitialState-driven; wired into
+fe/free_energy.run_sims_hrex). This module is the minimal standalone
+variant used by bench_hrex.py and kernel-level mesh tests — whole HREX
+iterations in ONE lax.scan with zero host involvement, for measuring the
+pure scaling envelope. Contrast with the reference's driver
+(free_energy.py:1383-1531): replicas TIME-MULTIPLEXED on one GPU — one
+Context, set_params/set_x_t swaps per frame and host round-trips every
+iteration. Here:
 
 * replica state (K, N, 3) lives sharded over the mesh axis "replica"; each
   device integrates its replicas' MD segments in parallel (vmap over the
