@@ -109,3 +109,44 @@ def test_get_context_with_water_sampling(solvated_state):
     # 60 steps at interval 30 -> 2 firings x 20 proposals
     assert int(ws_state.n_proposed) == 40
     assert 0 <= int(ws_state.n_accepted) <= 40
+
+
+def test_run_sims_hrex_with_water_sampling(solvated_state):
+    """The replica-parallel HREX driver with barostat + TIBD water movers:
+    per-state water-sampler params ride the (stacked) mover states, counters
+    come back per state, and frames stay finite."""
+    from dataclasses import replace as dc_replace
+
+    import jax.numpy as jnp
+
+    from timemachine_tpu.fe.free_energy import HREXParams, MDParams, run_sims_hrex
+    from timemachine_tpu.potentials import NonbondedInteractionGroup
+
+    # second state: ligand charges scaled down in the interaction group
+    def scale_state(state, q_scale):
+        pots = []
+        for bp in state.potentials:
+            p = np.asarray(bp.params).copy()
+            if isinstance(bp.potential, NonbondedInteractionGroup):
+                p[state.ligand_idxs, 0] *= q_scale
+            pots.append(bp.potential.bind(p))
+        return dc_replace(state, potentials=pots, lamb=1.0 - q_scale)
+
+    states = [scale_state(solvated_state, 1.0), scale_state(solvated_state, 0.8)]
+
+    md_params = MDParams(
+        n_frames=2,
+        n_eq_steps=0,
+        steps_per_frame=30,
+        seed=7,
+        hrex_params=HREXParams(n_frames_bisection=1),
+        water_sampling_params=WaterSamplingParams(interval=15, n_proposals=20, batch_size=20, radius=0.8),
+    )
+    pair_bar, trajs, diag, wsd = run_sims_hrex(states, md_params, print_diagnostics_interval=None)
+    assert len(trajs) == 2 and all(len(t.frames) == 2 for t in trajs)
+    assert np.all(np.isfinite(np.array([t.frames[-1] for t in trajs])))
+    assert wsd is not None
+    # 2 frames x 30 steps at interval 15 -> 4 firings x 20 proposals per state
+    assert wsd.proposals_by_state_by_iter.shape == (2, 2, 2)
+    assert int(wsd.proposals_by_state_by_iter[..., 1].sum()) == 2 * 4 * 20
+    assert all(t.final_barostat_volume_scale_factor is not None for t in trajs)

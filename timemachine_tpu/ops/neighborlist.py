@@ -169,10 +169,16 @@ def nonbonded_cell_list_energy(conf, params, box, grid_dims, capacity, beta, cut
 
     def chunk_energy(acc, chunk):
         row_idx, col_idx = chunk  # (B, C1), (B, C2)
-        xi = conf_ext[row_idx]  # (B, C1, 3)
-        xj = conf_ext[col_idx]  # (B, C2, 3)
-        pi = params_ext[row_idx]
-        pj = params_ext[col_idx]
+        b1, c1 = row_idx.shape
+        b2, c2 = col_idx.shape
+        # flat 1-D gathers + reshape: jax 0.9.0's XLA:CPU pipeline has been
+        # observed to miscompile multi-dim-index gather formulations
+        # nondeterministically at the default optimization level (see
+        # test_compilation_determinism's history)
+        xi = conf_ext[row_idx.reshape(-1)].reshape(b1, c1, 3)
+        xj = conf_ext[col_idx.reshape(-1)].reshape(b2, c2, 3)
+        pi = params_ext[row_idx.reshape(-1)].reshape(b1, c1, -1)
+        pj = params_ext[col_idx.reshape(-1)].reshape(b2, c2, -1)
 
         dr = xi[:, :, None, :] - xj[:, None, :, :]
         dr = dr - box_diag * jnp.floor(dr / box_diag + 0.5)
