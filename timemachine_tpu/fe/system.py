@@ -24,29 +24,25 @@ from timemachine_tpu.potentials import (
 
 
 def minimize_scipy(U_fn, x0, return_traj=False, seed=2024, method="BFGS"):
-    """Flattened scipy minimization of a jax potential (ref system.py:26-48;
-    BFGS instead of basinhopping by default — deterministic and much cheaper;
-    pass method="basinhopping" for the reference behavior)."""
-    shape = x0.shape
+    """scipy minimization of a jax potential over flattened coordinates.
 
-    @jax.jit
-    def U_flat(x_flat):
-        return U_fn(x_flat.reshape(*shape))
+    Default is deterministic BFGS (cheap); method="basinhopping" restores
+    the reference's stochastic global search (ref system.py:26-48)."""
+    unflatten = lambda flat: flat.reshape(*x0.shape)
+    value_and_grad = jax.jit(jax.value_and_grad(lambda flat: U_fn(unflatten(flat))))
 
-    grad_fn = jax.jit(jax.grad(U_flat))
+    def fun(flat):
+        v, g = value_and_grad(flat)
+        return float(v), np.asarray(g, dtype=np.float64)
+
     traj = []
-
-    def callback(x):
-        traj.append(x.reshape(*shape))
-
+    kwargs = dict(jac=True, callback=lambda flat: traj.append(unflatten(flat)))
+    flat0 = np.asarray(x0, dtype=np.float64).reshape(-1)
     if method == "basinhopping":
-        res = scipy.optimize.basinhopping(
-            U_flat, np.asarray(x0).reshape(-1), minimizer_kwargs={"jac": grad_fn, "callback": callback}, seed=seed
-        )
+        res = scipy.optimize.basinhopping(fun, flat0, minimizer_kwargs=kwargs, seed=seed)
     else:
-        res = scipy.optimize.minimize(U_flat, np.asarray(x0).reshape(-1), jac=grad_fn, method=method, callback=callback)
-    xi = res.x.reshape(*shape)
-    return traj if return_traj else xi
+        res = scipy.optimize.minimize(fun, flat0, method=method, **kwargs)
+    return traj if return_traj else unflatten(res.x)
 
 
 def simulate_system(U_fn, x0, num_samples=20000, steps_per_batch=500, num_workers=None, minimize=True, temperature=300.0):
@@ -101,24 +97,23 @@ def simulate_system(U_fn, x0, num_samples=20000, steps_per_batch=500, num_worker
     return frames
 
 
+# term families excluded from the active potential list: chiral bond
+# restraints ship disabled pending validation (matching the reference,
+# system.py:97-107)
+_INACTIVE_TERMS = frozenset({"chiral_bond"})
+
+
 @dataclass
 class AbstractSystem(ABC):
-    def get_U_fn(self):
-        U_fns = self.get_U_fns()
-
-        def U_fn(x):
-            return sum(U(x, box=None) for U in U_fns)
-
-        return U_fn
+    """A system is an ordered bag of bound potentials, one per dataclass
+    field; subclasses differ only in which term families they carry."""
 
     def get_U_fns(self) -> list[BoundPotential]:
-        out = []
-        for f in fields(self):
-            bp = getattr(self, f.name)
-            # chiral bond restraints disabled pending validation (ref system.py:97-107)
-            if f.name != "chiral_bond":
-                out.append(bp)
-        return out
+        return [getattr(self, f.name) for f in fields(self) if f.name not in _INACTIVE_TERMS]
+
+    def get_U_fn(self):
+        bound = self.get_U_fns()
+        return lambda x: sum(bp(x, box=None) for bp in bound)
 
 
 @dataclass
