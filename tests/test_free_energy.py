@@ -209,3 +209,43 @@ def test_run_sims_hrex_local_md_fallback():
     assert np.all(np.isfinite(np.array([t.frames[-1] for t in trajs])))
     for perm in diag.replica_idx_by_state_by_iter:
         assert sorted(perm) == [0, 1]
+
+
+def test_replica_exchange_checkpoint_resume_bitwise():
+    """ReplicaExchangeRunner.state_dict/load_state_dict: resuming mid-run is
+    bitwise identical to running straight through (stateless fold_in RNG)."""
+    import pickle
+
+    from timemachine_tpu.fe.free_energy import get_context
+    from timemachine_tpu.md.hrex import get_swap_attempts_per_iter_heuristic
+    from timemachine_tpu.parallel.replica_exchange import ReplicaExchangeRunner
+
+    states = [make_harmonic_state(lamb) for lamb in (0.0, 0.5, 1.0)]
+
+    def make_runner():
+        ctx = get_context(states[0])
+        return ReplicaExchangeRunner(
+            ctx,
+            [[np.asarray(bp.params) for bp in s.potentials] for s in states],
+            temperature=TEMP,
+            neighbor_pairs=[(0, 1), (1, 2)],
+            n_swap_attempts_per_iter=get_swap_attempts_per_iter_heuristic(3),
+            max_delta_states=2,
+            seed=13,
+        )
+
+    r1 = make_runner()
+    r1.initialize([s.x0 for s in states], [s.v0 for s in states], [s.box0 for s in states])
+    for _ in range(2):
+        r1.advance_frame(5)
+    blob = pickle.dumps(r1.state_dict())
+    res_a = [r1.advance_frame(5) for _ in range(2)]
+
+    r2 = make_runner()
+    r2.load_state_dict(pickle.loads(blob))
+    res_b = [r2.advance_frame(5) for _ in range(2)]
+
+    for a, b in zip(res_a, res_b):
+        np.testing.assert_array_equal(a.frames_by_state, b.frames_by_state)
+        np.testing.assert_array_equal(a.replica_idx_by_state, b.replica_idx_by_state)
+        np.testing.assert_array_equal(a.accepted_by_pair, b.accepted_by_pair)

@@ -352,6 +352,40 @@ class ReplicaExchangeRunner:
             U_kl=U_host,
         )
 
+    # -- checkpoint / resume ---------------------------------------------------
+
+    def state_dict(self) -> dict:
+        """Everything needed to resume EXACTLY (the per-step RNG is a pure
+        function of (seed, replica, global step), so a resumed run is
+        bitwise-identical to an uninterrupted one — step-level preemption
+        tolerance the reference lacks)."""
+        leaves, _ = jax.tree.flatten(self.mover_states)
+        return {
+            "xs": np.asarray(self.xs),
+            "vs": np.asarray(self.vs),
+            "boxes": np.asarray(self.boxes),
+            "mover_leaves": [np.asarray(leaf) for leaf in leaves],
+            "perm": np.asarray(self.perm),
+            "t": int(self.t),
+            "iteration": int(self.iteration),
+        }
+
+    def load_state_dict(self, state: dict):
+        """Restore from `state_dict()`. The runner must have been constructed
+        with the same context/params; mover-state STRUCTURE comes from a
+        fresh initialize, leaves from the checkpoint."""
+        self.initialize(state["xs"], state["vs"], state["boxes"])
+        _, treedef = jax.tree.flatten(self.mover_states)
+        self.mover_states = jax.tree.unflatten(
+            treedef, [jnp.asarray(leaf) for leaf in state["mover_leaves"]]
+        )
+        self.xs = jnp.asarray(state["xs"])
+        self.vs = jnp.asarray(state["vs"])
+        self.boxes = jnp.asarray(state["boxes"])
+        self.perm = np.asarray(state["perm"])
+        self.t = int(state["t"])
+        self.iteration = int(state["iteration"])
+
     # -- state-ordered observers ----------------------------------------------
 
     def final_state_arrays(self):
