@@ -13,10 +13,11 @@ TPU design notes:
   `execute_batch_sparse` GPU entry points become jit+vmap over frames with
   chunking (see `fe/energy_decomposition.py`) — XLA batches the whole
   u_kln sweep onto the MXU rather than looping CUDA kernel launches.
-* The HREX inner loop reuses ONE Context (recompile-free `set_params`, flat
-  SummedPotential parameter contract) exactly like the reference's
-  set_params path; the fully-sharded multi-device variant lives in
-  `timemachine_tpu/parallel/hrex_sharded.py`.
+* run_sims_hrex drives the replica-parallel engine
+  (`parallel/replica_exchange.py`): each HREX iteration — every replica's MD
+  segment, the banded U_kl, and the swap batch — is one device program,
+  sharded over the available devices. The reference-style time-multiplexed
+  single-Context loop survives only as the local-MD fallback.
 * Water sampling / local MD hooks are parameterised here and dispatched to
   `md.exchange` / `md.local_md` implementations.
 """
