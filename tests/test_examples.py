@@ -108,7 +108,7 @@ def test_relative_free_energy_solvent(tmp_path):
             "--legs", "solvent",
             "--output_dir", str(tmp_path),
         ],
-        timeout=2400,
+        timeout=3600,  # CPU solvent leg: host pre-equilibration dominates
     )
 
 
