@@ -223,42 +223,49 @@ class WaterSamplingDiagnostics:
 
 @dataclass
 class PairBarResult:
-    """Results of BAR analysis on L-1 adjacent pairs of states (ref :231-262)."""
+    """Results of BAR analysis on L-1 adjacent pairs of states (ref :231-262).
+
+    The per-pair accessors all project one field out of `bar_results`."""
 
     initial_states: list[InitialState]  # length L
     bar_results: list[BarResult]  # length L-1
 
     def __post_init__(self):
-        assert len(self.bar_results) == len(self.initial_states) - 1
+        if len(self.bar_results) != len(self.initial_states) - 1:
+            raise ValueError("expected one BAR result per adjacent pair of states")
+
+    def _per_pair(self, field: str) -> list:
+        return [getattr(r, field) for r in self.bar_results]
 
     @property
     def dGs(self) -> list[float]:
-        return [r.dG for r in self.bar_results]
+        return self._per_pair("dG")
 
     @property
     def dG_errs(self) -> list[float]:
-        return [r.dG_err for r in self.bar_results]
+        return self._per_pair("dG_err")
 
     @property
     def dG_err_by_component_by_lambda(self) -> NDArray:
-        return np.array([r.dG_err_by_component for r in self.bar_results])
+        return np.array(self._per_pair("dG_err_by_component"))
 
     @property
     def overlaps(self) -> list[float]:
-        return [r.overlap for r in self.bar_results]
+        return self._per_pair("overlap")
 
     @property
     def overlap_by_component_by_lambda(self) -> NDArray:
-        return np.array([r.overlap_by_component for r in self.bar_results])
+        return np.array(self._per_pair("overlap_by_component"))
 
     @property
     def u_kln_by_component_by_lambda(self) -> NDArray:
-        return np.array([r.u_kln_by_component for r in self.bar_results])
+        return np.array(self._per_pair("u_kln_by_component"))
 
 
 @dataclass
 class Trajectory:
-    """(ref free_energy.py:265-291)"""
+    """Frames + boxes + the terminal MD state needed to continue a run
+    (ref free_energy.py:265-291)."""
 
     frames: StoredArrays  # (frame, atom, dim)
     boxes: list  # (frame, dim, dim)
@@ -266,16 +273,16 @@ class Trajectory:
     final_barostat_volume_scale_factor: Optional[float] = None
 
     def __post_init__(self):
-        n_frames = len(self.frames)
-        assert len(self.boxes) == n_frames
-        if n_frames == 0:
-            return
-        n_atoms, n_dims = self.frames[0].shape
-        assert self.boxes[0].shape == (n_dims, n_dims)
-        if self.final_velocities is not None:
-            assert self.final_velocities.shape == (n_atoms, n_dims)
+        if len(self.boxes) != len(self.frames):
+            raise ValueError("frames and boxes must have equal length")
+        if len(self.frames):
+            n_atoms, n_dims = self.frames[0].shape
+            assert self.boxes[0].shape == (n_dims, n_dims)
+            if self.final_velocities is not None:
+                assert self.final_velocities.shape == (n_atoms, n_dims)
 
     def extend(self, other: "Trajectory"):
+        """Append other's frames; other's terminal state wins."""
         self.frames.extend(other.frames)
         self.boxes.extend(other.boxes)
         self.final_velocities = other.final_velocities
@@ -355,15 +362,14 @@ def image_frames(initial_state: InitialState, frames, boxes) -> np.ndarray:
 
     hb_potential = get_bound_potential_by_type(initial_state.potentials, HarmonicBond).potential
     group_indices = get_group_indices(get_bond_list(hb_potential), len(initial_state.integrator.masses))
-    imaged_frames = np.empty_like(frames)
-    for i, (frame, box) in enumerate(zip(frames, boxes)):
+
+    def image_one(frame, box):
         assert frame.ndim == 2 and frame.shape[-1] == 3, "frames must have shape (N, 3)"
-        ligand_centroid = np.mean(frame[initial_state.ligand_idxs], axis=0)
-        center = np.diagonal(box) / 2
-        offset = ligand_centroid + center
-        centered = frame - offset
-        imaged_frames[i] = model_utils.image_frame(group_indices, centered, box)
-    return np.array(imaged_frames)
+        # shift so the ligand centroid sits at the box center, then wrap groups
+        shift = np.mean(frame[initial_state.ligand_idxs], axis=0) + np.diagonal(box) / 2
+        return model_utils.image_frame(group_indices, frame - shift, box)
+
+    return np.array([image_one(frame, box) for frame, box in zip(frames, boxes)])
 
 
 class BaseFreeEnergy:
@@ -540,46 +546,45 @@ def sample_with_context_iter(
         ctxt.multiple_steps(n_steps=md_params.n_eq_steps, store_x_interval=0)
         if original is not None:
             ctxt.set_barostat_interval(original)
-
-    rng = np.random.default_rng(md_params.seed)
-
     assert np.all(np.isfinite(ctxt.get_x_t())), "Equilibration resulted in a nan"
 
-    def run_production_steps(n_steps: int):
+    local = md_params.local_md_params
+    rng = np.random.default_rng(md_params.seed)
+
+    def produce_global(n_steps: int):
         coords, boxes = ctxt.multiple_steps(n_steps=n_steps, store_x_interval=md_params.steps_per_frame)
         return coords, boxes, ctxt.get_v_t()
 
-    def run_production_local_steps(n_steps: int):
-        assert md_params.local_md_params is not None
-        coords, boxes = [], []
-        for steps in batches(n_steps, md_params.steps_per_frame):
-            if steps < md_params.steps_per_frame:
-                warn(
-                    f"Batch of sample has {steps} steps, less than batch size "
-                    f"{md_params.steps_per_frame}. Setting to {md_params.steps_per_frame}"
-                )
-                steps = md_params.steps_per_frame
-            local_steps = md_params.local_md_params.local_steps
-            global_steps = steps - local_steps
-            if global_steps > 0:
-                ctxt.multiple_steps(n_steps=global_steps)
-            x_t, box_t = ctxt.multiple_steps_local(
-                local_steps,
-                np.asarray(ligand_idxs, dtype=np.int32),
-                k=md_params.local_md_params.k,
-                radius=float(rng.uniform(md_params.local_md_params.min_radius, md_params.local_md_params.max_radius)),
-                seed=int(rng.integers(np.iinfo(np.int32).max)),
-                temperature=temperature,
-                freeze_reference=md_params.local_md_params.freeze_reference,
+    def produce_one_local_frame(steps: int):
+        """One frame = (steps - local_steps) global steps then local_steps of
+        local MD around a freshly-drawn sphere."""
+        if steps < md_params.steps_per_frame:
+            warn(
+                f"Batch of sample has {steps} steps, less than batch size "
+                f"{md_params.steps_per_frame}. Setting to {md_params.steps_per_frame}"
             )
-            coords.append(x_t)
-            boxes.append(box_t)
-        return np.concatenate(coords), np.concatenate(boxes), ctxt.get_v_t()
+            steps = md_params.steps_per_frame
+        if steps > local.local_steps:
+            ctxt.multiple_steps(n_steps=steps - local.local_steps)
+        return ctxt.multiple_steps_local(
+            local.local_steps,
+            np.asarray(ligand_idxs, dtype=np.int32),
+            k=local.k,
+            radius=float(rng.uniform(local.min_radius, local.max_radius)),
+            seed=int(rng.integers(np.iinfo(np.int32).max)),
+            temperature=temperature,
+            freeze_reference=local.freeze_reference,
+        )
 
-    steps_func = run_production_steps if md_params.local_md_params is None else run_production_local_steps
+    def produce_local(n_steps: int):
+        frames = [produce_one_local_frame(steps) for steps in batches(n_steps, md_params.steps_per_frame)]
+        coords = np.concatenate([x for x, _ in frames])
+        boxes = np.concatenate([b for _, b in frames])
+        return coords, boxes, ctxt.get_v_t()
 
+    produce = produce_global if local is None else produce_local
     for n_frames in batches(md_params.n_frames, batch_size):
-        yield steps_func(n_frames * md_params.steps_per_frame)
+        yield produce(n_frames * md_params.steps_per_frame)
 
 
 def sample_with_context(
@@ -630,33 +635,26 @@ def estimate_free_energy_bar(u_kln_by_component: NDArray, temperature: float) ->
         )
         u_kln_by_component = np.where(np.isnan(u_kln_by_component), np.inf, u_kln_by_component)
 
+    kBT = BOLTZ * temperature
     u_kln = u_kln_by_component.sum(0)
     df, df_err = bar_with_pessimistic_uncertainty(u_kln)
-    kBT = BOLTZ * temperature
-    dG, dG_err = df * kBT, df_err * kBT
 
-    overlap = pair_overlap_from_ukln(u_kln)
-
-    w_fwd_by_component = []
-    w_rev_by_component = []
-    for comp in u_kln_by_component:
+    def component_err(comp) -> float:
+        # a component whose fwd AND rev works are identically zero is
+        # lambda-independent: its error is 0 by convention
         w_fwd, w_rev = works_from_ukln(comp)
-        w_fwd_by_component.append(w_fwd)
-        w_rev_by_component.append(w_rev)
-    w_fwd_by_component = np.array(w_fwd_by_component)
-    w_rev_by_component = np.array(w_rev_by_component)
+        if np.all(np.isclose(w_fwd, 0.0)) and np.all(np.isclose(w_rev, 0.0)):
+            return 0.0
+        return df_and_err_from_u_kln(comp)[1] * kBT
 
-    dG_err_by_component = np.array([df_and_err_from_u_kln(comp)[1] * kBT for comp in u_kln_by_component])
-    # zero fwd+rev works ⇒ component independent of lambda ⇒ error 0 by convention
-    dG_err_by_component = np.where(
-        np.all(np.isclose(w_fwd_by_component, 0.0), axis=1) & np.all(np.isclose(w_rev_by_component, 0.0), axis=1),
-        0.0,
-        dG_err_by_component,
+    return BarResult(
+        dG=df * kBT,
+        dG_err=df_err * kBT,
+        dG_err_by_component=np.array([component_err(comp) for comp in u_kln_by_component]),
+        overlap=pair_overlap_from_ukln(u_kln),
+        overlap_by_component=np.array([pair_overlap_from_ukln(comp) for comp in u_kln_by_component]),
+        u_kln_by_component=u_kln_by_component,
     )
-
-    overlap_by_component = np.array([pair_overlap_from_ukln(comp) for comp in u_kln_by_component])
-
-    return BarResult(dG, dG_err, dG_err_by_component, overlap, overlap_by_component, u_kln_by_component)
 
 
 def make_pair_bar_plots(res: PairBarResult, temperature: float, prefix: str) -> PairBarPlots:
@@ -926,56 +924,47 @@ def run_sims_bisection(
         u_kln_by_component = compute_energy_decomposed_u_kln([get_state(lamb1), get_state(lamb2)])
         return estimate_free_energy_bar(u_kln_by_component, temperature)
 
-    def overlap_to_cost(overlap: float) -> float:
+    # the greedy step splits the pair with the highest cost = -log(overlap)
+    def cost_fn(lamb1: float, lamb2: float) -> float:
+        overlap = get_bar_result(lamb1, lamb2).overlap
         return -np.log(overlap) if overlap != 0.0 else float("inf")
 
-    def cost_to_overlap(cost: float) -> float:
-        return np.exp(-cost)
+    def schedule_result(schedule: Sequence[float]) -> PairBarResult:
+        return PairBarResult(
+            [get_initial_state(lamb) for lamb in schedule],
+            [get_bar_result(l1, l2) for l1, l2 in zip(schedule, schedule[1:])],
+        )
 
-    def cost_fn(lamb1: float, lamb2: float) -> float:
-        return overlap_to_cost(get_bar_result(lamb1, lamb2).overlap)
+    def narrate(schedule, iteration, costs, left_idx, lamb_new):
+        lo, hi = schedule[left_idx], schedule[left_idx + 1]
+        threshold = f" <= {min_overlap:.3g} " if min_overlap is not None else " (min_overlap == None) "
+        print(
+            f"Bisection iteration {iteration} (of {n_bisections}): "
+            f"Current minimum BAR overlap {np.exp(-max(costs)):.3g}{threshold}"
+            f"between states at λ={lo:.3g} and λ={hi:.3g}. Sampling new state at λ={lamb_new:.3g}…"
+        )
 
-    def midpoint(x1: float, x2: float) -> float:
-        return (x1 + x2) / 2.0
-
-    def compute_intermediate_result(lambdas: Sequence[float]) -> PairBarResult:
-        refined_initial_states = [get_initial_state(lamb) for lamb in lambdas]
-        bar_results = [get_bar_result(l1, l2) for l1, l2 in zip(lambdas, lambdas[1:])]
-        return PairBarResult(refined_initial_states, bar_results)
-
-    result = compute_intermediate_result(lambdas)
-    results = [result]
-
+    results = [schedule_result(lambdas)]
+    converged = False
     for iteration in range(n_bisections):
-        if min_overlap is not None and np.all(np.array(result.overlaps) > min_overlap):
+        if min_overlap is not None and min(results[-1].overlaps) > min_overlap:
+            converged = True
             if verbose:
                 print(f"All BAR overlaps exceed min_overlap={min_overlap}. Returning after {iteration} iterations.")
             break
 
-        lambdas_new, info = greedy_bisection_step(lambdas, cost_fn, midpoint)
+        prev_schedule = lambdas
+        lambdas, info = greedy_bisection_step(lambdas, cost_fn, lambda a, b: (a + b) / 2.0)
         if verbose:
-            costs, left_idx, lamb_new = info
-            lamb1, lamb2 = lambdas[left_idx], lambdas[left_idx + 1]
-            overlap_info = (
-                f"Current minimum BAR overlap {cost_to_overlap(max(costs)):.3g}"
-                + (f" <= {min_overlap:.3g} " if min_overlap is not None else " (min_overlap == None) ")
-            )
-            print(
-                f"Bisection iteration {iteration} (of {n_bisections}): "
-                + overlap_info
-                + f"between states at λ={lamb1:.3g} and λ={lamb2:.3g}. Sampling new state at λ={lamb_new:.3g}…"
-            )
+            narrate(prev_schedule, iteration, *info)
+        results.append(schedule_result(lambdas))
 
-        lambdas = lambdas_new
-        result = compute_intermediate_result(lambdas)
-        results.append(result)
-    else:
-        if min_overlap is not None and np.min(result.overlaps) < min_overlap:
-            warn(
-                f"Reached n_bisections={n_bisections} iterations without achieving min_overlap={min_overlap}. "
-                f"The minimum BAR overlap was {np.min(result.overlaps)}.",
-                MinOverlapWarning,
-            )
+    if not converged and min_overlap is not None and min(results[-1].overlaps) < min_overlap:
+        warn(
+            f"Reached n_bisections={n_bisections} iterations without achieving min_overlap={min_overlap}. "
+            f"The minimum BAR overlap was {np.min(results[-1].overlaps)}.",
+            MinOverlapWarning,
+        )
 
     trajectories = [get_samples(lamb) for lamb in lambdas]
     return results, trajectories
@@ -1207,6 +1196,37 @@ def run_sims_hrex(
     return PairBarResult(list(initial_states), pair_bar_results), samples_by_state, hrex_diagnostics, water_diagnostics
 
 
+def _print_hrex_progress(
+    current_frame,
+    n_frames,
+    begin_loop_time,
+    last_update_time,
+    interval,
+    accepted_proposed_by_pair,
+    accepted_proposed_by_pair_by_iter,
+    replica_idx_by_state,
+):
+    """Periodic wall-clock + swap-rate report for the time-multiplexed HREX
+    loop; returns the new last-update timestamp."""
+    now = time.perf_counter()
+    done = current_frame + 1
+
+    def rates(pairs):
+        return " |".join(f"{(acc / prop if prop else np.nan) * 100.0:5.1f}%" for acc, prop in pairs)
+
+    s_per_frame = (now - begin_loop_time) / done
+    print("Frame", done)
+    print(
+        f"{s_per_frame * (n_frames - done):.1f} s remaining at {s_per_frame:.2f} s/frame "
+        f"({(now - last_update_time) / interval:.2f} s/frame since last message)"
+    )
+    print("HREX acceptance rates, current:", rates(accepted_proposed_by_pair))
+    print("HREX acceptance rates, average:", rates(np.sum(accepted_proposed_by_pair_by_iter, axis=0)))
+    print("HREX replica permutation      :", replica_idx_by_state)
+    print()
+    return now
+
+
 def _run_sims_hrex_time_multiplexed(
     initial_states: Sequence[InitialState],
     md_params: MDParams,
@@ -1332,33 +1352,16 @@ def _run_sims_hrex_time_multiplexed(
         water_counts_by_state_by_iter.append(water_counts_iter)
 
         if print_diagnostics_interval and (current_frame + 1) % print_diagnostics_interval == 0:
-            current_time = time.perf_counter()
-
-            def get_swap_acceptance_rates(fraction_accepted_by_pair):
-                return [
-                    n_accepted / n_proposed if n_proposed else np.nan
-                    for n_accepted, n_proposed in fraction_accepted_by_pair
-                ]
-
-            instantaneous_rates = get_swap_acceptance_rates(fraction_accepted_by_pair)
-            average_rates = get_swap_acceptance_rates(np.sum(fraction_accepted_by_pair_by_iter, axis=0))
-            wall_time_per_frame_average = (current_time - begin_loop_time) / (current_frame + 1)
-            wall_time_per_frame_current = (current_time - last_update_time) / print_diagnostics_interval
-            remaining = wall_time_per_frame_average * (md_params.n_frames - (current_frame + 1))
-
-            def format_rates(rs):
-                return " |".join(f"{r * 100.0:5.1f}%" for r in rs)
-
-            print("Frame", current_frame + 1)
-            print(
-                f"{remaining:.1f} s remaining at {wall_time_per_frame_average:.2f} s/frame "
-                f"({wall_time_per_frame_current:.2f} s/frame since last message)"
+            last_update_time = _print_hrex_progress(
+                current_frame,
+                md_params.n_frames,
+                begin_loop_time,
+                last_update_time,
+                print_diagnostics_interval,
+                fraction_accepted_by_pair,
+                fraction_accepted_by_pair_by_iter,
+                hrex.replica_idx_by_state,
             )
-            print("HREX acceptance rates, current:", format_rates(instantaneous_rates))
-            print("HREX acceptance rates, average:", format_rates(average_rates))
-            print("HREX replica permutation      :", hrex.replica_idx_by_state)
-            print()
-            last_update_time = current_time
 
     neighbor_ulkns_by_component = generate_pair_bar_ulkns(initial_states, samples_by_state, temperature)
     pair_bar_results = [estimate_free_energy_bar(u, temperature) for u in neighbor_ulkns_by_component]

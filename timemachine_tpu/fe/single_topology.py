@@ -57,8 +57,12 @@ from timemachine_tpu.potentials import (
 )
 
 # ---------------------------------------------------------------------------
-# Master λ-window schedule (ref single_topology.py:49-141). The boundaries are
-# free-ish tuning parameters; kept identical for behavior parity.
+# Master λ-window schedule (ref single_topology.py:49-141). Each term family
+# interpolates only inside its [λ_min, λ_max] window; boundaries are free-ish
+# tuning parameters, kept numerically identical to the reference for behavior
+# parity. Single source of truth: every window is written once in its
+# "forward" direction below, and the reverse-direction partner is its λ-mirror
+# (x -> 1-x reverses the window and swaps the endpoints).
 # ---------------------------------------------------------------------------
 
 
@@ -67,44 +71,72 @@ def _flip_min_max(min_max):
     return 1 - lamb_max, 1 - lamb_min
 
 
+_FWD = {
+    # core valence terms stay on throughout
+    "CORE_BOND": [0.0, 1.0],
+    "CORE_ANGLE": [0.0, 1.0],
+    "CORE_TORSION": [0.0, 1.0],
+    "CORE_TORSION_OFF_TO_ON": [0.7, 1.0],
+    # core terms participating in a chiral-volume conversion
+    "CORE_CHIRAL_ATOM_CONVERTING_ON": [0.0, 0.5],
+    "CORE_CHIRAL_ANGLE_CONVERTING_ON": [0.5, 1.0],
+    # B-side dummies turning on (non-converting)
+    "DUMMY_B_BOND": [0.0, 0.7],
+    "DUMMY_B_ANGLE": [0.0, 0.7],
+    "DUMMY_B_TORSION": [0.7, 1.0],
+    # B-side dummies whose chirality converts: bonds reach ~30 kJ/mol by the
+    # time chiral volumes start, keeping the volumes numerically stable
+    "DUMMY_B_CHIRAL_BOND_CONVERTING_ON": [0.0, 0.7],
+    "DUMMY_B_CHIRAL_ATOM_CONVERTING_ON": [0.3, 0.5],
+    "DUMMY_B_CHIRAL_ANGLE_CONVERTING_ON": [0.5, 0.7],
+    # bi-phasic nonbonded: at λ=0.5 both dummy groups are partially present;
+    # w-coords ride the optimized decoupling schedule (ref :103-140)
+    "DUMMY_A_NONBONDED_W": [2 / 3, 1],
+    "DUMMY_A_NONBONDED_EPS": [1 / 3, 2 / 3],
+    "DUMMY_A_NONBONDED_Q": [1 / 3, 2 / 3],
+    "CORE_NONBONDED_QLJ": [1 / 3, 2 / 3],
+}
+
+def _w(name):
+    return list(_FWD[name])
+
+def _rev(name):
+    return list(_flip_min_max(_FWD[name]))
+
 DEFAULT_MIN_MAX = [0.0, 1.0]
 
-CORE_BOND_MIN_MAX = [0.0, 1.0]
-CORE_ANGLE_MIN_MAX = [0.0, 1.0]
-CORE_TORSION_MIN_MAX = [0.0, 1.0]
-CORE_TORSION_OFF_TO_ON_MIN_MAX = [0.7, 1.0]
-CORE_TORSION_ON_TO_OFF_MIN_MAX = _flip_min_max(CORE_TORSION_OFF_TO_ON_MIN_MAX)
+CORE_BOND_MIN_MAX = _w("CORE_BOND")
+CORE_ANGLE_MIN_MAX = _w("CORE_ANGLE")
+CORE_TORSION_MIN_MAX = _w("CORE_TORSION")
+CORE_TORSION_OFF_TO_ON_MIN_MAX = _w("CORE_TORSION_OFF_TO_ON")
+CORE_TORSION_ON_TO_OFF_MIN_MAX = _rev("CORE_TORSION_OFF_TO_ON")
 
-CORE_CHIRAL_ATOM_CONVERTING_ON_MIN_MAX = [0.0, 0.5]
-CORE_CHIRAL_ANGLE_CONVERTING_ON_MIN_MAX = [0.5, 1.0]
-CORE_CHIRAL_ATOM_CONVERTING_OFF_MIN_MAX = _flip_min_max(CORE_CHIRAL_ATOM_CONVERTING_ON_MIN_MAX)
-CORE_CHIRAL_ANGLE_CONVERTING_OFF_MIN_MAX = _flip_min_max(CORE_CHIRAL_ANGLE_CONVERTING_ON_MIN_MAX)
+CORE_CHIRAL_ATOM_CONVERTING_ON_MIN_MAX = _w("CORE_CHIRAL_ATOM_CONVERTING_ON")
+CORE_CHIRAL_ANGLE_CONVERTING_ON_MIN_MAX = _w("CORE_CHIRAL_ANGLE_CONVERTING_ON")
+CORE_CHIRAL_ATOM_CONVERTING_OFF_MIN_MAX = _rev("CORE_CHIRAL_ATOM_CONVERTING_ON")
+CORE_CHIRAL_ANGLE_CONVERTING_OFF_MIN_MAX = _rev("CORE_CHIRAL_ANGLE_CONVERTING_ON")
 
-DUMMY_B_BOND_MIN_MAX = [0.0, 0.7]
-DUMMY_B_ANGLE_MIN_MAX = [0.0, 0.7]
-DUMMY_A_BOND_MIN_MAX = _flip_min_max(DUMMY_B_BOND_MIN_MAX)
-DUMMY_A_ANGLE_MIN_MAX = _flip_min_max(DUMMY_B_ANGLE_MIN_MAX)
+DUMMY_B_BOND_MIN_MAX = _w("DUMMY_B_BOND")
+DUMMY_B_ANGLE_MIN_MAX = _w("DUMMY_B_ANGLE")
+DUMMY_B_TORSION_MIN_MAX = _w("DUMMY_B_TORSION")
+DUMMY_A_BOND_MIN_MAX = _rev("DUMMY_B_BOND")
+DUMMY_A_ANGLE_MIN_MAX = _rev("DUMMY_B_ANGLE")
+DUMMY_A_TORSION_MIN_MAX = _rev("DUMMY_B_TORSION")
 
-DUMMY_B_CHIRAL_BOND_CONVERTING_ON_MIN_MAX = [0.0, 0.7]
-DUMMY_B_CHIRAL_ATOM_CONVERTING_ON_MIN_MAX = [0.3, 0.5]
-DUMMY_B_CHIRAL_ANGLE_CONVERTING_ON_MIN_MAX = [0.5, 0.7]
+DUMMY_B_CHIRAL_BOND_CONVERTING_ON_MIN_MAX = _w("DUMMY_B_CHIRAL_BOND_CONVERTING_ON")
+DUMMY_B_CHIRAL_ATOM_CONVERTING_ON_MIN_MAX = _w("DUMMY_B_CHIRAL_ATOM_CONVERTING_ON")
+DUMMY_B_CHIRAL_ANGLE_CONVERTING_ON_MIN_MAX = _w("DUMMY_B_CHIRAL_ANGLE_CONVERTING_ON")
+DUMMY_A_CHIRAL_BOND_CONVERTING_OFF_MIN_MAX = _rev("DUMMY_B_CHIRAL_BOND_CONVERTING_ON")
+DUMMY_A_CHIRAL_ATOM_CONVERTING_OFF_MIN_MAX = _rev("DUMMY_B_CHIRAL_ATOM_CONVERTING_ON")
+DUMMY_A_CHIRAL_ANGLE_CONVERTING_OFF_MIN_MAX = _rev("DUMMY_B_CHIRAL_ANGLE_CONVERTING_ON")
 
-DUMMY_A_CHIRAL_BOND_CONVERTING_OFF_MIN_MAX = _flip_min_max(DUMMY_B_CHIRAL_BOND_CONVERTING_ON_MIN_MAX)
-DUMMY_A_CHIRAL_ATOM_CONVERTING_OFF_MIN_MAX = _flip_min_max(DUMMY_B_CHIRAL_ATOM_CONVERTING_ON_MIN_MAX)
-DUMMY_A_CHIRAL_ANGLE_CONVERTING_OFF_MIN_MAX = _flip_min_max(DUMMY_B_CHIRAL_ANGLE_CONVERTING_ON_MIN_MAX)
-
-DUMMY_B_TORSION_MIN_MAX = [0.7, 1.0]
-DUMMY_A_TORSION_MIN_MAX = _flip_min_max(DUMMY_B_TORSION_MIN_MAX)
-
-# Bi-phasic nonbonded interpolation: at λ=0.5 both dummy groups are partially
-# present; w-coords ride the optimized decoupling schedule (ref :103-140).
-DUMMY_A_NONBONDED_W_MIN_MAX = [2 / 3, 1]
-DUMMY_B_NONBONDED_W_MIN_MAX = _flip_min_max(DUMMY_A_NONBONDED_W_MIN_MAX)
-DUMMY_A_NONBONDED_EPS_MIN_MAX = [1 / 3, 2 / 3]
-DUMMY_B_NONBONDED_EPS_MIN_MAX = _flip_min_max(DUMMY_A_NONBONDED_EPS_MIN_MAX)
-DUMMY_A_NONBONDED_Q_MIN_MAX = [1 / 3, 2 / 3]
-DUMMY_B_NONBONDED_Q_MIN_MAX = _flip_min_max(DUMMY_A_NONBONDED_Q_MIN_MAX)
-CORE_NONBONDED_QLJ_MIN_MAX = [1 / 3, 2 / 3]
+DUMMY_A_NONBONDED_W_MIN_MAX = _w("DUMMY_A_NONBONDED_W")
+DUMMY_A_NONBONDED_EPS_MIN_MAX = _w("DUMMY_A_NONBONDED_EPS")
+DUMMY_A_NONBONDED_Q_MIN_MAX = _w("DUMMY_A_NONBONDED_Q")
+DUMMY_B_NONBONDED_W_MIN_MAX = _rev("DUMMY_A_NONBONDED_W")
+DUMMY_B_NONBONDED_EPS_MIN_MAX = _rev("DUMMY_A_NONBONDED_EPS")
+DUMMY_B_NONBONDED_Q_MIN_MAX = _rev("DUMMY_A_NONBONDED_Q")
+CORE_NONBONDED_QLJ_MIN_MAX = _w("CORE_NONBONDED_QLJ")
 
 
 class ChiralVolumeDisabledWarning(UserWarning):
@@ -470,19 +502,17 @@ def find_dummy_groups_and_anchors(mol_a, mol_b, core_atoms_a, core_atoms_b):
 # ---------------------------------------------------------------------------
 
 
-def interpolate_harmonic_bond_params(src_params, dst_params, lamb, k_min, lambda_min, lambda_max):
-    src_k, src_x = src_params
-    dst_k, dst_x = dst_params
-    log_linear_fn = partial(interpolate.log_linear_interpolation, min_value=k_min)
-    k = pad(log_linear_fn, src_k, dst_k, lamb, lambda_min, lambda_max)
-    x = pad(interpolate.linear_interpolation, src_x, dst_x, lamb, lambda_min, lambda_max)
-    return [k, x]
+# shared combinators: every bonded term is some mix of a (log-linear,
+# softened) force-constant ramp and a linear geometric ramp, each clamped to
+# the term's λ-window by interpolate.pad
 
 
-def interpolate_chiral_volume_params(src_params, dst_params, lamb, k_min, lambda_min, lambda_max):
-    log_linear_fn = partial(interpolate.log_linear_interpolation, min_value=k_min)
-    k = pad(log_linear_fn, src_params, dst_params, lamb, lambda_min, lambda_max)
-    return [k]
+def _ramp_k(src_k, dst_k, lamb, k_min, lo, hi):
+    return pad(partial(interpolate.log_linear_interpolation, min_value=k_min), src_k, dst_k, lamb, lo, hi)
+
+
+def _ramp_lin(src, dst, lamb, lo, hi):
+    return pad(interpolate.linear_interpolation, src, dst, lamb, lo, hi)
 
 
 def cyclic_difference(a, b, period):
@@ -496,25 +526,41 @@ def cyclic_difference(a, b, period):
     return jnp.sign(d) * f(jnp.abs(d))
 
 
+def _nearest_phase(src_phase, dst_phase):
+    """dst re-expressed within half a period of src, so the phase ramp takes
+    the shortest arc."""
+    return src_phase + cyclic_difference(src_phase, dst_phase, period=2 * np.pi)
+
+
+def interpolate_harmonic_bond_params(src_params, dst_params, lamb, k_min, lambda_min, lambda_max):
+    (src_k, src_x), (dst_k, dst_x) = src_params, dst_params
+    return [
+        _ramp_k(src_k, dst_k, lamb, k_min, lambda_min, lambda_max),
+        _ramp_lin(src_x, dst_x, lamb, lambda_min, lambda_max),
+    ]
+
+
+def interpolate_chiral_volume_params(src_params, dst_params, lamb, k_min, lambda_min, lambda_max):
+    return [_ramp_k(src_params, dst_params, lamb, k_min, lambda_min, lambda_max)]
+
+
 def interpolate_harmonic_angle_params(src_params, dst_params, lamb, k_min, lambda_min, lambda_max):
-    src_k, src_phase, _ = src_params
-    dst_k, dst_phase, _ = dst_params
-    log_linear_fn = partial(interpolate.log_linear_interpolation, min_value=k_min)
-    k = pad(log_linear_fn, src_k, dst_k, lamb, lambda_min, lambda_max)
-    dst_phase = src_phase + cyclic_difference(src_phase, dst_phase, period=2 * np.pi)
-    phase = pad(interpolate.linear_interpolation, src_phase, dst_phase, lamb, lambda_min, lambda_max)
-    # stabilized functional form only for intermediate states
-    eps = jnp.where((lamb == 0.0) | (lamb == 1.0), 0.0, 1e-3)
-    return [k, phase, eps]
+    (src_k, src_phase, _), (dst_k, dst_phase, _) = src_params, dst_params
+    return [
+        _ramp_k(src_k, dst_k, lamb, k_min, lambda_min, lambda_max),
+        _ramp_lin(src_phase, _nearest_phase(src_phase, dst_phase), lamb, lambda_min, lambda_max),
+        # stabilized functional form only for intermediate states
+        jnp.where((lamb == 0.0) | (lamb == 1.0), 0.0, 1e-3),
+    ]
 
 
 def interpolate_periodic_torsion_params(src_params, dst_params, lamb, lambda_min, lambda_max):
-    src_k, src_phase, src_period = src_params
-    dst_k, dst_phase, _ = dst_params
-    k = pad(interpolate.linear_interpolation, src_k, dst_k, lamb, lambda_min, lambda_max)
-    dst_phase = src_phase + cyclic_difference(src_phase, dst_phase, period=2 * np.pi)
-    phase = pad(interpolate.linear_interpolation, src_phase, dst_phase, lamb, lambda_min, lambda_max)
-    return [k, phase, src_period]
+    (src_k, src_phase, src_period), (dst_k, dst_phase, _) = src_params, dst_params
+    return [
+        _ramp_lin(src_k, dst_k, lamb, lambda_min, lambda_max),
+        _ramp_lin(src_phase, _nearest_phase(src_phase, dst_phase), lamb, lambda_min, lambda_max),
+        src_period,
+    ]
 
 
 def interpolate_w_coord(w0, w1, lamb):
@@ -543,36 +589,42 @@ batch_interpolate_chiral_atom_params = jax.jit(
 )
 
 
+def _decoupling_pair_params(qlj, w_real, cutoff, lamb, w_win, q_win, appearing):
+    """Pair params for a pair with a dummy endpoint: the 4D w-coordinate flies
+    in from the cutoff (appearing) or out to it (vanishing) on the optimized
+    decoupling schedule, charge ramps from/to zero, and sig/eps are pinned at
+    the real end-state's values."""
+    zero_q = jnp.zeros_like(qlj[:, 0])
+    if appearing:
+        w = interpolate.pad(interpolate_w_coord, cutoff, w_real, lamb, *w_win)
+        q = interpolate.pad(interpolate.linear_interpolation, zero_q, qlj[:, 0], lamb, *q_win)
+    else:
+        w = interpolate.pad(interpolate_w_coord, w_real, cutoff, lamb, *w_win)
+        q = interpolate.pad(interpolate.linear_interpolation, qlj[:, 0], zero_q, lamb, *q_win)
+    return jnp.concatenate((q[:, None], qlj[:, 1:3], w[:, None]), axis=1)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def batch_interpolate_nonbonded_pair_list_params(cutoff, src_params, dst_params, lamb):
     """Bi-phasic interpolation of precomputed pair params
-    (ref single_topology.py:968-1045)."""
+    (ref single_topology.py:968-1045). A pair whose src (dst) qlj is all zero
+    is a B-side (A-side) dummy pair and follows the decoupling protocol; core
+    pairs stay at w=0 with qlj linearly ramped inside the core window."""
     src_qlj, src_w = src_params[:, : NBParamIdx.W_IDX], src_params[:, NBParamIdx.W_IDX]
     dst_qlj, dst_w = dst_params[:, : NBParamIdx.W_IDX], dst_params[:, NBParamIdx.W_IDX]
 
+    appearing_b = _decoupling_pair_params(
+        dst_qlj, dst_w, cutoff, lamb, DUMMY_B_NONBONDED_W_MIN_MAX, DUMMY_B_NONBONDED_Q_MIN_MAX, appearing=True
+    )
+    vanishing_a = _decoupling_pair_params(
+        src_qlj, src_w, cutoff, lamb, DUMMY_A_NONBONDED_W_MIN_MAX, DUMMY_A_NONBONDED_Q_MIN_MAX, appearing=False
+    )
+    core_qlj = interpolate.pad(interpolate.linear_interpolation, src_qlj, dst_qlj, lamb, *CORE_NONBONDED_QLJ_MIN_MAX)
+    core = jnp.concatenate((core_qlj, jnp.zeros((len(src_params), 1))), axis=1)
+
     is_dummy_b = jnp.all(src_qlj == 0.0, axis=1, keepdims=True)
     is_dummy_a = jnp.all(dst_qlj == 0.0, axis=1, keepdims=True)
-
-    # pairs turning on (dummy B)
-    w = interpolate.pad(interpolate_w_coord, cutoff, dst_w, lamb, *DUMMY_B_NONBONDED_W_MIN_MAX)
-    q = interpolate.pad(
-        interpolate.linear_interpolation, jnp.zeros_like(dst_qlj[:, 0]), dst_qlj[:, 0], lamb, *DUMMY_B_NONBONDED_Q_MIN_MAX
-    )
-    pair_params_dummy_b = jnp.concatenate((q[:, None], dst_qlj[:, 1:3], w[:, None]), axis=1)
-
-    # pairs turning off (dummy A)
-    w = interpolate.pad(interpolate_w_coord, src_w, cutoff, lamb, *DUMMY_A_NONBONDED_W_MIN_MAX)
-    q = interpolate.pad(
-        interpolate.linear_interpolation, src_qlj[:, 0], jnp.zeros_like(src_qlj[:, 0]), lamb, *DUMMY_A_NONBONDED_Q_MIN_MAX
-    )
-    pair_params_dummy_a = jnp.concatenate((q[:, None], src_qlj[:, 1:3], w[:, None]), axis=1)
-
-    # core-core pairs
-    w = jnp.zeros(len(src_params))
-    qlj = interpolate.pad(interpolate.linear_interpolation, src_qlj, dst_qlj, lamb, *CORE_NONBONDED_QLJ_MIN_MAX)
-    pair_params_core = jnp.concatenate((qlj, w[:, None]), axis=1)
-
-    return jnp.where(is_dummy_b, pair_params_dummy_b, jnp.where(is_dummy_a, pair_params_dummy_a, pair_params_core))
+    return jnp.where(is_dummy_b, appearing_b, jnp.where(is_dummy_a, vanishing_a, core))
 
 
 class AtomMapFlags(IntEnum):
@@ -589,43 +641,43 @@ class AtomMapMixin:
         core = np.asarray(core)
         assert core.shape[1] == 2
         assert mol_a is not None and mol_b is not None
+        if len(np.unique(core[:, 0])) < len(core) or len(np.unique(core[:, 1])) < len(core):
+            raise AssertionError("core columns must not repeat atoms")
 
         self.mol_a = mol_a
         self.mol_b = mol_b
         self.core = core
+        n_a, n_c = mol_a.num_atoms, self.get_num_atoms()
 
-        self.a_to_c = np.arange(mol_a.num_atoms, dtype=np.int32)
-        self.b_to_c = np.zeros(mol_b.num_atoms, dtype=np.int32) - 1
-        self.c_flags = np.ones(self.get_num_atoms(), dtype=np.int32) * AtomMapFlags.MOL_A
+        # combined numbering: A atoms keep their indices; B-only atoms append
+        # after them in ascending B order
+        self.a_to_c = np.arange(n_a, dtype=np.int32)
+        self.b_to_c = np.full(mol_b.num_atoms, -1, dtype=np.int32)
+        self.b_to_c[core[:, 1]] = core[:, 0]
+        dummy_b = np.flatnonzero(self.b_to_c < 0)
+        self.b_to_c[dummy_b] = n_a + np.arange(len(dummy_b), dtype=np.int32)
 
-        assert len(set(core[:, 0].tolist())) == len(core[:, 0])
-        assert len(set(core[:, 1].tolist())) == len(core[:, 1])
-
-        for a, b in core:
-            self.c_flags[a] = AtomMapFlags.CORE
-            self.b_to_c[b] = a
-
-        iota = self.mol_a.num_atoms
-        for b_idx, c_idx in enumerate(self.b_to_c):
-            if c_idx == -1:
-                self.b_to_c[b_idx] = iota
-                self.c_flags[iota] = AtomMapFlags.MOL_B
-                iota += 1
+        self.c_flags = np.full(n_c, AtomMapFlags.MOL_A, dtype=np.int32)
+        self.c_flags[core[:, 0]] = AtomMapFlags.CORE
+        self.c_flags[n_a:] = AtomMapFlags.MOL_B
 
         self.c_to_a = {int(v): k for k, v in enumerate(self.a_to_c)}
         self.c_to_b = {int(v): k for k, v in enumerate(self.b_to_c)}
 
+    def _atoms_flagged(self, flag: AtomMapFlags) -> set:
+        return set(np.flatnonzero(self.c_flags == flag).tolist())
+
     @cache
     def get_dummy_atoms_a(self) -> set:
-        return {i for i, f in enumerate(self.c_flags) if f == AtomMapFlags.MOL_A}
+        return self._atoms_flagged(AtomMapFlags.MOL_A)
 
     @cache
     def get_dummy_atoms_b(self) -> set:
-        return {i for i, f in enumerate(self.c_flags) if f == AtomMapFlags.MOL_B}
+        return self._atoms_flagged(AtomMapFlags.MOL_B)
 
     @cache
     def get_core_atoms(self) -> set:
-        return {i for i, f in enumerate(self.c_flags) if f == AtomMapFlags.CORE}
+        return self._atoms_flagged(AtomMapFlags.CORE)
 
     def get_num_atoms(self) -> int:
         return self.mol_a.num_atoms + self.mol_b.num_atoms - len(self.core)
@@ -905,118 +957,93 @@ class SingleTopology(AtomMapMixin):
     def _angle_idxs_belong_to_chiral_volume_turning_off(self, idxs):
         return idxs in self._induced_angles(self.src_chiral_idxs - self.dst_chiral_idxs)
 
+    # Window assignment: each aligned term row picks its λ-window from
+    # (region, chiral-conversion direction). The per-term-type methods below
+    # differ only in how "conversion" is detected and which windows apply;
+    # `_stack_windows` handles the plumbing.
+
+    def _region(self, idxs) -> AtomMapFlags:
+        if self.all_idxs_belong_to_core(idxs):
+            return AtomMapFlags.CORE
+        if self.any_idxs_belong_to_dummy_a(idxs):
+            return AtomMapFlags.MOL_A
+        if self.any_idxs_belong_to_dummy_b(idxs):
+            return AtomMapFlags.MOL_B
+        raise AssertionError(f"term {idxs} spans both dummy groups")
+
+    @staticmethod
+    def _stack_windows(pick, aligned_tuples):
+        rows = np.array([pick(tuple(idxs), src_p, dst_p) for idxs, src_p, dst_p in aligned_tuples]).reshape(-1, 2)
+        return rows[:, 0], rows[:, 1]
+
     def _assign_bond_idxs_min_max(self, aligned_tuples):
-        min_maxes = []
-        for idxs, _, _ in aligned_tuples:
-            if self.all_idxs_belong_to_core(idxs):
-                min_max = CORE_BOND_MIN_MAX
-            elif self.any_idxs_belong_to_dummy_a(idxs):
-                if self._bond_idxs_belong_to_chiral_volume_turning_on(idxs):
-                    raise AssertionError
-                elif self._bond_idxs_belong_to_chiral_volume_turning_off(idxs):
-                    min_max = DUMMY_A_CHIRAL_BOND_CONVERTING_OFF_MIN_MAX
-                else:
-                    min_max = DUMMY_A_BOND_MIN_MAX
-            elif self.any_idxs_belong_to_dummy_b(idxs):
-                if self._bond_idxs_belong_to_chiral_volume_turning_on(idxs):
-                    min_max = DUMMY_B_CHIRAL_BOND_CONVERTING_ON_MIN_MAX
-                elif self._bond_idxs_belong_to_chiral_volume_turning_off(idxs):
-                    raise AssertionError
-                else:
-                    min_max = DUMMY_B_BOND_MIN_MAX
-            else:
-                raise AssertionError
-            min_maxes.append(min_max)
-        min_maxes = np.array(min_maxes).reshape(-1, 2)
-        return min_maxes[:, 0], min_maxes[:, 1]
+        def pick(idxs, _src, _dst):
+            region = self._region(idxs)
+            if region is AtomMapFlags.CORE:
+                return CORE_BOND_MIN_MAX
+            converting_off = self._bond_idxs_belong_to_chiral_volume_turning_off(idxs)
+            converting_on = self._bond_idxs_belong_to_chiral_volume_turning_on(idxs)
+            if region is AtomMapFlags.MOL_A:
+                assert not converting_on  # A-side dummies only ever turn off
+                return DUMMY_A_CHIRAL_BOND_CONVERTING_OFF_MIN_MAX if converting_off else DUMMY_A_BOND_MIN_MAX
+            assert not converting_off
+            return DUMMY_B_CHIRAL_BOND_CONVERTING_ON_MIN_MAX if converting_on else DUMMY_B_BOND_MIN_MAX
+
+        return self._stack_windows(pick, aligned_tuples)
 
     def _assign_angle_idxs_min_max(self, aligned_tuples):
-        min_maxes = []
-        for idxs, _, _ in aligned_tuples:
-            if self.all_idxs_belong_to_core(idxs):
-                if self._angle_idxs_belong_to_chiral_volume_turning_on(idxs):
-                    min_max = CORE_CHIRAL_ANGLE_CONVERTING_ON_MIN_MAX
-                elif self._angle_idxs_belong_to_chiral_volume_turning_off(idxs):
-                    min_max = CORE_CHIRAL_ANGLE_CONVERTING_OFF_MIN_MAX
-                else:
-                    min_max = CORE_ANGLE_MIN_MAX
-            elif self.any_idxs_belong_to_dummy_a(idxs):
-                if self._angle_idxs_belong_to_chiral_volume_turning_on(idxs):
-                    raise AssertionError
-                elif self._angle_idxs_belong_to_chiral_volume_turning_off(idxs):
-                    min_max = DUMMY_A_CHIRAL_ANGLE_CONVERTING_OFF_MIN_MAX
-                else:
-                    min_max = DUMMY_A_ANGLE_MIN_MAX
-            elif self.any_idxs_belong_to_dummy_b(idxs):
-                if self._angle_idxs_belong_to_chiral_volume_turning_on(idxs):
-                    min_max = DUMMY_B_CHIRAL_ANGLE_CONVERTING_ON_MIN_MAX
-                elif self._angle_idxs_belong_to_chiral_volume_turning_off(idxs):
-                    raise AssertionError
-                else:
-                    min_max = DUMMY_B_ANGLE_MIN_MAX
-            else:
-                raise AssertionError
-            min_maxes.append(min_max)
-        min_maxes = np.array(min_maxes).reshape(-1, 2)
-        return min_maxes[:, 0], min_maxes[:, 1]
+        def pick(idxs, _src, _dst):
+            region = self._region(idxs)
+            converting_on = self._angle_idxs_belong_to_chiral_volume_turning_on(idxs)
+            converting_off = self._angle_idxs_belong_to_chiral_volume_turning_off(idxs)
+            if region is AtomMapFlags.CORE:
+                if converting_on:
+                    return CORE_CHIRAL_ANGLE_CONVERTING_ON_MIN_MAX
+                return CORE_CHIRAL_ANGLE_CONVERTING_OFF_MIN_MAX if converting_off else CORE_ANGLE_MIN_MAX
+            if region is AtomMapFlags.MOL_A:
+                assert not converting_on
+                return DUMMY_A_CHIRAL_ANGLE_CONVERTING_OFF_MIN_MAX if converting_off else DUMMY_A_ANGLE_MIN_MAX
+            assert not converting_off
+            return DUMMY_B_CHIRAL_ANGLE_CONVERTING_ON_MIN_MAX if converting_on else DUMMY_B_ANGLE_MIN_MAX
+
+        return self._stack_windows(pick, aligned_tuples)
 
     def _assign_periodic_torsion_idxs_min_max(self, aligned_tuples):
-        min_maxes = []
-        for idxs, src_params, dst_params in aligned_tuples:
-            idxs = tuple(idxs)
-            if self.all_idxs_belong_to_core(idxs):
-                if src_params[0] == 0:
-                    min_max = CORE_TORSION_OFF_TO_ON_MIN_MAX
-                elif dst_params[0] == 0:
-                    min_max = CORE_TORSION_ON_TO_OFF_MIN_MAX
-                else:
-                    min_max = CORE_TORSION_MIN_MAX
-            elif self.any_idxs_belong_to_dummy_a(idxs):
-                min_max = DUMMY_A_TORSION_MIN_MAX
-            elif self.any_idxs_belong_to_dummy_b(idxs):
-                min_max = DUMMY_B_TORSION_MIN_MAX
-            else:
-                raise AssertionError
-            min_maxes.append(min_max)
-        min_maxes = np.array(min_maxes).reshape(-1, 2)
-        return min_maxes[:, 0], min_maxes[:, 1]
+        def pick(idxs, src_params, dst_params):
+            region = self._region(idxs)
+            if region is AtomMapFlags.MOL_A:
+                return DUMMY_A_TORSION_MIN_MAX
+            if region is AtomMapFlags.MOL_B:
+                return DUMMY_B_TORSION_MIN_MAX
+            # core torsions appearing (src k=0) / vanishing (dst k=0) get the
+            # late/early sub-window
+            if src_params[0] == 0:
+                return CORE_TORSION_OFF_TO_ON_MIN_MAX
+            return CORE_TORSION_ON_TO_OFF_MIN_MAX if dst_params[0] == 0 else CORE_TORSION_MIN_MAX
+
+        return self._stack_windows(pick, aligned_tuples)
 
     def _assign_chiral_atom_idxs_min_max(self, aligned_tuples):
-        min_maxes = []
-        for idxs, src_k, dst_k in aligned_tuples:
-            if self.all_idxs_belong_to_core(idxs):
-                if self._chiral_volume_is_turning_on(idxs):
-                    min_max = CORE_CHIRAL_ATOM_CONVERTING_ON_MIN_MAX
-                elif self._chiral_volume_is_turning_off(idxs):
-                    min_max = CORE_CHIRAL_ATOM_CONVERTING_OFF_MIN_MAX
-                else:
-                    assert src_k == dst_k
-                    min_max = DEFAULT_MIN_MAX
-            elif self.any_idxs_belong_to_dummy_a(idxs):
-                if self._chiral_volume_is_turning_on(idxs):
-                    raise AssertionError
-                elif self._chiral_volume_is_turning_off(idxs):
-                    min_max = DUMMY_A_CHIRAL_ATOM_CONVERTING_OFF_MIN_MAX
-                else:
-                    assert src_k == dst_k
-                    min_max = DEFAULT_MIN_MAX
-            elif self.any_idxs_belong_to_dummy_b(idxs):
-                if self._chiral_volume_is_turning_on(idxs):
-                    min_max = DUMMY_B_CHIRAL_ATOM_CONVERTING_ON_MIN_MAX
-                elif self._chiral_volume_is_turning_off(idxs):
-                    raise AssertionError
-                else:
-                    assert src_k == dst_k
-                    min_max = DEFAULT_MIN_MAX
-            else:
-                raise AssertionError
-            min_maxes.append(min_max)
-        min_maxes = np.array(min_maxes).reshape(-1, 2)
-        return min_maxes[:, 0], min_maxes[:, 1]
+        def pick(idxs, src_k, dst_k):
+            region = self._region(idxs)
+            turning_on = self._chiral_volume_is_turning_on(idxs)
+            turning_off = self._chiral_volume_is_turning_off(idxs)
+            if not (turning_on or turning_off):
+                assert src_k == dst_k
+                return DEFAULT_MIN_MAX
+            if region is AtomMapFlags.CORE:
+                return CORE_CHIRAL_ATOM_CONVERTING_ON_MIN_MAX if turning_on else CORE_CHIRAL_ATOM_CONVERTING_OFF_MIN_MAX
+            if region is AtomMapFlags.MOL_A:
+                assert turning_off
+                return DUMMY_A_CHIRAL_ATOM_CONVERTING_OFF_MIN_MAX
+            assert turning_on
+            return DUMMY_B_CHIRAL_ATOM_CONVERTING_ON_MIN_MAX
+
+        return self._stack_windows(pick, aligned_tuples)
 
     def _assign_nonbonded_idxs_min_max(self, aligned_tuples):
-        min_maxes = np.array([DEFAULT_MIN_MAX for _ in aligned_tuples]).reshape(-1, 2)
-        return min_maxes[:, 0], min_maxes[:, 1]
+        rows = np.tile(np.asarray(DEFAULT_MIN_MAX, dtype=np.float64), (len(aligned_tuples), 1))
+        return rows[:, 0], rows[:, 1]
 
     # -- masses / confs -------------------------------------------------------
 

@@ -1,14 +1,20 @@
 """Monte Carlo move framework + MD moves.
 
-Parity target: reference timemachine/md/moves.py — generic Move /
+Capability target: reference timemachine/md/moves.py — generic Move /
 MonteCarloMove / CompoundMove combinators, NVT/NPT MD moves (backed by this
-framework's scan Context), and multiple-try-Metropolis moves."""
+framework's scan Context), and multiple-try-Metropolis moves.
+
+Differences from the reference's structure: acceptance bookkeeping lives in a
+single `_Tally` base with a log-space Metropolis helper, and both MTM variants
+share one acceptance routine (`_mtm_accept`) parameterized by their log-weight
+functions — the symmetric-Q "optimized" move is the special case where the
+weights are just log pi.
+"""
 
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from itertools import islice
-from typing import Any, Generic, Sequence, TypeVar
+from typing import Any, Callable, Generic, Sequence, TypeVar
 
 import jax
 import jax.numpy as jnp
@@ -26,36 +32,27 @@ class Move(Generic[_State], ABC):
     def move(self, _: _State) -> _State: ...
 
     def move_n(self, x: _State, n: int) -> _State:
+        """n iterated moves; subclasses may batch randomness."""
         for _ in range(n):
             x = self.move(x)
         return x
 
     def sample_chain_iter(self, x: _State):
+        """Infinite generator over the chain started at x."""
         while True:
             x = self.move(x)
             yield x
 
-    def sample_chain(self, x: _State, n_samples: int):
-        return list(islice(self.sample_chain_iter(x), n_samples))
+    def sample_chain(self, x: _State, n_samples: int) -> list:
+        chain = self.sample_chain_iter(x)
+        return [next(chain) for _ in range(n_samples)]
 
 
-class MonteCarloMove(Move[_State], ABC):
-    def __init__(self):
-        self._n_proposed = 0
-        self._n_accepted = 0
+class _Tally:
+    """Proposal/acceptance counters shared by every Metropolis-style move."""
 
-    @abstractmethod
-    def propose(self, x: _State) -> tuple[_State, float]:
-        """return proposed state and log acceptance probability"""
-
-    def move(self, x: _State) -> _State:
-        proposal, log_acceptance_probability = self.propose(x)
-        self._n_proposed += 1
-        alpha = np.random.rand()
-        if alpha < np.exp(log_acceptance_probability):
-            self._n_accepted += 1
-            return proposal
-        return x
+    _n_proposed: int = 0
+    _n_accepted: int = 0
 
     @property
     def n_proposed(self) -> int:
@@ -69,41 +66,66 @@ class MonteCarloMove(Move[_State], ABC):
     def acceptance_fraction(self) -> float:
         return self._n_accepted / self._n_proposed if self._n_proposed else np.nan
 
+    def _tally(self, accepted: bool) -> bool:
+        self._n_proposed += 1
+        self._n_accepted += int(accepted)
+        return accepted
+
+
+class MonteCarloMove(_Tally, Move[_State], ABC):
+    def __init__(self):
+        self._n_proposed = 0
+        self._n_accepted = 0
+
+    @abstractmethod
+    def propose(self, x: _State) -> tuple[_State, float]:
+        """return proposed state and log acceptance probability"""
+
+    def move(self, x: _State) -> _State:
+        proposal, log_p_accept = self.propose(x)
+        # log-space Metropolis: log u < log p  <=>  u < p (u=0 rejects iff p=0)
+        with np.errstate(divide="ignore"):
+            accept = np.log(np.random.rand()) < log_p_accept
+        return proposal if self._tally(bool(accept)) else x
+
 
 class CompoundMove(Move[_State]):
     def __init__(self, moves: Sequence[MonteCarloMove]):
         self.moves = moves
 
     @property
-    def n_accepted_by_move(self):
+    def n_accepted_by_move(self) -> list[int]:
         return [m._n_accepted for m in self.moves]
 
     @property
-    def n_proposed_by_move(self):
+    def n_proposed_by_move(self) -> list[int]:
         return [m._n_proposed for m in self.moves]
 
 
 class MixtureOfMoves(CompoundMove[_State]):
-    """Apply a single uniformly-selected move per step (ref moves.py:97-124)."""
+    """Each step applies one uniformly-drawn member move (ref moves.py:97-124)."""
 
-    def move(self, x: _State) -> _State:
-        idx = np.random.choice(len(self.moves))
-        return self.moves[idx].move(x)
-
-    def move_n(self, x: _State, n: int):
+    def _drive(self, x: _State, n: int, collect: bool):
+        out = []
         for idx in np.random.choice(len(self.moves), size=n, replace=True):
             x = self.moves[idx].move(x)
-        return x
+            if collect:
+                out.append(x)
+        return out if collect else x
 
-    def sample_chain(self, x: _State, n_samples: int):
-        samples = []
-        for idx in np.random.choice(len(self.moves), size=n_samples, replace=True):
-            x = self.moves[idx].move(x)
-            samples.append(x)
-        return samples
+    def move(self, x: _State) -> _State:
+        return self._drive(x, 1, collect=False)
+
+    def move_n(self, x: _State, n: int) -> _State:
+        return self._drive(x, n, collect=False)
+
+    def sample_chain(self, x: _State, n_samples: int) -> list:
+        return self._drive(x, n_samples, collect=True)
 
 
 class SequenceOfMoves(CompoundMove[_State]):
+    """Each step applies every member move in order."""
+
     def move(self, x: _State) -> _State:
         for m in self.moves:
             x = m.move(x)
@@ -177,41 +199,55 @@ class NPTMove(NVTMove):
         ]
 
 
-class DeterministicMTMMove(Move[CoordsVelBox]):
-    """Multiple-try Metropolis with deterministic jax PRNG
-    (ref moves.py:172-204)."""
+# ---------------------------------------------------------------------------
+# multiple-try Metropolis
+
+
+def _mtm_accept(key, x, K, propose_batch, log_weight_fn):
+    """One MTM round (Liang & Wong 2000): draw K proposals from x, select one
+    by its weight, then rebuild the reverse-direction ensemble around the
+    selection with x swapped in. Returns (y, p_accept, key').
+
+    log_weight_fn(states, ref_state) -> (K,) log selection weights; for the
+    symmetric-Q case this is just log pi (Q and lambda terms cancel).
+    """
+    key, k_fwd, k_sel, k_rev = jax.random.split(key, 4)
+
+    ys = propose_batch(x, K, k_fwd)
+    log_w_fwd = jnp.asarray(log_weight_fn(ys, x))
+    j = int(jax.random.categorical(k_sel, log_w_fwd))
+    y = ys[j]
+
+    xs = propose_batch(y, K, k_rev)
+    xs = jnp.concatenate([jnp.asarray(xs)[: K - 1], jnp.asarray(x)[None]], axis=0)
+    log_w_rev = jnp.asarray(log_weight_fn(xs, y))
+
+    log_ratio = jlogsumexp(log_w_fwd) - jlogsumexp(log_w_rev)
+    return y, jnp.exp(jnp.minimum(log_ratio, 0.0)), key
+
+
+class DeterministicMTMMove(_Tally, Move[CoordsVelBox]):
+    """MTM base with a deterministic jax PRNG stream (ref moves.py:172-204)."""
 
     def __init__(self, rng_key):
         self.rng_key = rng_key
         self._n_proposed = 0
         self._n_accepted = 0
 
-    @property
-    def n_proposed(self):
-        return self._n_proposed
-
-    @property
-    def n_accepted(self):
-        return self._n_accepted
-
     def acceptance_probability(self, x, box, key) -> tuple[Any, Any, Any]:
         raise NotImplementedError
 
     def move(self, xvb: CoordsVelBox) -> CoordsVelBox:
-        self._n_proposed += 1
-        y_proposed, acceptance_probability, key = self.acceptance_probability(xvb.coords, xvb.box, self.rng_key)
-        key, subkey = jax.random.split(key)
-        self.rng_key = key
-        alpha = jax.random.uniform(subkey)
-        if alpha < acceptance_probability:
-            self._n_accepted += 1
-            return CoordsVelBox(np.asarray(y_proposed), xvb.velocities, xvb.box)
+        y, p_accept, key = self.acceptance_probability(xvb.coords, xvb.box, self.rng_key)
+        self.rng_key, k_u = jax.random.split(key)
+        if self._tally(bool(jax.random.uniform(k_u) < p_accept)):
+            return CoordsVelBox(np.asarray(y), xvb.velocities, xvb.box)
         return xvb
 
 
 class OptimizedMTMMove(DeterministicMTMMove):
-    """MTM with symmetric proposal Q and importance weights lambda = pi/Q
-    (ref moves.py:206-261)."""
+    """MTM with symmetric proposal Q and importance weights lambda = pi/Q, so
+    proposals are selected by log pi alone (ref moves.py:206-261)."""
 
     def __init__(self, K, batch_proposal_fn, batched_log_weights_fn, seed):
         super().__init__(jax.random.key(seed))
@@ -220,27 +256,17 @@ class OptimizedMTMMove(DeterministicMTMMove):
         self.batched_log_weights_fn = batched_log_weights_fn
 
     def acceptance_probability(self, x, box, key):
-        key, k1, k2 = jax.random.split(key, 3)
-        yj = self.batch_proposal_fn(x, self.K, k1)
-        log_weights_yj = self.batched_log_weights_fn(yj, box)
-        normalized = jnp.exp(log_weights_yj - jlogsumexp(log_weights_yj))
-        j = jax.random.categorical(k2, log_weights_yj)
-        y = yj[j]
-        # reverse ensemble: proposals from y, with x substituted in
-        key, k3 = jax.random.split(key)
-        xi = self.batch_proposal_fn(y, self.K, k3)
-        xi = jnp.concatenate([xi[:-1], x[None]], axis=0)
-        log_weights_xi = self.batched_log_weights_fn(xi, box)
-        log_ratio = jlogsumexp(log_weights_yj) - jlogsumexp(log_weights_xi)
-        return y, jnp.exp(jnp.minimum(log_ratio, 0.0)), key
+        return _mtm_accept(
+            key, x, self.K, self.batch_proposal_fn, lambda states, _ref: self.batched_log_weights_fn(states, box)
+        )
 
 
 class ReferenceMTMMove(DeterministicMTMMove):
-    """General multiple-try Metropolis with separate proposal density Q and
-    importance function lambda (Liang & Wong 2000 recipe; ref
-    moves.py:263-331). `OptimizedMTMMove` is the symmetric-Q special case.
+    """General MTM with separate proposal density Q and importance function
+    lambda (ref moves.py:263-331); `OptimizedMTMMove` is the symmetric-Q
+    special case.
 
-    batch_proposal_fn: (state, K, key) -> list of K proposed states
+    batch_proposal_fn: (state, K, key) -> K proposed states
     batch_log_Q_fn: (states, ref_state) -> (K,) log proposal densities
     batch_log_pi_fn: (states) -> (K,) log target densities
     batch_log_lambda_a_b_fn: (states, ref_state) -> (K,) symmetric log lambda
@@ -254,23 +280,12 @@ class ReferenceMTMMove(DeterministicMTMMove):
         self.batch_log_pi_fn = batch_log_pi_fn
         self.batch_log_lambda_fn = batch_log_lambda_a_b_fn
 
+    def _log_weights(self, states, ref):
+        return (
+            jnp.asarray(self.batch_log_pi_fn(states))
+            + jnp.asarray(self.batch_log_Q_fn(states, ref))
+            + jnp.asarray(self.batch_log_lambda_fn(states, ref))
+        )
+
     def acceptance_probability(self, x, box, key):
-        key, k1 = jax.random.split(key)
-        yj = self.batch_proposal_fn(x, self.K, k1)
-        log_weights_yj = (
-            jnp.asarray(self.batch_log_pi_fn(yj))
-            + jnp.asarray(self.batch_log_Q_fn(yj, x))
-            + jnp.asarray(self.batch_log_lambda_fn(yj, x))
-        )
-        key, k2 = jax.random.split(key)
-        j = int(jax.random.categorical(k2, log_weights_yj))
-        y = yj[j]
-        key, k3 = jax.random.split(key)
-        xi = list(self.batch_proposal_fn(y, self.K - 1, k3)) + [x]
-        log_weights_xi = (
-            jnp.asarray(self.batch_log_pi_fn(xi))
-            + jnp.asarray(self.batch_log_Q_fn(xi, y))
-            + jnp.asarray(self.batch_log_lambda_fn(xi, y))
-        )
-        log_ratio = jlogsumexp(log_weights_yj) - jlogsumexp(log_weights_xi)
-        return y, jnp.exp(jnp.minimum(log_ratio, 0.0)), key
+        return _mtm_accept(key, x, self.K, self.batch_proposal_fn, self._log_weights)
