@@ -206,18 +206,19 @@ def generate_log_weighted_samples(
 
 def sample_from_log_weights(weighted_samples, log_weights, size):
     """Multinomial resample into an unweighted collection (ref enhanced.py:353-379)."""
+    if len(log_weights) != len(weighted_samples):
+        raise ValueError("one log weight per sample required")
     weights = np.exp(log_weights - logsumexp(log_weights))
-    assert len(weights) == len(weighted_samples)
     assert np.abs(np.sum(weights) - 1) < 1e-5
-    idxs = np.random.choice(np.arange(len(weights)), size=size, p=weights)
-    return [weighted_samples[i] for i in idxs]
+    chosen = np.random.choice(len(weights), size=size, p=weights)
+    return [weighted_samples[i] for i in chosen]
 
 
 def jax_sample_from_log_weights(weighted_samples, log_weights, size, key):
-    """(ref enhanced.py:381-405)"""
-    weights = jnp.exp(log_weights - jlogsumexp(log_weights))
-    idxs = jrandom.choice(key, jnp.arange(len(weights)), shape=(size,), p=weights)
-    return weighted_samples[idxs]
+    """On-device variant: categorical draw directly from the log weights
+    (ref enhanced.py:381-405)."""
+    chosen = jrandom.categorical(key, jnp.asarray(log_weights), shape=(size,))
+    return weighted_samples[chosen]
 
 
 def get_solvent_phase_system(
@@ -256,28 +257,25 @@ def equilibrate_solvent_phase(
     num_steps,
     seed=None,
 ):
-    """NPT equilibration from minimized coords (ref enhanced.py:452-503)."""
+    """NPT equilibration from minimized coords, small timestep (1e-4 ps),
+    zeroed velocities in and out (ref enhanced.py:452-503)."""
     from timemachine_tpu.integrators import LangevinIntegrator
     from timemachine_tpu.md.barostat import MonteCarloBarostat
     from timemachine_tpu.md.context import Context
     from timemachine_tpu.potentials import HarmonicBond, get_potential_by_type
 
-    dt = 1e-4
-    friction = 1.0
-    bps = [pot.bind(p) for pot, p in zip(potentials, params)]
-
-    bonded_pot = get_potential_by_type(potentials, HarmonicBond)
-    bond_list = get_bond_list(bonded_pot)
-    group_idxs = get_group_indices(bond_list, len(masses))
-
-    intg = LangevinIntegrator(temperature, dt, friction, masses, seed)
-    barostat = MonteCarloBarostat(len(masses), pressure, temperature, group_idxs, 5, seed + 1)
-
-    ctxt = Context(coords, np.zeros_like(coords), box, intg, bps, movers=[barostat])
+    group_idxs = get_group_indices(get_bond_list(get_potential_by_type(potentials, HarmonicBond)), len(masses))
+    ctxt = Context(
+        coords,
+        np.zeros_like(coords),
+        box,
+        LangevinIntegrator(temperature, 1e-4, 1.0, masses, seed),
+        [pot.bind(p) for pot, p in zip(potentials, params)],
+        movers=[MonteCarloBarostat(len(masses), pressure, temperature, group_idxs, 5, seed + 1)],
+    )
     ctxt.multiple_steps(num_steps)
-    x0 = ctxt.get_x_t()
-    v0 = np.zeros_like(x0)
-    return CoordsVelBox(x0, v0, ctxt.get_box())
+    x_eq = ctxt.get_x_t()
+    return CoordsVelBox(x_eq, np.zeros_like(x_eq), ctxt.get_box())
 
 
 def align_sample(x_vacuum, x_solvent):
@@ -311,30 +309,6 @@ def jax_aligned_batch_propose_coords(x, K, key, vacuum_samples, vacuum_log_weigh
     return batch_align_and_replace(chosen, x)
 
 
-def pregenerate_samples(
-    mol,
-    ff,
-    lamb,
-    seed,
-    n_solvent_samples=1000,
-    n_ligand_batches=30000,
-    temperature=300.0,
-    pressure=1.0,
-    num_workers=None,
-):
-    """(ref enhanced.py:553-576)"""
-    potentials, params, masses, coords, box = get_solvent_phase_system(mol, ff, lamb)
-    print(f"Generating {n_solvent_samples} solvent samples")
-    solvent_xvbs = generate_solvent_samples(
-        coords, box, masses, potentials, params, temperature, pressure, seed, n_solvent_samples
-    )
-    print("Generating ligand samples")
-    ligand_samples, ligand_log_weights = generate_ligand_samples(
-        n_ligand_batches, mol, ff, temperature, seed, num_workers=num_workers
-    )
-    return solvent_xvbs, ligand_samples, ligand_log_weights
-
-
 def generate_solvent_samples(
     coords,
     box,
@@ -348,15 +322,20 @@ def generate_solvent_samples(
     num_equil_steps=50000,
     md_steps_per_move=1000,
 ):
-    """Equilibrate, then emit n_samples separated by md_steps_per_move
-    (ref enhanced.py:578-601)."""
-    xvb0 = equilibrate_solvent_phase(potentials, params, masses, coords, box, temperature, pressure, num_equil_steps, seed)
-    bps = [pot.bind(p) for pot, p in zip(potentials, params)]
-    npt_mover = NPTMove(bps, masses, temperature, pressure, n_steps=md_steps_per_move, seed=seed)
-    xvbs = [xvb0]
-    for _ in range(n_samples):
-        xvbs.append(npt_mover.move(xvbs[-1]))
-    return xvbs
+    """NPT chain over the solvated system: equilibrate once, then each sample
+    is md_steps_per_move steps past the previous (ref enhanced.py:578-601)."""
+    state = equilibrate_solvent_phase(
+        potentials, params, masses, coords, box, temperature, pressure, num_equil_steps, seed
+    )
+    mover = NPTMove(
+        [pot.bind(p) for pot, p in zip(potentials, params)],
+        masses,
+        temperature,
+        pressure,
+        n_steps=md_steps_per_move,
+        seed=seed,
+    )
+    return [state, *mover.sample_chain(state, n_samples)]
 
 
 def generate_ligand_samples(num_batches, mol, ff, temperature, seed, num_workers=None):
@@ -366,3 +345,28 @@ def generate_ligand_samples(num_batches, mol, ff, temperature, seed, num_workers
     return generate_log_weighted_samples(
         mol, temperature, state.U_easy, state.U_full, num_batches=num_batches, seed=seed, num_workers=num_workers
     )
+
+
+def pregenerate_samples(
+    mol,
+    ff,
+    lamb,
+    seed,
+    n_solvent_samples=1000,
+    n_ligand_batches=30000,
+    temperature=300.0,
+    pressure=1.0,
+    num_workers=None,
+):
+    """Both ingredient ensembles of the aligned-swap MTM move: solvent-phase
+    NPT frames and weighted vacuum ligand conformers (ref enhanced.py:553-576)."""
+    potentials, params, masses, coords, box = get_solvent_phase_system(mol, ff, lamb)
+    print(f"Generating {n_solvent_samples} solvent samples")
+    solvent_xvbs = generate_solvent_samples(
+        coords, box, masses, potentials, params, temperature, pressure, seed, n_solvent_samples
+    )
+    print("Generating ligand samples")
+    ligand_samples, ligand_log_weights = generate_ligand_samples(
+        n_ligand_batches, mol, ff, temperature, seed, num_workers=num_workers
+    )
+    return solvent_xvbs, ligand_samples, ligand_log_weights
