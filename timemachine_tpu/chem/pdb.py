@@ -1,0 +1,418 @@
+"""Protein PDB reader + chemistry perception → chem.Mol.
+
+Fills the role OpenMM's ``PDBFile`` + ``ForceField`` template matching play in
+the reference host-building path (ref md/builders.py:197-313): read a
+*prepared* protein structure (explicit hydrogens, standard PDB v3 heavy-atom
+names) and produce a full molecular graph — bonds with orders, formal
+charges, tautomer assignment — so the protein can be parameterized by the
+framework's own SMIRKS typing engine like any other molecule.
+
+Design notes (native, not a port):
+- Heavy-atom connectivity and bond orders come from per-residue chemistry
+  templates keyed by standard PDB v3 atom names (below). These encode
+  textbook amino-acid structure, not forcefield data.
+- Hydrogens are attached to their nearest heavy atom by distance — this
+  sidesteps the many H naming conventions (PDB v3 ``HB2`` vs Maestro ``2HB``)
+  entirely; at prepared geometry the nearest heavy atom is unambiguous
+  (X–H ≈ 1.0 Å vs ≥1.7 Å to anything else).
+- Protonation states are *detected*, not declared: ASP/GLU carboxylates,
+  LYS ammonium, CYS thiol(ate)/disulfide, HIS tautomers (HID/HIE/HIP) and
+  termini are resolved from which hydrogens are actually present.
+- Every perceived graph passes a valence audit before it is returned.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from timemachine_tpu.chem.mol import Mol
+from timemachine_tpu.chem.periodic import ATOMIC_NUM
+
+WATER_RES_NAMES = {"HOH", "WAT", "SPC", "TIP3", "T3P", "SOL"}
+ION_RES_NAMES = {"NA", "NA+", "SOD", "CL", "CL-", "CLA", "K", "K+", "POT"}
+
+# element -> max distance (Å) for an H to be considered bonded
+_H_ATTACH_CUTOFF = 1.5
+
+# ---------------------------------------------------------------------------
+# Residue chemistry templates: heavy-atom bonds with orders, keyed by the
+# standard PDB v3 heavy-atom names. Backbone (N-CA, CA-C, C=O) is shared;
+# sidechains below. HIS ring orders are tautomer-dependent and assigned at
+# perception time.
+# ---------------------------------------------------------------------------
+
+_BACKBONE_BONDS = [("N", "CA", 1), ("CA", "C", 1), ("C", "O", 2)]
+
+_SIDECHAIN_BONDS: dict[str, list[tuple[str, str, int]]] = {
+    "ALA": [("CA", "CB", 1)],
+    "ARG": [
+        ("CA", "CB", 1), ("CB", "CG", 1), ("CG", "CD", 1), ("CD", "NE", 1),
+        ("NE", "CZ", 1), ("CZ", "NH1", 1), ("CZ", "NH2", 2),
+    ],
+    "ASN": [("CA", "CB", 1), ("CB", "CG", 1), ("CG", "OD1", 2), ("CG", "ND2", 1)],
+    "ASP": [("CA", "CB", 1), ("CB", "CG", 1), ("CG", "OD1", 2), ("CG", "OD2", 1)],
+    "CYS": [("CA", "CB", 1), ("CB", "SG", 1)],
+    "GLN": [("CA", "CB", 1), ("CB", "CG", 1), ("CG", "CD", 1), ("CD", "OE1", 2), ("CD", "NE2", 1)],
+    "GLU": [("CA", "CB", 1), ("CB", "CG", 1), ("CG", "CD", 1), ("CD", "OE1", 2), ("CD", "OE2", 1)],
+    "GLY": [],
+    # HIS ring bonds listed order-less here; orders set by tautomer detection
+    "HIS": [
+        ("CA", "CB", 1), ("CB", "CG", 1),
+        ("CG", "ND1", 0), ("ND1", "CE1", 0), ("CE1", "NE2", 0),
+        ("NE2", "CD2", 0), ("CD2", "CG", 0),
+    ],
+    "ILE": [("CA", "CB", 1), ("CB", "CG1", 1), ("CB", "CG2", 1), ("CG1", "CD1", 1)],
+    "LEU": [("CA", "CB", 1), ("CB", "CG", 1), ("CG", "CD1", 1), ("CG", "CD2", 1)],
+    "LYS": [("CA", "CB", 1), ("CB", "CG", 1), ("CG", "CD", 1), ("CD", "CE", 1), ("CE", "NZ", 1)],
+    "MET": [("CA", "CB", 1), ("CB", "CG", 1), ("CG", "SD", 1), ("SD", "CE", 1)],
+    "PHE": [
+        ("CA", "CB", 1), ("CB", "CG", 1),
+        ("CG", "CD1", 2), ("CD1", "CE1", 1), ("CE1", "CZ", 2),
+        ("CZ", "CE2", 1), ("CE2", "CD2", 2), ("CD2", "CG", 1),
+    ],
+    "PRO": [("CA", "CB", 1), ("CB", "CG", 1), ("CG", "CD", 1), ("CD", "N", 1)],
+    "SER": [("CA", "CB", 1), ("CB", "OG", 1)],
+    "THR": [("CA", "CB", 1), ("CB", "OG1", 1), ("CB", "CG2", 1)],
+    "TRP": [
+        ("CA", "CB", 1), ("CB", "CG", 1),
+        # pyrrole ring (kekulé): CG=CD1; NE1 single to both neighbors
+        ("CG", "CD1", 2), ("CD1", "NE1", 1), ("NE1", "CE2", 1),
+        # fused benzo ring; CD2=CE2 is the fusion bond
+        ("CE2", "CD2", 2), ("CD2", "CG", 1),
+        ("CE2", "CZ2", 1), ("CZ2", "CH2", 2), ("CH2", "CZ3", 1),
+        ("CZ3", "CE3", 2), ("CE3", "CD2", 1),
+    ],
+    "TYR": [
+        ("CA", "CB", 1), ("CB", "CG", 1),
+        ("CG", "CD1", 2), ("CD1", "CE1", 1), ("CE1", "CZ", 2),
+        ("CZ", "CE2", 1), ("CE2", "CD2", 2), ("CD2", "CG", 1),
+        ("CZ", "OH", 1),
+    ],
+    "VAL": [("CA", "CB", 1), ("CB", "CG1", 1), ("CB", "CG2", 1)],
+}
+
+# caps: full bond lists (no standard backbone)
+_CAP_BONDS = {
+    "ACE": [("CH3", "C", 1), ("C", "O", 2)],
+    "NME": [("N", "CH3", 1)],  # some writers name the methyl "C"
+}
+
+# heavy-atom name aliases (old Amber conventions) → PDB v3 names
+_ATOM_ALIASES = {
+    "ILE": {"CD": "CD1"},
+}
+
+# any-residue aliases (CHARMM-style C-terminal carboxylate naming)
+_GLOBAL_ATOM_ALIASES = {"OT1": "O", "OC1": "O", "OT2": "OXT", "OC2": "OXT"}
+
+# protonation-state aliases → canonical template
+_RES_ALIASES = {
+    "HID": "HIS", "HIE": "HIS", "HIP": "HIS",
+    "HSD": "HIS", "HSE": "HIS", "HSP": "HIS",
+    "ASH": "ASP", "GLH": "GLU", "LYN": "LYS", "CYM": "CYS", "CYX": "CYS",
+    "NMA": "NME",
+}
+
+
+@dataclass
+class PDBResidue:
+    name: str
+    chain: str
+    resseq: int
+    atom_names: list = field(default_factory=list)
+    elements: list = field(default_factory=list)
+    coords: list = field(default_factory=list)  # Å
+
+
+@dataclass
+class PDBStructure:
+    residues: list          # protein residues (incl. caps), file order
+    waters: list            # PDBResidue
+    ions: list              # PDBResidue (single atom)
+    box: "np.ndarray | None" = None  # (3,3) nm from CRYST1 (orthorhombic only)
+
+
+def parse_pdb(path_or_str: str) -> PDBStructure:
+    """Parse ATOM/HETATM records of the first model. Takes a path or raw text."""
+    if "\n" in path_or_str:
+        lines = path_or_str.splitlines()
+    else:
+        with open(path_or_str) as fh:
+            lines = fh.read().splitlines()
+
+    residues: list[PDBResidue] = []
+    waters: list[PDBResidue] = []
+    ions: list[PDBResidue] = []
+    current: PDBResidue | None = None
+
+    box = None
+    for line in lines:
+        rec = line[:6]
+        if rec == "ENDMDL":
+            break
+        if rec == "CRYST1" and box is None:
+            a, b, c = float(line[6:15]), float(line[15:24]), float(line[24:33])
+            angles = (float(line[33:40]), float(line[40:47]), float(line[47:54]))
+            if all(abs(x - 90.0) < 1e-3 for x in angles):
+                box = np.diag([a, b, c]) / 10.0  # Å → nm
+            continue
+        if rec not in ("ATOM  ", "HETATM"):
+            continue
+        altloc = line[16]
+        if altloc not in (" ", "A", "1"):
+            continue  # keep first altloc only
+        name = line[12:16].strip()
+        resname = line[17:20].strip().upper()
+        chain = line[21]
+        # resSeq is columns 23-26; some writers right-shift 4+-digit numbers
+        # into the icode column — absorb a trailing digit there
+        rs = line[22:26]
+        icode = line[26] if len(line) > 26 else " "
+        if icode.isdigit():
+            rs = rs + icode
+            icode = " "
+        resseq = int(rs)
+        xyz = (float(line[30:38]), float(line[38:46]), float(line[46:54]))
+        elem = line[76:78].strip().capitalize() if len(line) >= 78 and line[76:78].strip() else _element_from_name(name)
+
+        key = (resname, chain, resseq, icode)
+        if current is None or current._key != key:
+            current = PDBResidue(resname, chain, resseq)
+            current._key = key
+            if resname in WATER_RES_NAMES:
+                waters.append(current)
+            elif resname in ION_RES_NAMES:
+                ions.append(current)
+            else:
+                residues.append(current)
+        current.atom_names.append(name)
+        current.elements.append(elem)
+        current.coords.append(xyz)
+
+    return PDBStructure(residues, waters, ions, box)
+
+
+def _element_from_name(name: str) -> str:
+    """PDB v2 fallback: strip leading digits; 2-letter elements only when the
+    name itself is a recognized symbol (CL, NA, ...)."""
+    stem = name.lstrip("0123456789")
+    if stem[:2].capitalize() in ATOMIC_NUM and stem[:2].upper() in ("CL", "NA", "BR", "MG", "ZN", "FE", "MN", "SE"):
+        return stem[:2].capitalize()
+    return stem[0].upper()
+
+
+class PDBChemistryError(ValueError):
+    pass
+
+
+def protein_mol_from_pdb(structure: PDBStructure, name: str = "protein") -> Mol:
+    """Perceive the full protein graph: template heavy-atom bonds, distance-
+    attached hydrogens, peptide/disulfide links, detected protonation states.
+
+    Returns a chem.Mol with coords in Å (Mol convention) whose formal charges
+    sum to the protein's net charge. Raises PDBChemistryError for unknown
+    residues/atoms or valence inconsistencies.
+    """
+    residues = structure.residues
+    if not residues:
+        raise PDBChemistryError("no protein residues found")
+
+    # global atom table
+    atom_elem: list[str] = []
+    atom_xyz: list[tuple] = []
+    atom_res: list[int] = []      # residue index per atom
+    heavy_index: list[dict] = []  # per residue: name -> global idx
+    h_idxs_by_res: list[list[int]] = []
+
+    for ri, res in enumerate(residues):
+        names_seen: dict[str, int] = {}
+        h_list: list[int] = []
+        aliases = _ATOM_ALIASES.get(_RES_ALIASES.get(res.name, res.name), {})
+        for nm, el, xyz in zip(res.atom_names, res.elements, res.coords):
+            nm = aliases.get(nm, _GLOBAL_ATOM_ALIASES.get(nm, nm))
+            gi = len(atom_elem)
+            atom_elem.append(el)
+            atom_xyz.append(xyz)
+            atom_res.append(ri)
+            if el == "H":
+                h_list.append(gi)
+            else:
+                if nm in names_seen:
+                    raise PDBChemistryError(f"duplicate atom {nm} in {res.name} {res.chain}{res.resseq}")
+                names_seen[nm] = gi
+        heavy_index.append(names_seen)
+        h_idxs_by_res.append(h_list)
+
+    xyz = np.asarray(atom_xyz, dtype=np.float64)
+    n_atoms = len(atom_elem)
+    bonds: list[tuple[int, int, int]] = []
+    formal: np.ndarray = np.zeros(n_atoms, dtype=np.int64)
+
+    # --- heavy-atom bonds from templates -----------------------------------
+    his_residues: list[int] = []
+    for ri, res in enumerate(residues):
+        canon = _RES_ALIASES.get(res.name, res.name)
+        idx = heavy_index[ri]
+        if canon in _CAP_BONDS:
+            template = list(_CAP_BONDS[canon])
+            if canon == "NME" and "CH3" not in idx:
+                # the methyl is also written as "C" or "CA" depending on tool
+                methyl = "C" if "C" in idx else "CA"
+                template = [("N", methyl, 1)]
+        elif canon in _SIDECHAIN_BONDS:
+            template = _BACKBONE_BONDS + _SIDECHAIN_BONDS[canon]
+            if canon == "HIS":
+                his_residues.append(ri)
+        else:
+            raise PDBChemistryError(f"unsupported residue {res.name} {res.chain}{res.resseq}")
+
+        consumed = set()
+        for a, b, order in template:
+            if a not in idx or b not in idx:
+                raise PDBChemistryError(
+                    f"residue {res.name} {res.chain}{res.resseq} missing atom {a if a not in idx else b}"
+                )
+            bonds.append((idx[a], idx[b], order))
+            consumed.update((a, b))
+
+        # C-terminal carboxylate oxygen
+        if "OXT" in idx:
+            bonds.append((idx["C"], idx["OXT"], 1))
+            consumed.add("OXT")
+
+        leftover = set(idx) - consumed
+        if leftover:
+            raise PDBChemistryError(
+                f"unrecognized atoms {sorted(leftover)} in {res.name} {res.chain}{res.resseq}"
+            )
+
+    # --- peptide links (C_i -> N_{i+1}, same chain, consecutive) ------------
+    for ri in range(len(residues) - 1):
+        a, b = residues[ri], residues[ri + 1]
+        if a.chain != b.chain:
+            continue
+        c = heavy_index[ri].get("C")
+        n = heavy_index[ri + 1].get("N")
+        if c is None or n is None:
+            continue
+        d = np.linalg.norm(xyz[c] - xyz[n])
+        if d < 1.8:  # peptide C-N ≈ 1.33 Å; guard against chain breaks
+            bonds.append((c, n, 1))
+
+    # --- disulfides ---------------------------------------------------------
+    sg = [(ri, heavy_index[ri]["SG"]) for ri in range(len(residues)) if "SG" in heavy_index[ri]]
+    ss_sulfurs = set()
+    for i in range(len(sg)):
+        for j in range(i + 1, len(sg)):
+            if np.linalg.norm(xyz[sg[i][1]] - xyz[sg[j][1]]) < 2.5:  # S-S ≈ 2.05 Å
+                bonds.append((sg[i][1], sg[j][1], 1))
+                ss_sulfurs.update((sg[i][1], sg[j][1]))
+
+    # --- hydrogens by distance ---------------------------------------------
+    n_h_on: dict[int, int] = {}
+    for ri, h_list in enumerate(h_idxs_by_res):
+        heavies = list(heavy_index[ri].values())
+        if not heavies:
+            raise PDBChemistryError(f"hydrogen-only residue {residues[ri].name}")
+        hx = np.array([xyz[h] for h in h_list]) if h_list else np.zeros((0, 3))
+        hv = np.array([xyz[i] for i in heavies])
+        for k, h in enumerate(h_list):
+            d = np.linalg.norm(hv - hx[k], axis=1)
+            j = int(np.argmin(d))
+            if d[j] > _H_ATTACH_CUTOFF:
+                raise PDBChemistryError(
+                    f"hydrogen {h} in {residues[ri].name} {residues[ri].resseq} "
+                    f"is {d[j]:.2f} Å from the nearest heavy atom"
+                )
+            parent = heavies[j]
+            bonds.append((parent, h, 1))
+            n_h_on[parent] = n_h_on.get(parent, 0) + 1
+
+    # --- protonation states / formal charges -------------------------------
+    first_by_chain: dict[str, int] = {}
+    for ri, res in enumerate(residues):
+        if res.chain not in first_by_chain and _RES_ALIASES.get(res.name, res.name) not in _CAP_BONDS:
+            first_by_chain[res.chain] = ri
+
+    his_orders: dict[tuple[int, int], int] = {}
+    for ri, res in enumerate(residues):
+        canon = _RES_ALIASES.get(res.name, res.name)
+        idx = heavy_index[ri]
+        nH = lambda nm: n_h_on.get(idx.get(nm, -1), 0)  # noqa: E731
+
+        if canon == "ARG":
+            formal[idx["NH2"]] = 1
+        elif canon == "ASP" and nH("OD2") == 0:
+            formal[idx["OD2"]] = -1
+        elif canon == "GLU" and nH("OE2") == 0:
+            formal[idx["OE2"]] = -1
+        elif canon == "LYS" and nH("NZ") == 3:
+            formal[idx["NZ"]] = 1
+        elif canon == "CYS" and nH("SG") == 0 and idx["SG"] not in ss_sulfurs:
+            formal[idx["SG"]] = -1  # thiolate (CYM)
+        elif canon == "HIS":
+            d1, e2 = nH("ND1"), nH("NE2")
+            if d1 and e2:  # HIP (+1 on ND1; ND1=CE1 double)
+                formal[idx["ND1"]] = 1
+                orders = {"ND1-CE1": 2, "CD2-CG": 2}
+            elif d1:  # HID: CE1=NE2, CD2=CG
+                orders = {"CE1-NE2": 2, "CD2-CG": 2}
+            else:  # HIE (default when neither H present, with a warning)
+                if not e2:
+                    warnings.warn(
+                        f"HIS {res.chain}{res.resseq} has no ring N-H; defaulting to HIE"
+                    )
+                orders = {"ND1-CE1": 2, "CD2-CG": 2}
+            for key, o in orders.items():
+                a, b = key.split("-")
+                his_orders[tuple(sorted((idx[a], idx[b])))] = o
+            for a, b in (("CG", "ND1"), ("ND1", "CE1"), ("CE1", "NE2"), ("NE2", "CD2"), ("CD2", "CG")):
+                his_orders.setdefault(tuple(sorted((idx[a], idx[b]))), 1)
+
+        # N-terminal ammonium (3 H on backbone N; protonated proline has 2)
+        if first_by_chain.get(res.chain) == ri and "N" in idx:
+            hs = nH("N")
+            if hs == 3 or (canon == "PRO" and hs == 2):
+                formal[idx["N"]] = 1
+        # C-terminal carboxylate
+        if "OXT" in idx and nH("OXT") == 0:
+            formal[idx["OXT"]] = -1
+
+    # resolve the HIS placeholder orders
+    resolved = []
+    for a, b, order in bonds:
+        if order == 0:
+            order = his_orders[tuple(sorted((a, b)))]
+        resolved.append((a, b, order))
+
+    atomic_nums = [ATOMIC_NUM[el] for el in atom_elem]
+    mol = Mol.from_arrays(atomic_nums, resolved, coords=xyz, formal_charges=formal, name=name)
+    _audit_valences(mol, residues, atom_res)
+    return mol
+
+
+_EXPECTED_VALENCE = {1: 1, 6: 4, 7: 3, 8: 2, 16: 2}
+
+
+def _audit_valences(mol: Mol, residues, atom_res):
+    """Every atom must satisfy standard valence = expected + formal charge
+    (N+ → 4, O- → 1, S- → 1). Raises with residue context on mismatch."""
+    order_sum = np.zeros(mol.num_atoms)
+    for b in mol.bonds:
+        order_sum[b.src] += b.order
+        order_sum[b.dst] += b.order
+    for i, atom in enumerate(mol.atoms):
+        expected = _EXPECTED_VALENCE.get(atom.atomic_num)
+        if expected is None:
+            continue
+        expected += atom.formal_charge  # N+ → 4, O−/S− → 1
+        if order_sum[i] != expected:
+            res = residues[atom_res[i]]
+            raise PDBChemistryError(
+                f"valence {order_sum[i]:g} != expected {expected} for atom {i} "
+                f"({atom.symbol}, charge {atom.formal_charge:+d}) in "
+                f"{res.name} {res.chain}{res.resseq}"
+            )

@@ -248,18 +248,23 @@ def strip_units(coords):
 def build_protein_system(host_pdbfile, protein_ff: str, water_ff: str, mols=None, box_margin: float = 0.0):
     """Solvated protein system with ~1 nm padding (ref md/builders.py:197-313).
 
-    Requires OpenMM — the same dependency the reference uses for protein
-    parameterization; the Amber residue templates ship with it. Water-only
-    hosts are fully native (build_water_system). NOTE: this path is only
-    exercised where OpenMM is installed (absent in this image's CI)."""
+    Two parameterization paths:
+    - OpenMM present: reference-parity Amber templates (`protein_ff`,
+      e.g. amber99sbildn) via openmm.app.ForceField + the framework's
+      System deserializer.
+    - OpenMM absent (native): the protein graph is perceived directly from
+      the PDB (chem/pdb.py) and typed with the framework's own SMIRKS
+      engine using the default small-molecule forcefield; charges follow
+      the standard base-charge policy (cached / precomputed / loud
+      Gasteiger+CCC fallback; TM_STRICT_CHARGES=1 to make missing charges
+      an error). This executes the full complex-leg pipeline without any
+      external dependency, at SMIRNOFF-host (not Amber-parity) physics —
+      a loud warning says so."""
     try:
         import openmm  # noqa: F401
         from openmm import app, unit
-    except ImportError as e:
-        raise NotImplementedError(
-            "build_protein_system currently requires openmm for protein parameterization; "
-            "water-only hosts are fully native (build_water_system)"
-        ) from e
+    except ImportError:
+        return _build_protein_system_native(host_pdbfile, protein_ff, water_ff, mols, box_margin)
 
     from timemachine_tpu.ff.openmm_deserializer import deserialize_system
 
@@ -342,4 +347,226 @@ def build_protein_system(host_pdbfile, protein_ff: str, water_ff: str, mols=None
         num_water_atoms=num_water_atoms,
         host_topology=host_topology,
         masses=masses,
+    )
+
+
+def _build_protein_system_native(host_pdbfile, protein_ff: str, water_ff: str, mols, box_margin: float):
+    """OpenMM-free protein host build: perceive the protein graph from the
+    PDB, type it with the framework's SMIRKS engine, solvate with the native
+    water lattice. See build_protein_system's docstring for the physics
+    caveat (SMIRNOFF-host, not Amber-parity)."""
+    import warnings
+
+    from timemachine_tpu.chem.pdb import parse_pdb, protein_mol_from_pdb
+    from timemachine_tpu.chem.periodic import ATOMIC_NUM
+    from timemachine_tpu.fe.topology import _SCALE_12, _SCALE_13, _SCALE_14_LJ, _SCALE_14_Q
+    from timemachine_tpu.ff import Forcefield, sanitize_water_ff
+    from timemachine_tpu.ff.handlers import generate_exclusion_idxs
+    from timemachine_tpu.md.utils import get_group_indices
+
+    if sanitize_water_ff(water_ff) != "tip3p":
+        raise NotImplementedError(f"native protein builder supports tip3p water, got {water_ff}")
+
+    ff = Forcefield.load_default()
+    warnings.warn(
+        f"OpenMM not available: protein_ff={protein_ff!r} requires Amber templates. "
+        "Falling back to NATIVE SMIRNOFF-host parameterization (framework SMIRKS typing "
+        "+ standard base-charge policy). This is not Amber-parity physics."
+    )
+
+    structure = parse_pdb(host_pdbfile)
+    protein = protein_mol_from_pdb(structure)
+    n_p = protein.num_atoms
+    p_conf = protein.get_conf()
+
+    # parameterize the protein like any molecule
+    bond_params, bond_idxs = ff.hb_handle.parameterize(protein)
+    angle_params, angle_idxs = ff.ha_handle.parameterize(protein)
+    proper_params, proper_idxs = ff.pt_handle.parameterize(protein)
+    improper_params, improper_idxs = ff.it_handle.parameterize(protein)
+    q_params = np.asarray(ff.q_handle.parameterize(protein))  # sqrt(ONE_4PI_EPS0)-scaled
+    lj_params = np.asarray(ff.lj_handle.parameterize(protein))  # (sig/2, sqrt(eps))
+    excl_idxs, excl_scales = generate_exclusion_idxs(
+        protein, scale12=_SCALE_12, scale13=_SCALE_13, scale14_lj=_SCALE_14_LJ, scale14_q=_SCALE_14_Q
+    )
+
+    # pre-equilibrated waters shipped in the PDB keep their coordinates
+    pdb_water_coords = []
+    for res in structure.waters:
+        order = np.argsort([0 if el == "O" else 1 for el in res.elements])  # O first
+        if len(res.atom_names) != 3:
+            raise ValueError(f"non-3-site water {res.name} {res.resseq}")
+        pdb_water_coords.append(np.asarray(res.coords, dtype=np.float64)[order] / 10.0)
+    if structure.ions:
+        raise NotImplementedError("PDB ions not supported by the native protein builder yet")
+
+    presolvated = structure.box is not None and pdb_water_coords
+    if presolvated:
+        # equilibrated system shipped with its own box (e.g. 5dfr_solv_equil):
+        # keep coordinates and box as-is, add no lattice waters
+        box_width = float(np.max(np.diagonal(structure.box)))
+        waters = pdb_water_coords
+    else:
+        # solvation box (reference: extent + 1 nm padding + margin)
+        padding = 1.0
+        solute = np.concatenate([p_conf] + pdb_water_coords) if pdb_water_coords else p_conf
+        box_lengths = np.amax(solute, axis=0) - np.amin(solute, axis=0) + padding + box_margin
+        box_width = float(np.max(box_lengths))  # cubic, like build_water_system
+        # minimum-image requirement: small solutes must still get a box that
+        # can hold the nonbonded cutoff (Context enforces box >= 2*cutoff)
+        box_width = max(box_width, 2 * DEFAULT_NB_CUTOFF + 0.15)
+        shift = box_width / 2.0 - (np.amax(solute, axis=0) + np.amin(solute, axis=0)) / 2.0
+        p_conf = p_conf + shift
+        pdb_water_coords = [w + shift for w in pdb_water_coords]
+
+        # lattice waters, carved around protein + pdb waters + ligands
+        rng = np.random.default_rng(2024)
+        n_target = int(round(WATER_DENSITY_PER_NM3 * box_width**3))
+        n_side = int(np.ceil(n_target ** (1 / 3)))
+        spacing = box_width / n_side
+        grid = np.stack(np.meshgrid(*[np.arange(n_side)] * 3, indexing="ij")).reshape(3, -1).T
+        centers = (grid[:n_target] + 0.5) * spacing + rng.normal(0, 0.01, (n_target, 3))
+        rots = _random_rotations(len(centers), rng)
+        lattice = centers[:, None, :] + np.einsum("nij,aj->nai", rots, _water_geometry())
+
+        from scipy.spatial import cKDTree
+
+        occupied = [p_conf] + pdb_water_coords
+        if mols:
+            occupied += [m.get_conf() + shift for m in mols]
+        tree = cKDTree(np.concatenate(occupied))
+        d, _ = tree.query(lattice.reshape(-1, 3), k=1)
+        keep = d.reshape(-1, 3).min(axis=1) > 0.24  # reference Modeller-like clash criterion
+        lattice = lattice[keep]
+        waters = pdb_water_coords + [lattice.reshape(-1, 3)]
+
+    water_conf = np.concatenate([np.asarray(w).reshape(-1, 3) for w in waters])
+    n_w = len(water_conf) // 3
+
+    # assemble combined host arrays: [protein, waters]
+    w_sys, w_masses = _build_water_potentials(n_w)
+    off = n_p
+
+    def _cat_idxs(a, b):
+        return np.concatenate([np.asarray(a, dtype=np.int32), np.asarray(b, dtype=np.int32) + off])
+
+    bond_pot = potentials.HarmonicBond(_cat_idxs(bond_idxs, w_sys.bond.potential.idxs)).bind(
+        np.concatenate([np.asarray(bond_params).reshape(-1, 2), np.asarray(w_sys.bond.params)])
+    )
+    angle_pot = potentials.HarmonicAngle(_cat_idxs(angle_idxs, w_sys.angle.potential.idxs)).bind(
+        np.concatenate([np.asarray(angle_params).reshape(-1, 3), np.asarray(w_sys.angle.params)])
+    )
+    proper_pot = potentials.PeriodicTorsion(np.asarray(proper_idxs, dtype=np.int32).reshape(-1, 4)).bind(
+        np.asarray(proper_params).reshape(-1, 3)
+    )
+    improper_pot = potentials.PeriodicTorsion(np.asarray(improper_idxs, dtype=np.int32).reshape(-1, 4)).bind(
+        np.asarray(improper_params).reshape(-1, 3)
+    )
+
+    n_atoms = n_p + 3 * n_w
+    nb_params = np.zeros((n_atoms, 4))
+    nb_params[:n_p, 0] = q_params
+    nb_params[:n_p, 1:3] = lj_params
+    nb_params[n_p:] = np.asarray(w_sys.nonbonded_all_pairs.params)
+    all_excl = _cat_idxs(excl_idxs, w_sys.nonbonded_all_pairs.potential.exclusion_idxs)
+    all_scales = np.concatenate(
+        [np.asarray(excl_scales).reshape(-1, 2), np.asarray(w_sys.nonbonded_all_pairs.potential.scale_factors)]
+    )
+    nb_pot = potentials.Nonbonded(n_atoms, all_excl, all_scales, DEFAULT_NB_BETA, DEFAULT_NB_CUTOFF).bind(nb_params)
+
+    system = HostSystem(
+        bond=bond_pot, angle=angle_pot, proper=proper_pot, improper=improper_pot, nonbonded_all_pairs=nb_pot
+    )
+    masses = np.concatenate([protein.masses, w_masses])
+    conf = np.concatenate([p_conf, water_conf])
+    box = np.eye(3) * box_width
+
+    # topology record: protein residues (for env-BCC) then waters
+    atom_offset = 0
+    residues = []
+    bond_set: dict[int, list] = {}
+    for b in protein.bonds:
+        bond_set.setdefault(min(b.src, b.dst), []).append((b.src, b.dst))
+    for res in structure.residues:
+        na = len(res.atom_names)
+        z = [int(ATOMIC_NUM.get(el, 0)) for el in res.elements]
+        intra = [
+            (b.src - atom_offset, b.dst - atom_offset)
+            for b in protein.bonds
+            if atom_offset <= b.src < atom_offset + na and atom_offset <= b.dst < atom_offset + na
+        ]
+        residues.append(HostResidue(res.name, z, intra))
+        atom_offset += na
+    residues += [HostResidue("HOH", [8, 1, 1], [(0, 1), (0, 2)]) for _ in range(n_w)]
+
+    bond_list = [tuple(map(int, b)) for b in np.asarray(bond_pot.potential.idxs)]
+    group_idxs = get_group_indices(bond_list, n_atoms)
+    host_topology = HostTopology(residues, group_idxs)
+
+    print("built a native protein system with", n_p, "protein atoms and", 3 * n_w, "water atoms")
+    return HostConfig(
+        host_system=system,
+        conf=conf,
+        box=box,
+        num_water_atoms=3 * n_w,
+        host_topology=host_topology,
+        masses=masses,
+    )
+
+
+def permute_host_config_atoms(cfg: HostConfig, perm: np.ndarray) -> HostConfig:
+    """Re-number host atoms by `perm` (new_conf[i] = conf[perm[i]]).
+
+    Used to put solvent first for apo benchmarking — the MD Context's
+    analytic water bonded fast path (ops/bonded.py water_*_energy_force)
+    requires the strided TIP3P waters to lead the atom array, while the
+    host-guest convention (HostGuestTopology.get_water_idxs) puts waters
+    last. Energies are invariant under the permutation; term rows are
+    re-sorted so leading-water detection still fires.
+
+    Note: the returned config is for standalone (apo) use — num_water_atoms
+    keeps its count but the waters-last indexing convention no longer holds.
+    """
+    perm = np.asarray(perm, dtype=np.int64)
+    n = cfg.conf.shape[0]
+    assert perm.shape == (n,)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+
+    hs = cfg.host_system
+
+    def remap_rows(idxs, params, water_block):
+        """Remap atom indices and order rows so all-water rows lead."""
+        idxs = inv[np.asarray(idxs, dtype=np.int64)]
+        params = np.asarray(params)
+        is_water = np.all(idxs < water_block, axis=1)
+        order = np.concatenate([np.nonzero(is_water)[0], np.nonzero(~is_water)[0]])
+        return idxs[order].astype(np.int32), params[order]
+
+    n_w_atoms = cfg.num_water_atoms
+    b_idxs, b_params = remap_rows(hs.bond.potential.idxs, hs.bond.params, n_w_atoms)
+    a_idxs, a_params = remap_rows(hs.angle.potential.idxs, hs.angle.params, n_w_atoms)
+    p_idxs, p_params = remap_rows(hs.proper.potential.idxs, hs.proper.params, n_w_atoms)
+    i_idxs, i_params = remap_rows(hs.improper.potential.idxs, hs.improper.params, n_w_atoms)
+    nb = hs.nonbonded_all_pairs
+    e_idxs, e_scales = remap_rows(nb.potential.exclusion_idxs, nb.potential.scale_factors, n_w_atoms)
+
+    system = HostSystem(
+        bond=potentials.HarmonicBond(b_idxs).bind(b_params),
+        angle=potentials.HarmonicAngle(a_idxs).bind(a_params),
+        proper=potentials.PeriodicTorsion(p_idxs.reshape(-1, 4)).bind(p_params),
+        improper=potentials.PeriodicTorsion(i_idxs.reshape(-1, 4)).bind(i_params),
+        nonbonded_all_pairs=potentials.Nonbonded(
+            n, e_idxs, e_scales, nb.potential.beta, nb.potential.cutoff
+        ).bind(np.asarray(nb.params)[perm]),
+    )
+    group_idxs = [np.sort(inv[g]) for g in cfg.host_topology.group_idxs]
+    topology = HostTopology(cfg.host_topology.residues, group_idxs, cfg.host_topology.charges)
+    return HostConfig(
+        host_system=system,
+        conf=cfg.conf[perm],
+        box=cfg.box,
+        num_water_atoms=cfg.num_water_atoms,
+        host_topology=topology,
+        masses=cfg.masses[perm],
     )
