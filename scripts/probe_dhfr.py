@@ -1,0 +1,104 @@
+"""Split the DHFR NPT step cost: full system vs no-exclusions vs
+no-protein-bonded-tail. Timing methodology = bench.py (Context.multiple_steps
+twice, second timed); variants alter term content, not shapes, so numbers are
+comparable. Physics of stripped variants is intentionally wrong — timing only.
+
+    nohup timeout 3600 python scripts/probe_dhfr.py > /tmp/probe_dhfr.log 2>&1 &
+"""
+
+import time
+
+import numpy as np
+
+
+def build(variant: str):
+    from timemachine_tpu.fe.model_utils import apply_hmr
+    from timemachine_tpu.testsystems.dhfr import setup_dhfr_native
+
+    cfg = setup_dhfr_native(waters_first=True)
+    hs = cfg.host_system
+    n_w = cfg.num_water_atoms
+
+    if variant == "no_excl":
+        # keep only the water exclusions (first rows after waters-first sort)
+        nb = hs.nonbonded_all_pairs
+        e = np.asarray(nb.potential.exclusion_idxs)
+        s = np.asarray(nb.potential.scale_factors)
+        keep = np.all(e < n_w, axis=1)
+        from timemachine_tpu import potentials
+        from timemachine_tpu.fe.system import HostSystem
+
+        hs = HostSystem(
+            bond=hs.bond,
+            angle=hs.angle,
+            proper=hs.proper,
+            improper=hs.improper,
+            nonbonded_all_pairs=potentials.Nonbonded(
+                cfg.conf.shape[0], e[keep], s[keep], nb.potential.beta, nb.potential.cutoff
+            ).bind(np.asarray(nb.params)),
+        )
+    elif variant == "no_protein_bonded":
+        from timemachine_tpu import potentials
+        from timemachine_tpu.fe.system import HostSystem
+
+        def trim(pot_cls, bp, width):
+            idxs = np.asarray(bp.potential.idxs)
+            params = np.asarray(bp.params)
+            keep = np.all(idxs < n_w, axis=1)
+            return pot_cls(idxs[keep].astype(np.int32)).bind(params[keep])
+
+        hs = HostSystem(
+            bond=trim(potentials.HarmonicBond, hs.bond, 2),
+            angle=trim(potentials.HarmonicAngle, hs.angle, 3),
+            proper=trim(potentials.PeriodicTorsion, hs.proper, 4),
+            improper=trim(potentials.PeriodicTorsion, hs.improper, 4),
+            nonbonded_all_pairs=hs.nonbonded_all_pairs,
+        )
+
+    bps = hs.get_U_fns()
+    nb = hs.nonbonded_all_pairs.potential
+    nb.configure_pallas(cfg.box, cfg.conf)
+    masses = apply_hmr(cfg.masses, hs.bond.potential.idxs)
+    return cfg, bps, masses
+
+
+def run(variant: str):
+    import jax.numpy as jnp
+
+    from timemachine_tpu.integrators import LangevinIntegrator
+    from timemachine_tpu.md.barostat import MonteCarloBarostat
+    from timemachine_tpu.md.context import Context
+    from timemachine_tpu.md.fire import FireMinimizationConfig, fire_minimize_jax
+    from timemachine_tpu.md.utils import sample_velocities
+    import jax
+
+    cfg, bps, masses = build(variant)
+    dtype = np.float32
+    x0 = cfg.conf.astype(dtype)
+    box = cfg.box
+
+    u_fn = lambda x: sum(bp(x, jnp.asarray(box, dtype)) for bp in bps)
+    force = jax.jit(lambda x: -jax.grad(u_fn)(x))
+    x0 = np.asarray(fire_minimize_jax(jnp.asarray(x0), force, FireMinimizationConfig(400)))
+
+    intg = LangevinIntegrator(300.0, 2.5e-3, 1.0, masses, seed=2026)
+    groups = list(cfg.host_topology.group_idxs)
+    baro = MonteCarloBarostat(len(masses), 1.013, 300.0, groups, 25, seed=2027)
+    v0 = sample_velocities(masses, 300.0, seed=2028).astype(dtype)
+    ctxt = Context(x0, v0, box.astype(dtype), intg, bps, movers=[baro])
+
+    n_steps = 1000
+    ctxt.multiple_steps(n_steps)
+    t0 = time.perf_counter()
+    ctxt.multiple_steps(n_steps)
+    dt = (time.perf_counter() - t0) / n_steps
+    print(f"{variant:20s} {dt * 1e3:7.3f} ms/step", flush=True)
+
+
+def main():
+    for variant in ("full", "no_excl", "no_protein_bonded"):
+        run(variant)
+
+
+if __name__ == "__main__":
+    main()

@@ -157,3 +157,27 @@ def test_complex_leg_end_to_end():
     assert np.all(np.isfinite(result.final_result.dGs))
     for traj in result.trajectories:
         assert np.all(np.isfinite(traj.frames[-1]))
+
+
+def test_dhfr_native_cached():
+    """The shipped DHFR cache loads instantly and matches the reference
+    system's composition (23,558 atoms = 2489 protein + 7023 waters,
+    6.223 nm box from the PDB's CRYST1)."""
+    from timemachine_tpu.testsystems.dhfr import setup_dhfr_native
+
+    cfg = setup_dhfr_native()
+    assert cfg.conf.shape == (23558, 3)
+    assert cfg.num_water_atoms == 21069
+    assert abs(cfg.box[0, 0] - 6.223) < 1e-6
+
+    # waters-first permutation preserves bonded energies
+    cfg2 = setup_dhfr_native(waters_first=True)
+    for nm in ("bond", "proper", "improper"):
+        bp1, bp2 = getattr(cfg.host_system, nm), getattr(cfg2.host_system, nm)
+        u1 = float(bp1.potential(cfg.conf, bp1.params, cfg.box))
+        u2 = float(bp2.potential(cfg2.conf, bp2.params, cfg2.box))
+        assert abs(u1 - u2) < 1e-2 + 1e-6 * abs(u1)
+    # leading-water fast path fires in the permuted layout
+    from timemachine_tpu.ops import bonded
+
+    assert bonded._leading_water_bonds(np.asarray(cfg2.host_system.bond.potential.idxs)) == 7023

@@ -19,7 +19,10 @@ import numpy as np
 from timemachine_tpu.md import builders
 from timemachine_tpu.testsystems.data import path_to_data
 
-_NATIVE_CACHE = os.environ.get("TM_DHFR_CACHE", "/tmp/tm_dhfr_native.npz")
+_REPO_CACHE = os.path.join(os.path.dirname(__file__), "cache", "dhfr_native.npz")
+_NATIVE_CACHE = os.environ.get(
+    "TM_DHFR_CACHE", _REPO_CACHE if os.path.exists(_REPO_CACHE) else "/tmp/tm_dhfr_native.npz"
+)
 
 
 def setup_dhfr(cutoff: float = 1.0):
