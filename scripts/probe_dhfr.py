@@ -1,12 +1,17 @@
 """Split the DHFR NPT step cost: full system vs no-exclusions vs
 no-protein-bonded-tail. Timing methodology = bench.py (Context.multiple_steps
 twice, second timed); variants alter term content, not shapes, so numbers are
-comparable. Physics of stripped variants is intentionally wrong — timing only.
+comparable. dt=0 freezes the dynamics (same compute graph, no integration
+drift) because the stripped variants are not physically integrable.
 
     nohup timeout 3600 python scripts/probe_dhfr.py > /tmp/probe_dhfr.log 2>&1 &
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -81,7 +86,7 @@ def run(variant: str):
     force = jax.jit(lambda x: -jax.grad(u_fn)(x))
     x0 = np.asarray(fire_minimize_jax(jnp.asarray(x0), force, FireMinimizationConfig(400)))
 
-    intg = LangevinIntegrator(300.0, 2.5e-3, 1.0, masses, seed=2026)
+    intg = LangevinIntegrator(300.0, 0.0, 1.0, masses, seed=2026)  # dt=0: same compute graph, frozen dynamics (stripped variants are not integrable)
     groups = list(cfg.host_topology.group_idxs)
     baro = MonteCarloBarostat(len(masses), 1.013, 300.0, groups, 25, seed=2027)
     v0 = sample_velocities(masses, 300.0, seed=2028).astype(dtype)

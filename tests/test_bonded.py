@@ -211,32 +211,37 @@ def test_water_pattern_fast_path_matches_generic():
     n = 3 * nw + 7
     conf = jnp.asarray(rng.normal(0, 1, (n, 3)))
 
-    bonded_mod.WATER_FAST_PATH = True
-    bidx = []
-    for w in range(nw):
-        bidx += [[3 * w, 3 * w + 1], [3 * w, 3 * w + 2]]
-    bidx += [[3 * nw, 3 * nw + 3], [3 * nw + 1, 3 * nw + 5], [-1, -1]]
-    bidx = np.array(bidx, np.int32)
-    bp = jnp.asarray(rng.uniform(100, 500, (len(bidx), 2)))
-    # numpy idxs trigger pattern detection; jnp idxs force the generic path
-    u_fast = bonded.harmonic_bond(conf, bp, None, bidx)
-    u_ref = bonded.harmonic_bond(conf, bp, None, jnp.asarray(bidx))
-    assert float(u_fast) == pytest.approx(float(u_ref), rel=1e-12)
-    g_fast = jax.grad(lambda c: bonded.harmonic_bond(c, bp, None, bidx))(conf)
-    g_ref = jax.grad(lambda c: bonded.harmonic_bond(c, bp, None, jnp.asarray(bidx)))(conf)
-    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-9)
+    saved = bonded_mod.WATER_FAST_PATH
+    try:
+        bonded_mod.WATER_FAST_PATH = True
+        bidx = []
+        for w in range(nw):
+            bidx += [[3 * w, 3 * w + 1], [3 * w, 3 * w + 2]]
+        bidx += [[3 * nw, 3 * nw + 3], [3 * nw + 1, 3 * nw + 5], [-1, -1]]
+        bidx = np.array(bidx, np.int32)
+        bp = jnp.asarray(rng.uniform(100, 500, (len(bidx), 2)))
+        # numpy idxs trigger pattern detection; jnp idxs force the generic path
+        u_fast = bonded.harmonic_bond(conf, bp, None, bidx)
+        u_ref = bonded.harmonic_bond(conf, bp, None, jnp.asarray(bidx))
+        assert float(u_fast) == pytest.approx(float(u_ref), rel=1e-12)
+        g_fast = jax.grad(lambda c: bonded.harmonic_bond(c, bp, None, bidx))(conf)
+        g_ref = jax.grad(lambda c: bonded.harmonic_bond(c, bp, None, jnp.asarray(bidx)))(conf)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-9)
 
-    aidx = [[3 * w + 1, 3 * w, 3 * w + 2] for w in range(nw)] + [[3 * nw, 3 * nw + 1, 3 * nw + 2]]
-    aidx = np.array(aidx, np.int32)
-    ap = jnp.asarray(
-        np.column_stack(
-            [rng.uniform(100, 500, len(aidx)), rng.uniform(1.5, 2.0, len(aidx)), np.full(len(aidx), 1e-3)]
+        aidx = [[3 * w + 1, 3 * w, 3 * w + 2] for w in range(nw)] + [[3 * nw, 3 * nw + 1, 3 * nw + 2]]
+        aidx = np.array(aidx, np.int32)
+        ap = jnp.asarray(
+            np.column_stack(
+                [rng.uniform(100, 500, len(aidx)), rng.uniform(1.5, 2.0, len(aidx)), np.full(len(aidx), 1e-3)]
+            )
         )
-    )
-    u_fast = bonded.harmonic_angle(conf, ap, None, aidx)
-    u_ref = bonded.harmonic_angle(conf, ap, None, jnp.asarray(aidx))
-    assert float(u_fast) == pytest.approx(float(u_ref), rel=1e-10)
-    g_fast = jax.grad(lambda c: bonded.harmonic_angle(c, ap, None, aidx))(conf)
-    g_ref = jax.grad(lambda c: bonded.harmonic_angle(c, ap, None, jnp.asarray(aidx)))(conf)
-    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-9)
-    bonded_mod.WATER_FAST_PATH = False
+        u_fast = bonded.harmonic_angle(conf, ap, None, aidx)
+        u_ref = bonded.harmonic_angle(conf, ap, None, jnp.asarray(aidx))
+        assert float(u_fast) == pytest.approx(float(u_ref), rel=1e-10)
+        g_fast = jax.grad(lambda c: bonded.harmonic_angle(c, ap, None, aidx))(conf)
+        g_ref = jax.grad(lambda c: bonded.harmonic_angle(c, ap, None, jnp.asarray(aidx)))(conf)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-9)
+    finally:
+        # restore — leaking False here disabled the fast path for every
+        # later test in the suite
+        bonded_mod.WATER_FAST_PATH = saved
