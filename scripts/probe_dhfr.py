@@ -67,6 +67,9 @@ def build(variant: str):
     return cfg, bps, masses
 
 
+_X0_CACHE = {}
+
+
 def run(variant: str):
     import jax.numpy as jnp
 
@@ -79,12 +82,17 @@ def run(variant: str):
 
     cfg, bps, masses = build(variant)
     dtype = np.float32
-    x0 = cfg.conf.astype(dtype)
     box = cfg.box
 
-    u_fn = lambda x: sum(bp(x, jnp.asarray(box, dtype)) for bp in bps)
-    force = jax.jit(lambda x: -jax.grad(u_fn)(x))
-    x0 = np.asarray(fire_minimize_jax(jnp.asarray(x0), force, FireMinimizationConfig(400)))
+    # always relax with the FULL physics (stripped variants diverge)
+    if "x0" not in _X0_CACHE:
+        full_bps = build("full")[1] if variant != "full" else bps
+        u_fn = lambda x: sum(bp(x, jnp.asarray(box, dtype)) for bp in full_bps)
+        force = jax.jit(lambda x: -jax.grad(u_fn)(x))
+        _X0_CACHE["x0"] = np.asarray(
+            fire_minimize_jax(jnp.asarray(cfg.conf.astype(dtype)), force, FireMinimizationConfig(400))
+        )
+    x0 = _X0_CACHE["x0"]
 
     intg = LangevinIntegrator(300.0, 0.0, 1.0, masses, seed=2026)  # dt=0: same compute graph, frozen dynamics (stripped variants are not integrable)
     groups = list(cfg.host_topology.group_idxs)

@@ -245,3 +245,56 @@ def test_water_pattern_fast_path_matches_generic():
         # restore — leaking False here disabled the fast path for every
         # later test in the suite
         bonded_mod.WATER_FAST_PATH = saved
+
+
+def test_analytic_bonded_forces_match_autodiff():
+    """generic_bond/angle/torsion_energy_force (closed-form forward forces,
+    ops/bonded.py) must match the autodiff gradient of the energy fns to
+    machine precision in x64, including eps-stabilized angles and padded
+    rows (where the torsion autodiff reference NaNs via the where-mask
+    gradient leak — the analytic path must stay finite)."""
+    import jax
+
+    from timemachine_tpu.ops import bonded as b
+
+    rng = np.random.default_rng(11)
+
+    def rows(n_rows, width, nat):
+        return np.stack([rng.choice(nat, size=width, replace=False) for _ in range(n_rows)]).astype(np.int32)
+
+    nat = 60
+    for _ in range(3):
+        conf = jnp.asarray(rng.normal(0, 1.2, (nat, 3)))
+
+        bidx = rows(30, 2, nat)
+        bp = jnp.asarray(
+            np.column_stack(
+                [rng.uniform(100, 500, 30), np.where(rng.random(30) < 0.2, 0.0, rng.uniform(0.1, 0.2, 30))]
+            )
+        )
+        u1, f1 = b.generic_bond_energy_force(conf, bp, None, bidx)
+        u2, g2 = jax.value_and_grad(lambda c: b.harmonic_bond(c, bp, None, bidx))(conf)
+        assert abs(float(u1 - u2)) < 1e-9
+        np.testing.assert_allclose(np.asarray(f1), -np.asarray(g2), atol=1e-9)
+
+        aidx = rows(20, 3, nat)
+        eps = np.where(rng.random(20) < 0.5, 0.0, rng.uniform(1e-4, 5e-2, 20))
+        ap = jnp.asarray(np.column_stack([rng.uniform(100, 400, 20), rng.uniform(1.0, 2.8, 20), eps]))
+        u1, f1 = b.generic_angle_energy_force(conf, ap, None, aidx)
+        u2, g2 = jax.value_and_grad(lambda c: b.harmonic_angle(c, ap, None, aidx))(conf)
+        assert abs(float(u1 - u2)) < 1e-9
+        np.testing.assert_allclose(np.asarray(f1), -np.asarray(g2), atol=1e-9)
+
+        core = rows(25, 4, nat)
+        tidx = np.concatenate([core, [[-1, -1, -1, -1]]]).astype(np.int32)
+        tp = jnp.asarray(
+            np.column_stack(
+                [rng.uniform(1, 60, 26), rng.uniform(-3, 3, 26), rng.integers(1, 6, 26).astype(float)]
+            )
+        )
+        u1, f1 = b.torsion_energy_force(conf, tp, None, tidx)
+        assert np.all(np.isfinite(np.asarray(f1)))  # padded row stays finite
+        # autodiff reference over the unpadded rows (padded rows NaN under grad)
+        u2, g2 = jax.value_and_grad(lambda c: b.periodic_torsion(c, tp[:25], None, core))(conf)
+        assert abs(float(u1 - u2)) < 1e-9
+        np.testing.assert_allclose(np.asarray(f1), -np.asarray(g2), atol=1e-9)

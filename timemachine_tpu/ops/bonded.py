@@ -306,3 +306,117 @@ def water_angle_energy_force(conf, params, nw: int):
     force_w = jnp.stack([f_o, f_h1, f_h2], axis=1).reshape(3 * nw, 3)
     force = jnp.concatenate([force_w, jnp.zeros((conf.shape[0] - 3 * nw, 3), conf.dtype)])
     return u, force
+
+
+def _scatter_force(force, idxs_col, contrib, mask, n):
+    """force.at[idxs].add(contrib) with padded (-1) rows dropped (negative
+    indices would wrap in JAX; map them out of range and use mode='drop')."""
+    safe = jnp.where(mask, idxs_col, n)
+    return force.at[safe].add(jnp.where(mask[:, None], contrib, 0.0), mode="drop")
+
+
+def generic_bond_energy_force(conf, params, box, idxs):
+    """Closed-form (u, force) for arbitrary harmonic-bond rows — the forward
+    derivative of `harmonic_bond` assembled by gather + scatter-add, skipping
+    the autodiff adjoint (protein/ligand tails; ref k_harmonic_bond.cuh does
+    the same on CUDA)."""
+    n = conf.shape[0]
+    mask = _pad_mask(idxs)
+    ci = _safe_gather(conf, idxs[:, 0])
+    cj = _safe_gather(conf, idxs[:, 1])
+    dx = ci - cj
+    d2 = jnp.sum(dx * dx, axis=-1)
+    safe_d2 = jnp.where(d2 > 0, d2, 1.0)
+    d = jnp.where(d2 > 0, jnp.sqrt(safe_d2), 0.0)
+    k, r0 = params[:, 0], params[:, 1]
+    e = jnp.where(r0 == 0, 0.5 * k * d2, 0.5 * k * (d - r0) ** 2)
+    u = jnp.sum(jnp.where(mask, e, 0.0))
+    # dU/d(ci) = pref * dx with pref = k (r0==0) else k*(d-r0)/d
+    pref = jnp.where(r0 == 0, k, k * (d - r0) / jnp.where(d > 0, d, 1.0))
+    g = pref[:, None] * dx
+    force = jnp.zeros_like(conf)
+    force = _scatter_force(force, idxs[:, 0], -g, mask, n)
+    force = _scatter_force(force, idxs[:, 1], +g, mask, n)
+    return u, force
+
+
+def generic_angle_energy_force(conf, params, box, idxs):
+    """Closed-form (u, force) for harmonic-angle rows, INCLUDING the eps
+    stabilizer: the Kahan form in `stable_angle` equals arccos of the
+    eps-extended vectors (d, eps), whose gradient in the 3-D components is
+    closed-form. Reduces exactly to the water fast-path form at eps == 0."""
+    n = conf.shape[0]
+    mask = _pad_mask(idxs)
+    ci = _safe_gather(conf, idxs[:, 0])
+    cj = _safe_gather(conf, idxs[:, 1])
+    ck = _safe_gather(conf, idxs[:, 2])
+    d1 = ci - cj
+    d2v = ck - cj
+    k, a0, eps = params[:, 0], params[:, 1], params[:, 2]
+    eps2 = eps * eps
+    r1 = jnp.sqrt(jnp.maximum(jnp.sum(d1 * d1, axis=1) + eps2, 1e-24))
+    r2 = jnp.sqrt(jnp.maximum(jnp.sum(d2v * d2v, axis=1) + eps2, 1e-24))
+    c = jnp.clip((jnp.sum(d1 * d2v, axis=1) + eps2) / (r1 * r2), -1.0 + 1e-7, 1.0 - 1e-7)
+    s_inv = (1.0 - c * c) ** -0.5
+    theta = jnp.arccos(c)
+    delta = theta - a0
+    u = jnp.sum(jnp.where(mask, 0.5 * k * delta * delta, 0.0))
+    # dtheta/d(d1) = -s_inv (d2/(r1 r2) - c d1/r1^2); force = -k delta dtheta
+    g = (k * delta * s_inv)[:, None]
+    f_i = g * (d2v / (r1 * r2)[:, None] - c[:, None] * d1 / (r1 * r1)[:, None])
+    f_k = g * (d1 / (r1 * r2)[:, None] - c[:, None] * d2v / (r2 * r2)[:, None])
+    force = jnp.zeros_like(conf)
+    force = _scatter_force(force, idxs[:, 0], f_i, mask, n)
+    force = _scatter_force(force, idxs[:, 1], -(f_i + f_k), mask, n)
+    force = _scatter_force(force, idxs[:, 2], f_k, mask, n)
+    return u, force
+
+
+def torsion_energy_force(conf, params, box, idxs):
+    """Closed-form (u, force) for periodic-torsion rows via the
+    Blondel-Karplus dihedral gradient (adapted to this module's
+    `signed_torsion_angle` vector convention; ref k_periodic_torsion.cuh).
+    Collinear near-singularities are clamped the same way autodiff's
+    1/|n|^2 factors saturate."""
+    n = conf.shape[0]
+    mask = _pad_mask(idxs)
+    conf3 = conf[:, :3]
+    ci = _safe_gather(conf3, idxs[:, 0])
+    cj = _safe_gather(conf3, idxs[:, 1])
+    ck = _safe_gather(conf3, idxs[:, 2])
+    cl = _safe_gather(conf3, idxs[:, 3])
+    rij = cj - ci
+    rkj = cj - ck
+    rkl = cl - ck
+    n1 = jnp.cross(rij, rkj)
+    n2 = jnp.cross(rkj, rkl)
+    rkj2 = jnp.sum(rkj * rkj, axis=-1)
+    rkj_norm = jnp.sqrt(jnp.maximum(rkj2, 1e-24))
+    y = jnp.sum(jnp.cross(n1, n2) * rkj, axis=-1) / rkj_norm
+    x = jnp.sum(n1 * n2, axis=-1)
+    phi = jnp.arctan2(y, x)
+    k, phase, period = params[:, 0], params[:, 1], params[:, 2]
+    u = jnp.sum(jnp.where(mask, k * (1.0 + jnp.cos(period * phi - phase)), 0.0))
+
+    dU = -k * period * jnp.sin(period * phi - phase)  # dU/dphi
+    n1_2 = jnp.maximum(jnp.sum(n1 * n1, axis=-1), 1e-18)
+    n2_2 = jnp.maximum(jnp.sum(n2 * n2, axis=-1), 1e-18)
+    # phi == -phi_std (std: b2 = rk - rj = -rkj; m_std = -n1, n_std = -n2),
+    # so F = -dU/dphi * dphi/dr = +dU/dphi * dphi_std/dr with
+    # dphi_std/dri = |rkj| n1/|n1|^2, dphi_std/drl = -|rkj| n2/|n2|^2
+    gi = (rkj_norm / n1_2)[:, None] * n1
+    gl = -(rkj_norm / n2_2)[:, None] * n2
+    t = -(jnp.sum(rij * rkj, axis=-1) / jnp.maximum(rkj2, 1e-24))
+    s = -(jnp.sum(rkl * rkj, axis=-1) / jnp.maximum(rkj2, 1e-24))
+    gj = -(t + 1.0)[:, None] * gi + s[:, None] * gl
+    gk = t[:, None] * gi - (s + 1.0)[:, None] * gl
+
+    w = jnp.where(mask, dU, 0.0)[:, None]
+    force3 = jnp.zeros_like(conf3)
+    force3 = force3.at[jnp.where(mask, idxs[:, 0], n)].add(w * gi, mode="drop")
+    force3 = force3.at[jnp.where(mask, idxs[:, 1], n)].add(w * gj, mode="drop")
+    force3 = force3.at[jnp.where(mask, idxs[:, 2], n)].add(w * gk, mode="drop")
+    force3 = force3.at[jnp.where(mask, idxs[:, 3], n)].add(w * gl, mode="drop")
+    if conf.shape[1] > 3:
+        force3 = jnp.concatenate([force3, jnp.zeros((n, conf.shape[1] - 3), conf.dtype)], axis=1)
+    return u, force3

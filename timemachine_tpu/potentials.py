@@ -88,24 +88,25 @@ class HarmonicBond(Potential):
         return bonded.harmonic_bond(conf, params, box, self.idxs)
 
     def energy_force_fn(self):
-        """Fused analytic (u, force) when leading waters are strided — skips
-        the autodiff adjoint on the dominant solvent term; ligand/tail bonds
-        still go through grad."""
-        nw = bonded._leading_water_bonds(np.asarray(self.idxs))
-        if nw == 0:
+        """Fused analytic (u, force): strided fast path for leading waters,
+        closed-form gather/scatter for all remaining rows (no autodiff
+        adjoint anywhere; ref k_harmonic_bond.cuh computes forces in the
+        forward pass the same way)."""
+        idxs = np.asarray(self.idxs)
+        if idxs.shape[0] == 0:
             return None
-        rest_idxs = np.asarray(self.idxs)[2 * nw :]
+        nw = bonded._leading_water_bonds(idxs)
+        rest_idxs = idxs[2 * nw :]
 
         def ef(conf, params, box):
-            u, force = bonded.water_bond_energy_force(conf, params[: 2 * nw], nw)
+            if nw:
+                u, force = bonded.water_bond_energy_force(conf, params[: 2 * nw], nw)
+            else:
+                u, force = 0.0, jnp.zeros_like(conf)
             if len(rest_idxs):
-                import jax as _jax
-
-                u_rest, pull = _jax.value_and_grad(
-                    lambda x: bonded.harmonic_bond(x, params[2 * nw :], box, rest_idxs)
-                )(conf)
+                u_rest, f_rest = bonded.generic_bond_energy_force(conf, params[2 * nw :], box, rest_idxs)
                 u = u + u_rest
-                force = force - pull
+                force = force + f_rest
             return u, force
 
         return ef
@@ -123,26 +124,26 @@ class HarmonicAngle(Potential):
         return bonded.harmonic_angle(conf, params, box, self.idxs)
 
     def energy_force_fn(self):
-        """Fused analytic (u, force) for the strided leading-water angles.
-        Valid because water angle rows carry eps == 0 (builders.py:127 and
-        the OpenMM deserializer both emit 0.0; the analytic arccos form then
-        equals `stable_angle` exactly). Ligand/tail angles — where nonzero
-        eps can appear at intermediate lambdas — go through autodiff."""
-        nw = bonded._leading_water_angles(np.asarray(self.idxs))
-        if nw == 0:
+        """Fused analytic (u, force): strided fast path for the leading-water
+        H-O-H rows (valid because water rows carry eps == 0 — builders.py:127
+        and the OpenMM deserializer both emit 0.0), eps-aware closed-form
+        gather/scatter for all remaining rows (generic_angle_energy_force
+        handles the `stable_angle` eps stabilizer analytically)."""
+        idxs = np.asarray(self.idxs)
+        if idxs.shape[0] == 0:
             return None
-        rest_idxs = np.asarray(self.idxs)[nw:]
+        nw = bonded._leading_water_angles(idxs)
+        rest_idxs = idxs[nw:]
 
         def ef(conf, params, box):
-            u, force = bonded.water_angle_energy_force(conf, params[:nw], nw)
+            if nw:
+                u, force = bonded.water_angle_energy_force(conf, params[:nw], nw)
+            else:
+                u, force = 0.0, jnp.zeros_like(conf)
             if len(rest_idxs):
-                import jax as _jax
-
-                u_rest, pull = _jax.value_and_grad(
-                    lambda x: bonded.harmonic_angle(x, params[nw:], box, rest_idxs)
-                )(conf)
+                u_rest, f_rest = bonded.generic_angle_energy_force(conf, params[nw:], box, rest_idxs)
                 u = u + u_rest
-                force = force - pull
+                force = force + f_rest
             return u, force
 
         return ef
@@ -158,6 +159,20 @@ class PeriodicTorsion(Potential):
 
     def __call__(self, conf, params, box):
         return bonded.periodic_torsion(conf, params, box, self.idxs)
+
+    def energy_force_fn(self):
+        """Fused analytic (u, force) via the Blondel-Karplus dihedral
+        gradient (ops/bonded.py torsion_energy_force) — skips the autodiff
+        adjoint AND is NaN-free on padded (-1) rows, where autodiff's
+        `where`-mask leaks atan2(0, 0) gradients."""
+        idxs = np.asarray(self.idxs)
+        if idxs.shape[0] == 0:
+            return None
+
+        def ef(conf, params, box):
+            return bonded.torsion_energy_force(conf, params, box, idxs)
+
+        return ef
 
 
 @dataclass(eq=False)
