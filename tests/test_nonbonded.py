@@ -248,3 +248,45 @@ def test_water_exclusion_fast_path_matches_generic():
             )
         )(conf)
         np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-10)
+
+
+def test_exclusion_energy_force_analytic_matches_autodiff():
+    """Nonbonded._exclusion_energy_force (water strided block + closed-form
+    generic tail, used by the Pallas MD provider) must match
+    value_and_grad(_exclusion_energy) exactly."""
+    import jax
+
+    from timemachine_tpu import potentials
+
+    rng = np.random.default_rng(9)
+    nw = 8
+    n = 3 * nw + 10
+    # strided waters then a 10-atom "solute" with chained exclusions
+    conf = jnp.asarray(rng.uniform(0, 2.5, (n, 3)))
+    box = jnp.eye(3) * 2.5
+    params = np.column_stack(
+        [rng.normal(0, 8, n), rng.uniform(0.05, 0.2, n), rng.uniform(0.1, 0.9, n), np.zeros(n)]
+    )
+    excl, scales = [], []
+    for w in range(nw):
+        o, h1, h2 = 3 * w, 3 * w + 1, 3 * w + 2
+        excl += [[o, h1], [o, h2], [h1, h2]]
+        scales += [[1.0, 1.0]] * 3
+    for i in range(3 * nw, n - 1):
+        excl.append([i, i + 1])
+        scales.append([1.0, 1.0] if i % 2 else [0.5, 0.5])
+    nb = potentials.Nonbonded(
+        n, np.array(excl, np.int32), np.array(scales, np.float64), 2.0, 1.2
+    )
+    # engage the polynomial-ES analytic tail without compiling a TPU kernel
+    nb.impl = "pallas"
+    coeffs = np.polynomial.chebyshev.chebfit(
+        np.linspace(-1, 1, 400), np.exp(-2.0 * np.linspace(0, 1.2, 400)), 14
+    )
+    nb._all_pairs.es_h_coeffs = lambda: coeffs
+
+    p = jnp.asarray(params)
+    u_ref, g_ref = jax.value_and_grad(nb._exclusion_energy)(conf, p, box)
+    u, g = nb._exclusion_energy_force(conf, p, box)
+    np.testing.assert_allclose(float(u), float(u_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-9, atol=1e-8)

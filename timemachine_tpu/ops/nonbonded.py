@@ -415,3 +415,66 @@ def water_exclusion_energy(conf, params, box, nw, beta, cutoff, es_poly_coeffs=N
             es = jnp.where(keep, qij * _chebval(t, es_poly_coeffs) / dij_safe, 0.0)
         u = u + jnp.sum(es)
     return u
+
+
+def specific_pairs_energy_force(conf, params, box, pairs, beta, cutoff, rescale_mask, es_poly_coeffs):
+    """Closed-form (u, force) of `nonbonded_on_specific_pairs` with
+    polynomial (Chebyshev) electrostatics — the exclusion-correction hot
+    path. u = Σ vdW + Σ es (caller negates for exclusions); force = -dU/dx
+    assembled by scatter-add, skipping the autodiff adjoint.
+
+    Requires es_poly_coeffs (the rowscan kernel's own h(u) series so the
+    cancellation against the all-pairs term is exact); callers without a
+    polynomial ES stay on autodiff."""
+    import numpy as _np
+
+    n = conf.shape[0]
+    if pairs.shape[0] == 0:
+        return jnp.asarray(0.0, dtype=conf.dtype), jnp.zeros_like(conf)
+    coeffs = jnp.asarray(es_poly_coeffs, dtype=conf.dtype)
+    dcoeffs = jnp.asarray(_np.polynomial.chebyshev.chebder(_np.asarray(es_poly_coeffs)), dtype=conf.dtype)
+
+    valid = jnp.all(pairs >= 0, axis=-1)
+    safe_pairs = jnp.where(pairs >= 0, pairs, 0)
+    inds_l, inds_r = safe_pairs[:, 0], safe_pairs[:, 1]
+
+    charges, sig, eps, w = params[:, 0], params[:, 1], params[:, 2], params[:, 3]
+    w_offsets = w[inds_l] - w[inds_r]
+    from timemachine_tpu.ops.pbc import periodic_delta
+
+    dx = periodic_delta(conf[inds_l], conf[inds_r], box)  # (P, 3)
+    d2 = jnp.sum(dx * dx, axis=-1) + w_offsets**2
+    safe_d2 = jnp.where(d2 > 0, d2, 1.0)
+    dij = jnp.where(d2 > 0, jnp.sqrt(safe_d2), 0.0)
+    keep = valid & (dij < cutoff)
+    dij_safe = jnp.where(dij > 0, dij, 1.0)
+
+    sig_ij = jnp.where(keep, combine_sigma(sig[inds_l], sig[inds_r]), 0.0)
+    eps_ij = jnp.where(keep, combine_epsilon(eps[inds_l], eps[inds_r]), 0.0)
+    lj_scale = rescale_mask[:, 1]
+    q_scale = rescale_mask[:, 0]
+    eps_eff = jnp.where(lj_scale != 0, eps_ij * lj_scale, 0.0)
+
+    inv_d = 1.0 / dij_safe
+    sig6 = jnp.where(eps_eff != 0, (sig_ij * inv_d) ** 6, 0.0)
+    vdW = 4.0 * eps_eff * (sig6 * sig6 - sig6)
+    # d(vdW)/dd = 4 eps (-12 sig12/d^13 + 6 sig6/d^7) = (4 eps / d)(6 sig6 - 12 sig12)
+    dvdW = 4.0 * eps_eff * inv_d * (6.0 * sig6 - 12.0 * sig6 * sig6)
+
+    qij = jnp.where(keep, charges[inds_l] * charges[inds_r] * q_scale, 0.0)
+    t = 2.0 * (dij_safe / SWITCH_CUTOFF) - 1.0
+    h = _chebval(t, coeffs)
+    hp = _chebval(t, dcoeffs)
+    es = qij * h * inv_d
+    # d(es)/dd = q (h'(t) (2/S) / d - h / d^2)
+    des = qij * (hp * (2.0 / SWITCH_CUTOFF) * inv_d - h * inv_d * inv_d)
+
+    u = jnp.sum(vdW + es)
+    dU = jnp.where(keep, dvdW + des, 0.0)  # dU/dd per pair
+    # force on l = -dU/dd * (dx / d); force on r = +...
+    g = (dU * inv_d)[:, None] * dx
+    g = jnp.where(keep[:, None], g, 0.0)
+    force = jnp.zeros_like(conf)
+    force = force.at[jnp.where(keep, inds_l, n)].add(-g, mode="drop")
+    force = force.at[jnp.where(keep, inds_r, n)].add(+g, mode="drop")
+    return u, force

@@ -542,9 +542,37 @@ class Nonbonded(Potential):
         )
         return u + jnp.sum(vdW) + jnp.sum(es)
 
+    def _exclusion_energy_force(self, conf, params, box):
+        """(u_exc, dU_exc/dx): strided autodiff for the leading-water block
+        (scatter-free adjoint), closed-form gather/scatter
+        (ops/nonbonded.py specific_pairs_energy_force) for the generic tail
+        when the polynomial ES series is available; full autodiff otherwise."""
+        exc_idxs, exc_scales = self._filtered
+        h_coeffs = self._all_pairs.es_h_coeffs() if self.impl == "pallas" else None
+        nw = nonbonded.leading_water_exclusions(exc_idxs, exc_scales)
+        tail_idxs = np.asarray(exc_idxs)[3 * nw :]
+        tail_scales = np.asarray(exc_scales)[3 * nw :]
+        if h_coeffs is None:
+            return jax.value_and_grad(self._exclusion_energy)(conf, params, box)
+        u, g = 0.0, jnp.zeros_like(conf)
+        if nw:
+            u_w, g_w = jax.value_and_grad(
+                lambda c: nonbonded.water_exclusion_energy(
+                    c, params, box, nw, self.beta, self.cutoff, es_poly_coeffs=h_coeffs
+                )
+            )(conf)
+            u, g = u + u_w, g + g_w
+        if len(tail_idxs):
+            u_t, f_t = nonbonded.specific_pairs_energy_force(
+                conf, params, box, tail_idxs, self.beta, self.cutoff, jnp.asarray(tail_scales), h_coeffs
+            )
+            u, g = u + u_t, g - f_t  # f_t = -dU_t/dx
+        return u, g
+
     def energy_force_fn(self):
         """Fused (u, force) when the AllPairs term runs on the Pallas path;
-        the (small) exclusion correction goes through autodiff."""
+        the exclusion correction uses the analytic pair force (see
+        _exclusion_energy_force)."""
         ef = self._all_pairs.energy_force_fn()
         if ef is None:
             return None
@@ -554,7 +582,7 @@ class Nonbonded(Potential):
         def fn(conf, params, box):
             u, f = ef(conf, params, box)
             if has_exclusions:
-                u_exc, g_exc = jax.value_and_grad(self._exclusion_energy)(conf, params, box)
+                u_exc, g_exc = self._exclusion_energy_force(conf, params, box)
                 u = u - u_exc
                 f = f + g_exc
             return u, f
@@ -578,7 +606,7 @@ class Nonbonded(Potential):
         def apply_fn(state, conf, params, box, t):
             u, f, state = apply_ap(state, conf, params, box, t)
             if has_exclusions:
-                u_exc, g_exc = jax.value_and_grad(self._exclusion_energy)(conf, params, box)
+                u_exc, g_exc = self._exclusion_energy_force(conf, params, box)
                 u = u - u_exc
                 f = f + g_exc
             return u, f, state
