@@ -570,3 +570,64 @@ def permute_host_config_atoms(cfg: HostConfig, perm: np.ndarray) -> HostConfig:
         host_topology=topology,
         masses=cfg.masses[perm],
     )
+
+
+def save_host_config(cfg: HostConfig, path: str):
+    """Serialize a parameterized HostConfig's arrays to an npz (term idxs +
+    params + conf/box/masses). Pairs with load_host_config — used to skip
+    the SMIRKS-typing cost of protein hosts on repeat benchmark runs."""
+    hs = cfg.host_system
+    nb = hs.nonbonded_all_pairs
+    np.savez_compressed(
+        path,
+        bond_idxs=np.asarray(hs.bond.potential.idxs),
+        bond_params=np.asarray(hs.bond.params),
+        angle_idxs=np.asarray(hs.angle.potential.idxs),
+        angle_params=np.asarray(hs.angle.params),
+        proper_idxs=np.asarray(hs.proper.potential.idxs),
+        proper_params=np.asarray(hs.proper.params),
+        improper_idxs=np.asarray(hs.improper.potential.idxs),
+        improper_params=np.asarray(hs.improper.params),
+        excl_idxs=np.asarray(nb.potential.exclusion_idxs),
+        excl_scales=np.asarray(nb.potential.scale_factors),
+        nb_params=np.asarray(nb.params),
+        beta=nb.potential.beta,
+        cutoff=nb.potential.cutoff,
+        conf=cfg.conf,
+        box=cfg.box,
+        masses=cfg.masses,
+        num_water_atoms=cfg.num_water_atoms,
+    )
+
+
+def load_host_config(path: str) -> "HostConfig | None":
+    """Rebuild a HostConfig from save_host_config's npz; None if unreadable.
+    The topology record carries group indices (recomputed from bonds) but no
+    residue templates — env-BCC callers need the full build."""
+    from timemachine_tpu.md.utils import get_group_indices
+
+    try:
+        z = np.load(path)
+        n = z["conf"].shape[0]
+        system = HostSystem(
+            bond=potentials.HarmonicBond(z["bond_idxs"]).bind(z["bond_params"]),
+            angle=potentials.HarmonicAngle(z["angle_idxs"]).bind(z["angle_params"]),
+            proper=potentials.PeriodicTorsion(z["proper_idxs"].reshape(-1, 4)).bind(z["proper_params"]),
+            improper=potentials.PeriodicTorsion(z["improper_idxs"].reshape(-1, 4)).bind(z["improper_params"]),
+            nonbonded_all_pairs=potentials.Nonbonded(
+                n, z["excl_idxs"], z["excl_scales"], float(z["beta"]), float(z["cutoff"])
+            ).bind(z["nb_params"]),
+        )
+        bond_list = [tuple(map(int, b)) for b in z["bond_idxs"]]
+        group_idxs = get_group_indices(bond_list, n)
+        topology = HostTopology(residues=[], group_idxs=group_idxs)
+        return HostConfig(
+            host_system=system,
+            conf=z["conf"],
+            box=z["box"],
+            num_water_atoms=int(z["num_water_atoms"]),
+            host_topology=topology,
+            masses=z["masses"],
+        )
+    except Exception:
+        return None

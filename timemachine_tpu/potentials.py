@@ -658,6 +658,19 @@ class NonbondedInteractionGroup(Potential):
         )
         return jnp.sum(vdW) + jnp.sum(es)
 
+    def energy_force_fn(self):
+        """Fused (u, force) in grid form: both sides' forces are axis
+        reductions over the (rows × cols) pair grid instead of 2·R·C
+        scatter-adds through the autodiff adjoint — the dominant per-step
+        cost of RBFE windows (ops/nonbonded.py interaction_group_energy_force)."""
+
+        def ef(conf, params, box):
+            return nonbonded.interaction_group_energy_force(
+                conf, params, box, self.row_atom_idxs, self.col_atom_idxs, self.beta, self.cutoff
+            )
+
+        return ef
+
 
 @dataclass(eq=False)
 class NonbondedPairList(Potential):

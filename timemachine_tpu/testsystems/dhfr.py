@@ -48,7 +48,7 @@ def setup_dhfr_native(waters_first: bool = False, cache_path: str = _NATIVE_CACH
     waters_first=True returns the apo-benchmark ordering (solvent leading,
     via builders.permute_host_config_atoms) that enables the analytic water
     bonded fast path in the MD Context."""
-    cfg = _load_cache(cache_path) if cache_path and os.path.exists(cache_path) else None
+    cfg = builders.load_host_config(cache_path) if cache_path and os.path.exists(cache_path) else None
     if cfg is None:
         import warnings
 
@@ -57,70 +57,13 @@ def setup_dhfr_native(waters_first: bool = False, cache_path: str = _NATIVE_CACH
             warnings.simplefilter("default")
             cfg = builders.build_protein_system(pdb_path, "amber99sbildn", "tip3p")
         if cache_path:
-            _save_cache(cfg, cache_path)
+            builders.save_host_config(cfg, cache_path)
     if waters_first:
         n = cfg.conf.shape[0]
         n_p = n - cfg.num_water_atoms
         perm = np.concatenate([np.arange(n_p, n), np.arange(n_p)])
         cfg = builders.permute_host_config_atoms(cfg, perm)
     return cfg
-
-
-def _save_cache(cfg: builders.HostConfig, path: str):
-    hs = cfg.host_system
-    nb = hs.nonbonded_all_pairs
-    np.savez_compressed(
-        path,
-        bond_idxs=np.asarray(hs.bond.potential.idxs),
-        bond_params=np.asarray(hs.bond.params),
-        angle_idxs=np.asarray(hs.angle.potential.idxs),
-        angle_params=np.asarray(hs.angle.params),
-        proper_idxs=np.asarray(hs.proper.potential.idxs),
-        proper_params=np.asarray(hs.proper.params),
-        improper_idxs=np.asarray(hs.improper.potential.idxs),
-        improper_params=np.asarray(hs.improper.params),
-        excl_idxs=np.asarray(nb.potential.exclusion_idxs),
-        excl_scales=np.asarray(nb.potential.scale_factors),
-        nb_params=np.asarray(nb.params),
-        beta=nb.potential.beta,
-        cutoff=nb.potential.cutoff,
-        conf=cfg.conf,
-        box=cfg.box,
-        masses=cfg.masses,
-        num_water_atoms=cfg.num_water_atoms,
-    )
-
-
-def _load_cache(path: str):
-    from timemachine_tpu import potentials
-    from timemachine_tpu.fe.system import HostSystem
-    from timemachine_tpu.md.utils import get_group_indices
-
-    try:
-        z = np.load(path)
-        n = z["conf"].shape[0]
-        system = HostSystem(
-            bond=potentials.HarmonicBond(z["bond_idxs"]).bind(z["bond_params"]),
-            angle=potentials.HarmonicAngle(z["angle_idxs"]).bind(z["angle_params"]),
-            proper=potentials.PeriodicTorsion(z["proper_idxs"].reshape(-1, 4)).bind(z["proper_params"]),
-            improper=potentials.PeriodicTorsion(z["improper_idxs"].reshape(-1, 4)).bind(z["improper_params"]),
-            nonbonded_all_pairs=potentials.Nonbonded(
-                n, z["excl_idxs"], z["excl_scales"], float(z["beta"]), float(z["cutoff"])
-            ).bind(z["nb_params"]),
-        )
-        bond_list = [tuple(map(int, b)) for b in z["bond_idxs"]]
-        group_idxs = get_group_indices(bond_list, n)
-        topology = builders.HostTopology(residues=[], group_idxs=group_idxs)
-        return builders.HostConfig(
-            host_system=system,
-            conf=z["conf"],
-            box=z["box"],
-            num_water_atoms=int(z["num_water_atoms"]),
-            host_topology=topology,
-            masses=z["masses"],
-        )
-    except Exception:
-        return None
 
 
 def setup_dhfr_scale_waterbox(n_atoms_target: int = 23_000):
