@@ -214,3 +214,32 @@ def test_gasteiger_fallback_is_loud_and_strict_mode_errors(monkeypatch):
         _warnings.simplefilter("error", GasteigerFallbackWarning)
         q2 = compute_or_load_base_charges(charged)
     assert q2.shape == (charged.num_atoms,)
+
+
+def test_gasteiger_fallback_never_masquerades_as_am1():
+    """Degraded (Gasteiger) charges are cached under their own GasteigerCache
+    key — never under the AM1-family cache property — and a second call loads
+    them silently without re-warning."""
+    import warnings as _warnings
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from timemachine_tpu.chem import mol_from_smiles
+    from timemachine_tpu.ff.handlers import (
+        AM1ELF10_CHARGE_CACHE,
+        GASTEIGER_CHARGE_CACHE,
+        GasteigerFallbackWarning,
+        compute_or_load_base_charges,
+    )
+
+    mol = mol_from_smiles("c1ccccc1O", add_hs=True)
+    with _pytest.warns(GasteigerFallbackWarning):
+        q1 = compute_or_load_base_charges(mol)
+    assert AM1ELF10_CHARGE_CACHE not in mol.props
+    assert GASTEIGER_CHARGE_CACHE in mol.props
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", GasteigerFallbackWarning)
+        q2 = compute_or_load_base_charges(mol)
+    _np.testing.assert_array_equal(_np.asarray(q1), _np.asarray(q2))

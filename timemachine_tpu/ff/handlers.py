@@ -172,6 +172,13 @@ def compute_or_load_base_charges(mol: Mol, mode: str = "AM1ELF10"):
         q = np.array([float(x) for x in str(mol.props["PartialCharges"]).split()])
         assert len(q) == mol.num_atoms
         return q * np.sqrt(constants.ONE_4PI_EPS0)
+    if GASTEIGER_CHARGE_CACHE in mol.props:
+        # a previous call on this mol already fell back (and warned once);
+        # degraded charges live under their OWN key so they can never
+        # masquerade as AM1-family values on later reads or serialization
+        charges = pickle.loads(base64.b64decode(mol.props[GASTEIGER_CHARGE_CACHE]))
+        assert len(charges) == mol.num_atoms
+        return np.array(charges, dtype=np.float64)
     if strict_base_charges():
         raise MissingBaseChargesError(
             f"No {mode} charge cache on mol {mol.name!r} and no QM backend available. "
@@ -191,7 +198,7 @@ def compute_or_load_base_charges(mol: Mol, mode: str = "AM1ELF10"):
 
     q = gasteiger_charges(mol)
     scaled = q * np.sqrt(constants.ONE_4PI_EPS0)
-    mol.props[cache_prop] = base64.b64encode(pickle.dumps(list(scaled)))
+    mol.props[GASTEIGER_CHARGE_CACHE] = base64.b64encode(pickle.dumps(list(scaled)))
     return scaled
 
 

@@ -27,6 +27,7 @@ from timemachine_tpu.md.context import Context
 from timemachine_tpu.md.fire import FireMinimizationConfig, ScipyMinimizationConfig, fire_minimize_jax
 from timemachine_tpu.md.utils import get_bond_list, get_group_indices
 from timemachine_tpu.ops.bonded import harmonic_positional_restraint
+from timemachine_tpu import potentials
 from timemachine_tpu.potentials import BoundPotential, HarmonicBond, get_potential_by_type
 
 
@@ -112,6 +113,15 @@ def make_host_du_dx_fxn(mols, host_config, ff, mol_coords=None, lamb: float = 0.
         mol_coords = [get_romol_conf(mol) for mol in mols]
     lig_coords = jnp.concatenate(mol_coords)
     box = jnp.asarray(host_config.box)
+
+    # protein-scale hosts: the dense N² path materializes (N, N) work per
+    # energy eval; use the tiled neighborlisted impl (pure XLA, so jax.grad
+    # below still works — the Pallas kernel has no VJP and stays MD-only)
+    for bp in bps:
+        pot = bp.potential
+        if isinstance(pot, potentials.Nonbonded) and pot.impl == "dense" and pot.num_atoms >= 4096:
+            x_full = np.concatenate([np.asarray(host_config.conf), np.asarray(lig_coords)])
+            pot.set_impl("tiled").configure_tiled(np.asarray(box), conf=x_full)
 
     def u_host(x_host):
         x = jnp.concatenate([x_host, lig_coords])

@@ -225,10 +225,21 @@ class LogFlatBottomBond(Potential):
 
 
 def _dense_masks(num_atoms, exclusion_idxs, scale_factors):
+    """(N, N) exclusion rescale masks, built IN-JIT from the exclusion list.
+
+    Host-side numpy masks would be embedded in the jitted program as O(N²)
+    literal constants — at protein-host sizes that serializes gigabytes into
+    the executable (and overflows remote-compile transports). The traced
+    scatter form keeps the program body O(E)."""
     if len(exclusion_idxs) == 0:
-        ones = np.ones((num_atoms, num_atoms))
+        ones = jnp.ones((num_atoms, num_atoms))
         return ones, ones
-    return nonbonded.exclusions_to_rescale_masks(exclusion_idxs, scale_factors, num_atoms)
+    idxs = np.asarray(exclusion_idxs, dtype=np.int32)
+    scales = np.asarray(scale_factors, dtype=np.float64).reshape(-1, 2)
+    i, j = idxs[:, 0], idxs[:, 1]
+    q_mask = jnp.ones((num_atoms, num_atoms)).at[i, j].set(1.0 - scales[:, 0]).at[j, i].set(1.0 - scales[:, 0])
+    lj_mask = jnp.ones((num_atoms, num_atoms)).at[i, j].set(1.0 - scales[:, 1]).at[j, i].set(1.0 - scales[:, 1])
+    return q_mask, lj_mask
 
 
 @dataclass(eq=False)
