@@ -1,0 +1,138 @@
+"""Dotscan kernel (v5, MXU-assisted) parity vs the rowscan production
+kernel, interpret mode on CPU. Covers the dot-identity distances, per-column
+row-center image shifts, row-center quantization, and the matmul-form
+force/reaction accumulation (ops/pallas/dotscan_kernel.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from timemachine_tpu.ops.pallas import dotscan_kernel as dk
+from timemachine_tpu.ops.pallas.rowscan_kernel import (
+    es_energy_force_series,
+    make_nonbonded_rowscan_energy_force,
+    make_nonbonded_rowscan_md,
+    suggest_max_pairs,
+)
+
+BETA, CUTOFF = 2.0, 1.2
+
+
+def lattice_fluid(n, n_side, jitter, seed, spacing=0.31):
+    rng = np.random.default_rng(seed)
+    pts = np.stack(np.meshgrid(*[np.arange(n_side)] * 3, indexing="ij"), -1).reshape(-1, 3) * spacing
+    conf = pts[:n] + rng.normal(0, jitter, (n, 3))
+    box = np.eye(3) * (n_side * spacing)
+    charges = rng.uniform(-0.8, 0.8, n) * np.sqrt(138.935456)
+    params = np.stack(
+        [charges, rng.uniform(0.05, 0.16, n), rng.uniform(0.05, 0.9, n) ** 0.5, np.zeros(n)], 1
+    )
+    return conf, params, box
+
+
+def run_dotscan(conf, params, box, triangular):
+    conf32 = jnp.asarray(conf, jnp.float32)
+    params32 = jnp.asarray(params, jnp.float32)
+    box32 = jnp.asarray(box, jnp.float32)
+    n = conf.shape[0]
+    mp = dk.suggest_max_pairs(conf, box, CUTOFF, triangular=triangular)
+    po, rs, rc, ci, cq, ov = dk.build_dotscan_tiles(
+        conf32, params32, box32, CUTOFF, max_pairs=mp, triangular=triangular
+    )
+    assert int(ov) == 0
+    n_pad = po.shape[0]
+    inv = jnp.zeros(n, jnp.int32).at[po[:n]].set(jnp.arange(n, dtype=jnp.int32))
+    box_diag = jnp.diagonal(box32)
+    wrapped = conf32[:, :3] - box_diag * jnp.floor(conf32[:, :3] / box_diag)
+    xyzN = wrapped[po]
+    valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
+    pr = params32[po]
+    prowsT = jnp.stack([pr[:, 3], pr[:, 0] * valid, pr[:, 1], 2.0 * pr[:, 2] * valid], 1)
+    z1 = jnp.zeros((1, n_pad), jnp.float32)
+    atoms8 = jnp.concatenate([xyzN.T, prowsT.T, z1], 0)
+    atomsT = jnp.concatenate([xyzN, prowsT, z1.T], 1)
+    h, p = es_energy_force_series(BETA, CUTOFF)
+    out = dk.dotscan_sweep(
+        atoms8, atomsT, rs, rc, ci, cq, dk._scalars(box32, CUTOFF), n_pad // 32, mp, h, p,
+        compute_u=True, interpret=True, triangular=triangular,
+    )
+    return float(jnp.sum(out[:, 0])), -np.asarray(out[inv, 1:4])
+
+
+@pytest.mark.parametrize("triangular", [True, False])
+def test_dotscan_matches_rowscan(triangular):
+    n = 18**3  # box 5.58 nm: row half-extents + cutoff clear box/2
+    conf, params, box = lattice_fluid(n, 18, 0.05, seed=0, spacing=0.31)
+    assert dk.dotscan_valid(conf, box, CUTOFF)
+
+    mp = suggest_max_pairs(conf, box, CUTOFF, triangular=True)
+    u_ref, f_ref = make_nonbonded_rowscan_energy_force(BETA, CUTOFF, mp, interpret=True, triangular=True)(
+        conf, params, box
+    )
+    u_d, f_d = run_dotscan(conf, params, box, triangular)
+
+    # dot-identity r^2 carries ~1e-6 absolute f32 cancellation error around
+    # the row-center frame; energies/forces agree to ~1e-5 relative
+    assert u_d == pytest.approx(float(u_ref), rel=2e-5)
+    err = np.abs(f_d - np.asarray(f_ref)).max()
+    assert err / np.abs(np.asarray(f_ref)).max() < 5e-5
+
+
+def test_dotscan_4d_lifted_w():
+    # decoupled atoms riding the w dimension (alchemical end states) must
+    # contribute through the dot-form distances identically
+    n = 18**3
+    conf, params, box = lattice_fluid(n, 18, 0.04, seed=1, spacing=0.31)
+    rng = np.random.default_rng(7)
+    params = params.copy()
+    params[:, 3] = rng.uniform(0.0, 0.6, n) * (rng.random(n) < 0.1)
+
+    mp = suggest_max_pairs(conf, box, CUTOFF, triangular=True)
+    u_ref, f_ref = make_nonbonded_rowscan_energy_force(BETA, CUTOFF, mp, interpret=True, triangular=True)(
+        conf, params, box
+    )
+    u_d, f_d = run_dotscan(conf, params, box, triangular=True)
+    assert u_d == pytest.approx(float(u_ref), rel=2e-5)
+    err = np.abs(f_d - np.asarray(f_ref)).max()
+    assert err / np.abs(np.asarray(f_ref)).max() < 5e-5
+
+
+def test_dotscan_md_provider_matches_rowscan_provider():
+    n = 18**3
+    conf, params, box = lattice_fluid(n, 18, 0.05, seed=3, spacing=0.31)
+    assert dk.dotscan_valid(conf, box, CUTOFF + 0.1)
+    mp_r = suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True)
+    mp_d = dk.suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True)
+
+    init_r, apply_r, energy_r, _, ewp_r = make_nonbonded_rowscan_md(
+        BETA, CUTOFF, mp_r, skin=0.1, interpret=True, triangular=True
+    )
+    init_d, apply_d, energy_d, _, ewp_d = dk.make_nonbonded_dotscan_md(
+        BETA, CUTOFF, mp_d, skin=0.1, interpret=True, triangular=True
+    )
+    sr = init_r(conf, params, box)
+    sd = init_d(conf, params, box)
+    _, f_r, sr = apply_r(sr, conf, params, box, 1)
+    _, f_d, sd = apply_d(sd, conf, params, box, 1)
+    scale = np.abs(np.asarray(f_r)).max()
+    # the MD force path uses the dot-identity r^2 (~1e-6 absolute error),
+    # which clash-regime pairs (r << sigma, present in this unminimized
+    # lattice) amplify to ~1e-4 relative force error — acceptable Langevin
+    # noise; equilibrated geometries sit near ~1e-5
+    assert np.abs(np.asarray(f_d) - np.asarray(f_r)).max() / scale < 3e-4
+
+    u_r = float(energy_r(sr, conf, params, box))
+    u_d = float(energy_d(sd, conf, params, box))
+    assert u_d == pytest.approx(u_r, rel=2e-5)
+
+    # tile-reusing energy under different params (HREX U_kl path)
+    p2 = params.copy()
+    p2[:, 0] *= 0.8
+    assert float(ewp_d(sd, conf, p2, box)) == pytest.approx(float(ewp_r(sr, conf, p2, box)), rel=2e-5)
+
+
+def test_dotscan_valid_rejects_small_box():
+    n = 10**3
+    conf, params, box = lattice_fluid(n, 10, 0.03, seed=5, spacing=0.31)
+    # box edge 3.1 nm: row extents + cutoff exceed box/2 — must fail loudly
+    assert not dk.dotscan_valid(conf, box, CUTOFF)

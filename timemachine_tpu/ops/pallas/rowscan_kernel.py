@@ -410,9 +410,11 @@ def rowscan_sweep_sharded(
     return out_rows
 
 
-@partial(jax.jit, static_argnames=("max_pairs", "cell_size", "triangular"))
-def build_rowscan_tiles(conf, params, box, cutoff, max_pairs: int, cell_size: float = 0.65, atom_mask=None, triangular: bool = False):
-    """Snake spatial sort + per-32-atom-row-chunk culled column-chunk lists.
+@partial(jax.jit, static_argnames=("max_pairs", "cell_size", "triangular", "sort"))
+def build_rowscan_tiles(conf, params, box, cutoff, max_pairs: int, cell_size: float = 0.65, atom_mask=None, triangular: bool = False, sort: str = "snake"):
+    """Spatial sort (snake cells by default; "hilbert" gives compact chunks
+    for kernels whose image handling needs bounded row extents — dotscan) +
+    per-32-atom-row-chunk culled column-chunk lists.
 
     Returns (pad_order (Npad,) int32, row_start (nR,), row_count (nR,),
     col_ids (max_pairs,) int32, overflow int32)."""
@@ -428,13 +430,18 @@ def build_rowscan_tiles(conf, params, box, cutoff, max_pairs: int, cell_size: fl
     wrapped = conf[:, :3] - box_diag * jnp.floor(conf[:, :3] / box_diag)
     frac = wrapped / box_diag
     frac = frac - jnp.floor(frac)
-    cxyz = jnp.minimum((frac * dims).astype(jnp.int32), dims - 1)
-    cx, cy, cz = cxyz[:, 0], cxyz[:, 1], cxyz[:, 2]
-    ky = jnp.where(cz % 2 == 0, cy, dims[1] - 1 - cy)
-    row_parity = (cz * dims[1] + ky) % 2
-    kx = jnp.where(row_parity == 0, cx, dims[0] - 1 - cx)
-    snake = (cz * dims[1] + ky) * dims[0] + kx
-    order = jnp.argsort(snake).astype(jnp.int32)
+    if sort == "hilbert":
+        from timemachine_tpu.ops.pallas.quadscan_kernel import _hilbert_keys
+
+        keys = _hilbert_keys(frac)
+    else:
+        cxyz = jnp.minimum((frac * dims).astype(jnp.int32), dims - 1)
+        cx, cy, cz = cxyz[:, 0], cxyz[:, 1], cxyz[:, 2]
+        ky = jnp.where(cz % 2 == 0, cy, dims[1] - 1 - cy)
+        row_parity = (cz * dims[1] + ky) % 2
+        kx = jnp.where(row_parity == 0, cx, dims[0] - 1 - cx)
+        keys = (cz * dims[1] + ky) * dims[0] + kx
+    order = jnp.argsort(keys).astype(jnp.int32)
     pad_order = jnp.concatenate([order, jnp.zeros(n_pad - n, dtype=jnp.int32)])
 
     xs = wrapped[pad_order]  # (Npad, 3)
@@ -527,7 +534,7 @@ def _scalars(box, cutoff):
     ).reshape(1, 8)
 
 
-def suggest_max_pairs(conf, box, cutoff, margin: float = 1.3, atom_mask=None, triangular: bool = False) -> int:
+def suggest_max_pairs(conf, box, cutoff, margin: float = 1.3, atom_mask=None, triangular: bool = False, sort: str = "snake") -> int:
     """Host-side: measure the interacting (32-row x 128-col) chunk-pair count
     and pad with margin (diffusion headroom between rebuilds)."""
     n = conf.shape[0]
@@ -543,6 +550,7 @@ def suggest_max_pairs(conf, box, cutoff, margin: float = 1.3, atom_mask=None, tr
         max_pairs=cap,
         atom_mask=atom_mask,
         triangular=triangular,
+        sort=sort,
     )
     c = np.asarray(counts)
     total = int((-(-c // UNROLL) * UNROLL).sum())  # per-row UNROLL padding
