@@ -136,3 +136,28 @@ def test_dotscan_valid_rejects_small_box():
     conf, params, box = lattice_fluid(n, 10, 0.03, seed=5, spacing=0.31)
     # box edge 3.1 nm: row extents + cutoff exceed box/2 — must fail loudly
     assert not dk.dotscan_valid(conf, box, CUTOFF)
+
+
+def test_dot_configure_gate_and_provider():
+    from timemachine_tpu.potentials import NonbondedAllPairs
+
+    # too-small box: gated fallback to rowscan
+    conf_s, _, box_s = lattice_fluid(1100, 11, 0.04, seed=1)
+    pot = NonbondedAllPairs(1100, beta=BETA, cutoff=CUTOFF)
+    pot.configure_pallas(box_s, conf_s, interpret=True, kernel="dot")
+    assert pot.pallas_kernel == "rowscan"
+
+    # valid box: the dotscan MD provider is wired and produces forces that
+    # agree with the rowscan energy path's analytic gradient
+    n = 20**3  # box 6.2 nm — the production water-box scale
+    conf, params, box = lattice_fluid(n, 20, 0.05, seed=2, spacing=0.31)
+    pot = NonbondedAllPairs(n, beta=BETA, cutoff=CUTOFF)
+    pot.configure_pallas(box, conf, interpret=True, kernel="dot")
+    assert pot.pallas_kernel == "dot"
+    init_fn, apply_fn = pot._pallas_md[0], pot._pallas_md[1]
+    state = init_fn(conf, params, box)
+    _, f_d, _ = apply_fn(state, conf, params, box, 1)
+    _, f_r = pot._pallas_energy_force(conf, params, box)  # (u, force)
+    f_r = np.asarray(f_r)
+    scale = np.abs(f_r).max()
+    assert np.abs(np.asarray(f_d) - np.asarray(f_r)).max() / scale < 3e-4

@@ -383,13 +383,14 @@ def build_dotscan_tiles(conf, params, box, cutoff, max_pairs: int, atom_mask=Non
     return pad_order, row_start, row_count, col_ids, rcen_q, overflow
 
 
-def dotscan_valid(conf, box, cutoff, headroom: float = 0.2) -> bool:
+def dotscan_valid(conf, box, cutoff, headroom: float = 0.1) -> bool:
     """Host-side soundness check of the row-center image mapping: an
     in-cutoff pair's true image equals its column atom's row-center image
     whenever max row half-extent + cutoff < box/2 per axis (out-of-image
     pairs then always measure >= box/2 >= cutoff and can only be excluded).
-    `headroom` covers diffusion between tile rebuilds plus the skin the MD
-    provider builds tiles with."""
+    Pass cutoff+skin when gating the MD provider (it builds tiles at that
+    radius); `headroom` covers row-extent growth from diffusion between
+    rebuilds (~skin)."""
     n = conf.shape[0]
     n_pad = (-(-n // COL) + 1) * COL
     box_diag = np.diagonal(np.asarray(box))

@@ -296,7 +296,11 @@ class NonbondedAllPairs(Potential):
         than v2 on current hardware. Kept as the reference implementation of
         atom-exact compaction (and for hardware where gather is vectorized).
         kernel="v1": original (128 x 128*cb)-tile kernel with exact
-        transcendental electrostatics (kept for strict-parity paths)."""
+        transcendental electrostatics (kept for strict-parity paths).
+        kernel="dot": rowscan energy/analysis paths + the dotscan MD hot-loop
+        provider (ops/pallas/dotscan_kernel.py) — dot-identity distances and
+        matmul force accumulation on the MXU; gated on the row-center image
+        bound (falls back to rowscan on small boxes)."""
         from timemachine_tpu.ops.pallas.nonbonded_kernel import (
             make_nonbonded_pallas,
             make_nonbonded_pallas_energy_force,
@@ -308,6 +312,16 @@ class NonbondedAllPairs(Potential):
 
         self.impl = "pallas"
         skin = 0.1
+        if kernel == "dot":
+            # dot = rowscan energy/analysis paths + the dotscan MD hot-loop
+            # provider (MXU dot-identity distances + matmul force
+            # accumulation, ops/pallas/dotscan_kernel.py); requires the
+            # row-center image bound (row half-extent + cutoff < box/2) —
+            # otherwise fall back to rowscan wholesale
+            from timemachine_tpu.ops.pallas.dotscan_kernel import dotscan_valid
+
+            if not dotscan_valid(np.asarray(conf), np.asarray(box), self.cutoff + skin):
+                kernel = "rowscan"
         if kernel == "quad":
             # quad = rowscan energy/analysis paths + the quadscan MD hot-loop
             # provider (32-granularity packed tiles, per-entry image shifts);
@@ -418,6 +432,44 @@ class NonbondedAllPairs(Potential):
             self._pallas_md = make_nonbonded_quadscan_md(
                 self.beta, self.cutoff, md_tiles, skin=skin, rebuild_interval=20, interpret=interpret,
                 has_w=quad_has_w,
+            )
+            return self
+        if kernel == "dot":
+            from timemachine_tpu.ops.pallas.dotscan_kernel import (
+                make_nonbonded_dotscan_md,
+            )
+            from timemachine_tpu.ops.pallas.dotscan_kernel import (
+                suggest_max_pairs as suggest_dot_pairs,
+            )
+            from timemachine_tpu.ops.pallas.rowscan_kernel import (
+                es_energy_force_series,
+                make_nonbonded_rowscan,
+                make_nonbonded_rowscan_energy_force,
+                suggest_max_pairs,
+            )
+
+            self._es_series = es_energy_force_series(self.beta, self.cutoff)
+            max_pairs = suggest_max_pairs(
+                np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, atom_mask=mask, triangular=True
+            )
+            dp_tiles = suggest_max_tiles(
+                np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, cb=cb, atom_mask=mask
+            )
+            self.pallas_max_tiles = max_pairs
+            self._pallas_energy = make_nonbonded_rowscan(
+                self.beta, self.cutoff, max_pairs, interpret=interpret, atom_mask=mask,
+                dp_max_tiles=dp_tiles, dp_cb=cb,
+            )
+            self._pallas_energy_force = make_nonbonded_rowscan_energy_force(
+                self.beta, self.cutoff, max_pairs, interpret=interpret, atom_mask=mask
+            )
+            md_pairs = suggest_dot_pairs(
+                np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, atom_mask=mask,
+                triangular=True,
+            )
+            self._pallas_md = make_nonbonded_dotscan_md(
+                self.beta, self.cutoff, md_pairs, skin=skin, rebuild_interval=20, interpret=interpret,
+                atom_mask=mask,
             )
             return self
 
