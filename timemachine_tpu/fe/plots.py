@@ -332,19 +332,31 @@ def plot_interpolation_schedule(st, filter_fn, fig_title: str, n_windows: int = 
     plt = _plt()
     lambdas, systems = _st_systems_over_lambda(st, n_windows)
 
+    # getters take (lambda_index, system); idx getters take the lambda-0 system
     panels = [
-        ("bond k", lambda s: np.asarray(s.bond.params)[:, 0], lambda s: s.bond.potential.idxs),
-        ("bond b0", lambda s: np.asarray(s.bond.params)[:, 1], lambda s: s.bond.potential.idxs),
-        ("angle k", lambda s: np.asarray(s.angle.params)[:, 0], lambda s: s.angle.potential.idxs),
-        ("proper k", lambda s: np.asarray(s.proper.params)[:, 0], lambda s: s.proper.potential.idxs),
-        ("improper k", lambda s: np.asarray(s.improper.params)[:, 0], lambda s: s.improper.potential.idxs),
-        ("chiral atom k", lambda s: np.asarray(s.chiral_atom.params), lambda s: s.chiral_atom.potential.idxs),
-        ("nb pair q_ij", lambda s: np.asarray(s.nonbonded_pair_list.params)[:, 0], lambda s: s.nonbonded_pair_list.potential.idxs),
-        ("nb pair eps_ij", lambda s: np.asarray(s.nonbonded_pair_list.params)[:, 2], lambda s: s.nonbonded_pair_list.potential.idxs),
-        ("nb pair w", lambda s: np.asarray(s.nonbonded_pair_list.params)[:, 3], lambda s: s.nonbonded_pair_list.potential.idxs),
+        ("bond k", lambda li, s: np.asarray(s.bond.params)[:, 0], lambda s: s.bond.potential.idxs),
+        ("bond b0", lambda li, s: np.asarray(s.bond.params)[:, 1], lambda s: s.bond.potential.idxs),
+        ("angle k", lambda li, s: np.asarray(s.angle.params)[:, 0], lambda s: s.angle.potential.idxs),
+        ("proper k", lambda li, s: np.asarray(s.proper.params)[:, 0], lambda s: s.proper.potential.idxs),
+        ("improper k", lambda li, s: np.asarray(s.improper.params)[:, 0], lambda s: s.improper.potential.idxs),
+        ("chiral atom k", lambda li, s: np.asarray(s.chiral_atom.params), lambda s: s.chiral_atom.potential.idxs),
+        ("nb pair q_ij", lambda li, s: np.asarray(s.nonbonded_pair_list.params)[:, 0], lambda s: s.nonbonded_pair_list.potential.idxs),
+        ("nb pair eps_ij", lambda li, s: np.asarray(s.nonbonded_pair_list.params)[:, 2], lambda s: s.nonbonded_pair_list.potential.idxs),
+        ("nb pair w", lambda li, s: np.asarray(s.nonbonded_pair_list.params)[:, 3], lambda s: s.nonbonded_pair_list.potential.idxs),
     ]
 
-    fig, axes = plt.subplots(3, 3, figsize=(13, 10))
+    # per-ATOM guest<->environment nonbonded interpolation (charge and the 4D
+    # lift; ref plots.py:687-757's guest-nb panel)
+    atom_rows = np.arange(len(st.c_flags))[:, None]
+    guest_qw = [
+        np.asarray(st._get_guest_params(st.ff.q_handle, st.ff.lj_handle, float(lamb), 1.2)) for lamb in lambdas
+    ]
+    panels += [
+        ("guest atom q", lambda li, s: guest_qw[li][:, 0], lambda s: atom_rows),
+        ("guest atom w", lambda li, s: guest_qw[li][:, 3], lambda s: atom_rows),
+    ]
+
+    fig, axes = plt.subplots(4, 3, figsize=(13, 13))
     for ax, (name, get_params, get_idxs) in zip(axes.ravel(), panels):
         idxs0 = np.asarray(get_idxs(systems[0]))
         if idxs0.size == 0:
@@ -354,7 +366,7 @@ def plot_interpolation_schedule(st, filter_fn, fig_title: str, n_windows: int = 
         if not keep:
             ax.set_title(f"{name} (filtered out)")
             continue
-        traj = np.stack([get_params(s) for s in systems])  # (L, T)
+        traj = np.stack([get_params(li, s) for li, s in enumerate(systems)])  # (L, T)
         for t in keep:
             ax.plot(lambdas, traj[:, t], lw=0.8)
         ax.set_title(f"{name} ({len(keep)} terms)")

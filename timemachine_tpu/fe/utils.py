@@ -184,6 +184,96 @@ def plot_atom_mapping_grid(mol_a: Mol, mol_b: Mol, core, num_rotations: int = 3,
     )
 
 
+def get_atom_map_colors(core, seed=2022):
+    """Matching random RGB per mapped pair: ({a_idx: rgb}, {b_idx: rgb})
+    (ref fe/utils.py:103-113)."""
+    rgbs = np.random.default_rng(seed).random((len(core), 3))
+    colors_a = {int(a): tuple(rgb.tolist()) for (a, _), rgb in zip(core, rgbs)}
+    colors_b = {int(b): tuple(rgb.tolist()) for (_, b), rgb in zip(core, rgbs)}
+    return colors_a, colors_b
+
+
+def generate_bond_idxs_and_colors(mol_a, mol_b, core):
+    """Core bonds of mol_a colored by whether the corresponding mol_b bond
+    exists: green = consistent, red = breaks under the mapping
+    (ref fe/utils.py:193-208)."""
+    on = (144 / 255, 238 / 255, 144 / 255)
+    off = (238 / 255, 144 / 255, 144 / 255)
+    a_to_b = {int(a): int(b) for a, b in core}
+    bond_idxs, bond_colors = [], {}
+    for bond_idx, bond in enumerate(mol_a.bonds):
+        if bond.src in a_to_b and bond.dst in a_to_b:
+            bond_idxs.append(bond_idx)
+            mapped = mol_b.get_bond(a_to_b[bond.src], a_to_b[bond.dst])
+            bond_colors[bond_idx] = on if mapped is not None else off
+    return bond_idxs, bond_colors
+
+
+def draw_mol(mol: Mol, highlight_atom_idxs=None, atom_colors=None, bond_idxs=None, bond_colors=None,
+             show_idxs: bool = False, size: float = 360.0) -> str:
+    """Single-molecule 2D SVG depiction (native replacement for the RDKit
+    rdMolDraw2D path, ref fe/utils.py:141-163): the conformer is projected
+    through its least-cluttered rotation; highlighted atoms get filled
+    circles, highlighted bonds get colored strokes. Returns SVG text."""
+    from timemachine_tpu.chem.periodic import symbol_of
+
+    highlight = set(int(i) for i in (highlight_atom_idxs or []))
+    atom_colors = atom_colors or {}
+    bond_colors = dict(bond_colors or {})
+    for b in bond_idxs or []:  # highlighted-but-uncolored bonds get a default
+        bond_colors.setdefault(int(b), (1.0, 0.83, 0.3))
+
+    rot = generate_good_rotations(mol, mol, num_rotations=1, max_rotations=200)[0]
+    xy = (get_romol_conf(recenter_mol(mol)) @ rot.T)[:, :2]
+    span = max(np.abs(xy).max(), 1e-6)
+    pts = xy * ((size / 2 - 25) / span) + size / 2
+
+    def rgb(c):
+        r, g, b = c
+        return f"rgb({int(r * 255)},{int(g * 255)},{int(b * 255)})"
+
+    parts = []
+    for bond_idx, bond in enumerate(mol.bonds):
+        p, q = pts[bond.src], pts[bond.dst]
+        stroke = rgb(bond_colors[bond_idx]) if bond_idx in bond_colors else "#444"
+        width = 3.0 if bond_idx in bond_colors else 1.2
+        parts.append(
+            f'<line x1="{p[0]:.1f}" y1="{p[1]:.1f}" x2="{q[0]:.1f}" y2="{q[1]:.1f}" '
+            f'stroke="{stroke}" stroke-width="{width}"/>'
+        )
+    for i, atom in enumerate(mol.atoms):
+        p = pts[i]
+        if i in atom_colors:
+            parts.append(f'<circle cx="{p[0]:.1f}" cy="{p[1]:.1f}" r="9" fill="{rgb(atom_colors[i])}"/>')
+        elif i in highlight:
+            parts.append(f'<circle cx="{p[0]:.1f}" cy="{p[1]:.1f}" r="9" fill="#ffd54d"/>')
+        label = f"{symbol_of(atom.atomic_num)}{i}" if show_idxs else symbol_of(atom.atomic_num)
+        parts.append(f'<text x="{p[0]:.1f}" y="{p[1] + 3:.1f}" font-size="8" text-anchor="middle">{label}</text>')
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{size:.0f}" height="{size:.0f}" '
+        f'viewBox="0 0 {size:.0f} {size:.0f}"><rect width="100%" height="100%" fill="white"/>'
+        + "".join(parts)
+        + "</svg>"
+    )
+
+
+def draw_mol_idx(mol: Mol, highlight_atom_idxs=None, atom_colors=None, **kwargs) -> str:
+    """draw_mol with atom indices in the labels (ref fe/utils.py:166-190)."""
+    return draw_mol(mol, highlight_atom_idxs, atom_colors, show_idxs=True, **kwargs)
+
+
+def plot_atom_mapping(mol_a: Mol, mol_b: Mol, core, seed=2022) -> tuple[str, str]:
+    """Consistently colored SVG depictions of both sides of an atom mapping
+    (ref fe/utils.py:116-122; returns the SVG strings instead of drawing to a
+    notebook)."""
+    colors_a, colors_b = get_atom_map_colors(np.asarray(core), seed)
+    bonds_a, bond_colors_a = generate_bond_idxs_and_colors(mol_a, mol_b, np.asarray(core))
+    bonds_b, bond_colors_b = generate_bond_idxs_and_colors(mol_b, mol_a, np.asarray(core)[:, ::-1])
+    svg_a = draw_mol(mol_a, core[:, 0].tolist(), colors_a, bonds_a, bond_colors_a)
+    svg_b = draw_mol(mol_b, core[:, 1].tolist(), colors_b, bonds_b, bond_colors_b)
+    return svg_a, svg_b
+
+
 def sanitize_energies(full_us, lamb_idx, cutoff=10000):
     """Replace energies differing from the reference window by > cutoff with
     +inf (ref fe/utils.py:480-518)."""

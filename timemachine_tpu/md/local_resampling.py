@@ -1,8 +1,10 @@
-"""Generic local resampling move: update a probabilistically-selected subset
-of particles under a restrained target (ref timemachine/md/local_resampling.py).
+"""Local resampling: apply an MCMC move to a stochastically selected particle
+subset, exactly (ref timemachine/md/local_resampling.py).
 
-The Bernoulli-restraint correction keeps the move exact w.r.t. the original
-target even though the selection depends on the current state.
+Selecting the subset from the current state biases a naive subset move; the
+fix is to run the move against the target AUGMENTED with the Bernoulli
+log-density of the frozen selection mask, so the extended chain
+(x, mask) -> (x', mask) leaves the original target invariant.
 """
 
 import numpy as np
@@ -10,37 +12,38 @@ from jax import numpy as jnp
 
 
 def bernoulli_logpdf(log_p_i, selection_mask):
-    """log P(mask | p): sum of log p_i over selected + log(1-p_i) over rest,
-    computed stably from log p_i."""
+    """log P(mask | p) from per-particle log-probabilities: sum log p over
+    selected particles plus sum log(1-p) over the rest, with log1p/expm1 for
+    stability near p -> 1."""
     log_p_i = jnp.asarray(log_p_i)
-    log_one_minus_p = jnp.log1p(-jnp.exp(jnp.minimum(log_p_i, -1e-12)))
-    return jnp.sum(jnp.where(selection_mask, log_p_i, log_one_minus_p))
+    log_q_i = jnp.log1p(-jnp.exp(jnp.minimum(log_p_i, -1e-12)))
+    return jnp.sum(jnp.where(selection_mask, log_p_i, log_q_i))
 
 
-def local_resampling_move(
-    x,
-    target_logpdf_fxn,
-    particle_selection_log_prob_fxn,
-    mcmc_move,
-):
-    """(ref local_resampling.py:7-38)"""
+def local_resampling_move(x, target_logpdf_fxn, particle_selection_log_prob_fxn, mcmc_move, rng=None):
+    """One local-resampling step (ref local_resampling.py:7-38).
+
+    rng: optional np.random.Generator for the mask draw (the reference's
+    TODO about global-numpy-rng dependence; defaults to the global stream
+    for drop-in compatibility).
+    """
     x = jnp.array(x)
-    n_particles = len(x)
+    n = len(x)
 
-    selection_probs = np.exp(particle_selection_log_prob_fxn(x))
-    assert np.min(selection_probs) >= 0 and np.max(selection_probs) <= 1, "selection_probs must be in [0,1]"
-    assert selection_probs.shape == (n_particles,), "must compute per-particle selection_probs"
-    selection_mask = np.random.rand(n_particles) < selection_probs
+    log_p = particle_selection_log_prob_fxn(x)
+    p_select = np.exp(log_p)
+    assert p_select.shape == (n,), "must compute per-particle selection_probs"
+    assert 0.0 <= np.min(p_select) and np.max(p_select) <= 1.0, "selection_probs must be in [0,1]"
+    draw = rng.random(n) if rng is not None else np.random.rand(n)
+    mask = draw < p_select
 
-    def restrained_logpdf_fxn(x_full) -> float:
-        log_p_i = particle_selection_log_prob_fxn(x_full)
-        return target_logpdf_fxn(x_full) + bernoulli_logpdf(log_p_i, selection_mask)
+    def masked_logpdf(x_full) -> float:
+        # target plus the (frozen-mask) selection density — the correction
+        # that makes the subset move exact
+        return target_logpdf_fxn(x_full) + bernoulli_logpdf(particle_selection_log_prob_fxn(x_full), mask)
 
     def subproblem_logpdf(x_sub) -> float:
-        x_full = x.at[selection_mask].set(x_sub)
-        return restrained_logpdf_fxn(x_full)
+        return masked_logpdf(x.at[mask].set(x_sub))
 
-    x_sub = x[selection_mask]
-    x_next_sub, aux = mcmc_move(x_sub, subproblem_logpdf)
-    x_next = x.at[selection_mask].set(x_next_sub)
-    return x_next, aux
+    x_new_sub, aux = mcmc_move(x[mask], subproblem_logpdf)
+    return x.at[mask].set(x_new_sub), aux

@@ -7,20 +7,27 @@ from timemachine_tpu.md.states import CoordsVelBox
 
 
 class UnadjustedLangevinMove(Move[CoordsVelBox]):
-    """Runs n_steps of Langevin dynamics as a (non-Metropolized) move.
+    """n_steps of Langevin dynamics applied as a (non-Metropolized) move.
 
-    Unlike the reference, which rebuilds a CUDA Context per move
-    (thermostat/moves.py:12-21), the jitted scan runner is compile-cached per
-    (integrator, potentials) so constructing a fresh Context per move stays
-    cheap after the first call.
+    The reference constructs a fresh CUDA Context per move
+    (thermostat/moves.py:12-21); here ONE Context is built lazily and reset
+    per move — the jitted scan runner then compile-caches on the
+    (integrator, potentials, n_steps) shapes and every subsequent move is a
+    pure device launch.
     """
 
     def __init__(self, integrator, bound_potentials, n_steps: int = 5):
         self.integrator = integrator
         self.bound_potentials = bound_potentials
         self.n_steps = n_steps
+        self._ctxt = None
 
     def move(self, x: CoordsVelBox) -> CoordsVelBox:
-        ctxt = Context(x.coords, x.velocities, x.box, self.integrator, self.bound_potentials)
-        ctxt.multiple_steps(self.n_steps)
-        return CoordsVelBox(ctxt.get_x_t(), ctxt.get_v_t(), x.box.copy())
+        if self._ctxt is None:
+            self._ctxt = Context(x.coords, x.velocities, x.box, self.integrator, self.bound_potentials)
+        else:
+            self._ctxt.set_x_t(x.coords)
+            self._ctxt.set_v_t(x.velocities)
+            self._ctxt.set_box(x.box)
+        self._ctxt.multiple_steps(self.n_steps)
+        return CoordsVelBox(self._ctxt.get_x_t(), self._ctxt.get_v_t(), x.box.copy())

@@ -1,6 +1,5 @@
 """Parallel helpers (ref timemachine/parallel/utils.py)."""
 
-from collections import defaultdict
 from typing import Optional
 
 from timemachine_tpu.parallel.client import get_device_count
@@ -10,9 +9,8 @@ get_gpu_count = get_device_count
 
 
 def batch_list(values: list, num_workers: Optional[int] = None) -> list:
-    """Round-robin split into num_workers batches (ref utils.py:23-32)."""
-    batched_values = defaultdict(list)
-    num_workers = num_workers or len(values)
-    for i, value in enumerate(values):
-        batched_values[i % num_workers].append(value)
-    return list(batched_values.values())
+    """Round-robin split into at most num_workers non-empty batches (one
+    value per batch when num_workers is None) — worker k gets values
+    k, k+W, k+2W, ... (ref utils.py:23-32)."""
+    stride = num_workers or len(values)
+    return [values[k::stride] for k in range(min(stride, len(values)))]

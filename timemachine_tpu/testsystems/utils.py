@@ -7,8 +7,13 @@ from timemachine_tpu.testsystems.data import path_to_data
 
 
 def fetch_freesolv(n_mols: Optional[int] = None, exclude_mols: Optional[set] = None) -> list:
-    """The (optionally truncated/filtered) FreeSolv set (ref utils.py:9-31)."""
-    mols = read_sdf(path_to_data("freesolv", "freesolv.sdf"))
-    exclude_mols = exclude_mols or set()
-    filtered = [mol for mol in mols if get_mol_name(mol) not in exclude_mols]
-    return filtered[:n_mols]
+    """The FreeSolv set, minus `exclude_mols` (by name), truncated to the
+    first n_mols (ref utils.py:9-31)."""
+    skip = exclude_mols or set()
+    kept = (m for m in read_sdf(path_to_data("freesolv", "freesolv.sdf")) if get_mol_name(m) not in skip)
+    out = []
+    for mol in kept:
+        if n_mols is not None and len(out) >= n_mols:
+            break
+        out.append(mol)
+    return out

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from functools import reduce
+from itertools import repeat
 from typing import Iterator, Sequence
 
 
@@ -9,19 +11,17 @@ def batches(n: int, batch_size: int) -> Iterator[int]:
     """Sizes of consecutive batches covering n items (ref utils.py:6)."""
     assert n >= 0
     assert batch_size > 0
-    quot, rem = divmod(n, batch_size)
-    for _ in range(quot):
-        yield batch_size
+    full, rem = divmod(n, batch_size)
+    yield from repeat(batch_size, full)
     if rem:
         yield rem
 
 
 def not_ragged(xss: Sequence[Sequence]) -> bool:
-    return all(len(xs) == len(xss[0]) for xs in xss)
+    """True when every row has the same length."""
+    return len({len(xs) for xs in xss}) <= 1
 
 
 def pairwise_transform_and_combine(xs, transform, combine):
-    out = xs[0]
-    for x in xs[1:]:
-        out = combine(out, transform(x))
-    return out
+    """Left-fold combine(acc, transform(x)) with xs[0] as the seed."""
+    return reduce(lambda acc, x: combine(acc, transform(x)), xs[1:], xs[0])
