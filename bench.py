@@ -77,7 +77,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="write a jax.profiler trace of the timed region to DIR (view with xprof/tensorboard)")
-    parser.add_argument("--kernel", default=None, choices=["quad", "rowscan", "gather", "v1"],
+    parser.add_argument("--kernel", default=None, choices=["dot", "quad", "rowscan", "gather", "v1"],
                         help="override the pallas kernel selection")
     args = parser.parse_args()
 
