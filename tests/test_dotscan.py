@@ -131,6 +131,26 @@ def test_dotscan_md_provider_matches_rowscan_provider():
     assert float(ewp_d(sd, conf, p2, box)) == pytest.approx(float(ewp_r(sr, conf, p2, box)), rel=2e-5)
 
 
+def test_dotscan_direct_diff_variant_matches():
+    """dot_r2=False (direct-difference distances + matmul force
+    accumulation) is the probe variant separating the two MXU tricks; it
+    must agree with rowscan tightly (exact subtraction)."""
+    n = 18**3
+    conf, params, box = lattice_fluid(n, 18, 0.05, seed=4, spacing=0.31)
+    mp_d = dk.suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True)
+    mp_r = suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True)
+    init_r, apply_r, *_ = make_nonbonded_rowscan_md(BETA, CUTOFF, mp_r, skin=0.1, interpret=True, triangular=True)
+    init_d, apply_d, *_ = dk.make_nonbonded_dotscan_md(
+        BETA, CUTOFF, mp_d, skin=0.1, interpret=True, triangular=True, dot_r2=False
+    )
+    sr = init_r(conf, params, box)
+    sd = init_d(conf, params, box)
+    _, f_r, _ = apply_r(sr, conf, params, box, 1)
+    _, f_d, _ = apply_d(sd, conf, params, box, 1)
+    scale = np.abs(np.asarray(f_r)).max()
+    assert np.abs(np.asarray(f_d) - np.asarray(f_r)).max() / scale < 2e-6
+
+
 def test_dotscan_valid_rejects_small_box():
     n = 10**3
     conf, params, box = lattice_fluid(n, 10, 0.03, seed=5, spacing=0.31)

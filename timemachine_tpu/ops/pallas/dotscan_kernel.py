@@ -91,6 +91,7 @@ def _dotscan_kernel(
     p_coeffs,
     compute_u: bool,
     triangular: bool = False,
+    dot_r2: bool = True,
 ):
     i = pl.program_id(0)
     start = row_start_ref[i]
@@ -138,9 +139,12 @@ def _dotscan_kernel(
     e_i = rowT[:, 6:7]
 
     if triangular:
+        # Newton gate pieces hoisted out of the tile loop: per tile only the
+        # scalar column base shifts the row ids (gate = row_gid' < col_iota)
         row_gid = jnp.float32((row_base_ref[0] + i) * ROW) + jax.lax.broadcasted_iota(
             jnp.int32, (ROW, 1), 0
         ).astype(jnp.float32)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, COL), 1).astype(jnp.float32)
 
     ones_c = jnp.ones((1, COL), jnp.float32)
     zeros3_c = jnp.zeros((3, COL), jnp.float32)
@@ -154,13 +158,14 @@ def _dotscan_kernel(
         ys = (col[1:2] - cy) + box_y * jax.lax.round(cyb - col[1:2] * inv_by)
         zs = (col[2:3] - cz) + box_z * jax.lax.round(czb - col[2:3] * inv_bz)
         colD = jnp.concatenate([xs, ys, zs, col[3:4], ones_c, zeros3_c], axis=0)
-        if compute_u:
-            # ENERGY mode: direct differences on the shifted columns (exact
-            # f32 subtraction — the per-atom image shift already did the
-            # minimum-image work), so the polynomial ES cancels exclusion
-            # corrections to f32 rounding like the rowscan kernel. The hot
-            # force path below instead trades these 11 ops/slot for one MXU
-            # matmul, accepting ~1e-6 absolute r^2 cancellation error.
+        if compute_u or not dot_r2:
+            # ENERGY mode (and the dot_r2=False probe variant): direct
+            # differences on the shifted columns (exact f32 subtraction — the
+            # per-atom image shift already did the minimum-image work), so
+            # the polynomial ES cancels exclusion corrections to f32 rounding
+            # like the rowscan kernel. The dot_r2 force path instead trades
+            # these 11 ops/slot for one MXU matmul, accepting ~1e-6 absolute
+            # r^2 cancellation error.
             dx = rowD[:, 0:1] - xs
             dy = rowD[:, 1:2] - ys
             dz = rowD[:, 2:3] - zs
@@ -196,10 +201,7 @@ def _dotscan_kernel(
 
         gate = (r2 < cut2) & (r2 > 1e-7)
         if triangular:
-            col_gid = jnp.float32(cid * COL) + jax.lax.broadcasted_iota(
-                jnp.int32, (1, COL), 1
-            ).astype(jnp.float32)
-            gate = gate & (row_gid < col_gid)
+            gate = gate & ((row_gid - jnp.float32(cid * COL)) < col_iota)
         g_tile = jnp.where(gate, flj + fes, 0.0)  # (ROW, COL)
 
         # row-side force pieces: accG += G contracted with [xj' 1] over lanes
@@ -269,6 +271,7 @@ def _dotscan_call(
     compute_u: bool,
     interpret: bool,
     triangular: bool,
+    dot_r2: bool = True,
 ):
     n_chunks = atoms_cm.shape[0]
     n_pad = n_chunks * COL
@@ -288,7 +291,7 @@ def _dotscan_call(
             out_specs=pl.BlockSpec((ROW, 8), lambda i, rb, rs, rc, ci, ce: (i, 0)),
         )
         out_rows = pl.pallas_call(
-            partial(_dotscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u),
+            partial(_dotscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u, dot_r2=dot_r2),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_row_atoms, 8), jnp.float32),
             interpret=interpret,
@@ -304,7 +307,7 @@ def _dotscan_call(
         ],
     )
     out_rows, out_cols = pl.pallas_call(
-        partial(_dotscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u, triangular=True),
+        partial(_dotscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u, triangular=True, dot_r2=dot_r2),
         grid_spec=grid_spec_tri,
         out_shape=[
             jax.ShapeDtypeStruct((n_row_atoms, 8), jnp.float32),
@@ -315,7 +318,7 @@ def _dotscan_call(
     return out_rows, out_cols
 
 
-@partial(jax.jit, static_argnames=("n_rows", "max_pairs", "h_coeffs", "p_coeffs", "compute_u", "interpret", "triangular"))
+@partial(jax.jit, static_argnames=("n_rows", "max_pairs", "h_coeffs", "p_coeffs", "compute_u", "interpret", "triangular", "dot_r2"))
 def dotscan_sweep(
     atoms8,
     atomsT,
@@ -331,6 +334,7 @@ def dotscan_sweep(
     compute_u: bool = False,
     interpret: bool = False,
     triangular: bool = False,
+    dot_r2: bool = True,
 ):
     """Returns (Npad, 8) f32: [u_atom, du/dx(3), 0...] in sorted order. In
     triangular mode both Newton-pair sides are included."""
@@ -340,7 +344,7 @@ def dotscan_sweep(
     out_rows, out_cols = _dotscan_call(
         atomsT, atoms_cm, row_start, row_count, col_ids, rcen_q, scalars, n_rows,
         h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u,
-        interpret=interpret, triangular=triangular,
+        interpret=interpret, triangular=triangular, dot_r2=dot_r2,
     )
     if out_cols is None:
         return out_rows
@@ -425,6 +429,7 @@ def make_nonbonded_dotscan_md(
     interpret: bool = False,
     atom_mask=None,
     triangular: bool = True,
+    dot_r2: bool = True,
 ):
     """Stateful MD force provider on the dotscan kernel (same contract as
     rowscan_kernel.make_nonbonded_rowscan_md, same tile census — size with
@@ -491,6 +496,7 @@ def make_nonbonded_dotscan_md(
             compute_u=compute_u,
             interpret=interpret,
             triangular=triangular,
+            dot_r2=dot_r2,
         )
 
     def apply_fn(state, conf, params, box, t):
