@@ -94,6 +94,13 @@ def main():
     timed_scan("rowscan sweep (MD mode)", make_step(apply_r, sr), x0)
     timed_scan("dotscan sweep (MD mode)", make_step(apply_d, sd), x0)
 
+    # variant: direct-difference distances, matmul force accumulation only
+    init_v, apply_v, *_ = dk.make_nonbonded_dotscan_md(
+        beta, cutoff, mp_d, skin=0.1, triangular=True, dot_r2=False
+    )
+    sv = jax.block_until_ready(init_v(x0, params, box))
+    timed_scan("dotscan dot_r2=False (direct diff)", make_step(apply_v, sv), x0)
+
     # energy-mode (direct-difference) dotscan for completeness
     ef_d = dk.make_nonbonded_dotscan_md(beta, cutoff, mp_d, skin=0.1, triangular=True)[2]
 

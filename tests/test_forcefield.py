@@ -243,3 +243,55 @@ def test_gasteiger_fallback_never_masquerades_as_am1():
         _warnings.simplefilter("error", GasteigerFallbackWarning)
         q2 = compute_or_load_base_charges(mol)
     _np.testing.assert_array_equal(_np.asarray(q1), _np.asarray(q2))
+
+
+def test_nn_charge_handler_applies_mlp_bond_deltas():
+    """NNHandler: silu-MLP bond charge corrections over precomputed features
+    (ref handlers/nonbonded.py:526-577), with explicit layer shapes instead
+    of the reference's pickled unflatten closure. Net charge is conserved
+    (corrections are antisymmetric per bond)."""
+    import base64
+    import pickle
+
+    import numpy as np
+
+    from timemachine_tpu import constants
+    from timemachine_tpu.chem import mol_from_smiles
+    from timemachine_tpu.ff.handlers import (
+        NN_FEATURES_PROPNAME,
+        NNHandler,
+        compute_or_load_base_charges,
+    )
+
+    mol = mol_from_smiles("CCO", add_hs=True)
+    rng = np.random.default_rng(11)
+    n, fa, fb = mol.num_atoms, 4, 3
+    bond_idxs = mol.bond_list()
+    features = {
+        "atom_features": rng.standard_normal((n, fa)),
+        "bond_idxs": np.asarray(bond_idxs),
+        "bond_src_features": rng.standard_normal((len(bond_idxs), fb // 1))[:, :fb],
+        "bond_dst_features": rng.standard_normal((len(bond_idxs), fb)),
+    }
+    mol.props[NN_FEATURES_PROPNAME] = base64.b64encode(pickle.dumps(features))
+
+    in_dim = 2 * fa + 2 * fb
+    shapes = [(8, in_dim), (1, 8)]
+    flat = rng.standard_normal(sum(o * i for o, i in shapes)) * 0.1
+    h = NNHandler([], flat, {"layer_shapes": shapes})
+
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        q = np.asarray(h.parameterize(mol))
+        base = np.asarray(compute_or_load_base_charges(mol, mode=h.base_mode))
+    assert q.shape == (n,)
+    assert not np.allclose(q, base)  # the MLP moved charge
+    np.testing.assert_allclose(q.sum(), base.sum(), atol=1e-9)  # conserved
+
+    # differentiability w.r.t. the flat parameter vector (training surface)
+    import jax
+
+    g = jax.grad(lambda p: (h.partial_parameterize(p, mol) ** 2).sum())(flat)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0

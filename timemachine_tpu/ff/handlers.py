@@ -23,6 +23,7 @@ import pickle
 import warnings
 from collections import Counter
 
+import jax
 import jax.numpy as jnp
 import networkx as nx
 import numpy as np
@@ -556,6 +557,73 @@ class AM1BCCCCCIntraHandler(AM1BCCCCCHandler):
 
 class AM1BCCCCCSolventHandler(AM1BCCCCCHandler):
     pass
+
+
+NN_FEATURES_PROPNAME = "NNFeatures"
+
+
+def eval_charge_nn(layer_weights, features):
+    """Per-bond charge-delta MLP: silu hidden layers, linear scalar output
+    (ref nonbonded.py:509-523 eval_nn)."""
+    x = features
+    for W in layer_weights[:-1]:
+        h = jnp.dot(W, x)
+        x = h / (1.0 + jnp.exp(-h))  # silu
+    return jnp.squeeze(jnp.dot(layer_weights[-1], x))
+
+
+class NNHandler(SerializableMixIn):
+    """Neural bond-charge corrections: base AM1-family charges plus an MLP
+    evaluated on precomputed per-bond features (ref nonbonded.py:526-577).
+
+    The reference ships a pickled unflatten closure to reshape the flat
+    parameter vector; here the layer shapes are carried explicitly in
+    `props["layer_shapes"]` (list of (out, in) pairs), so serialization needs
+    no code objects. Per-mol features live in
+    mol.props["NNFeatures"] = {"atom_features": (N, Fa),
+    "bond_idxs": (B, 2), "bond_src_features"/"bond_dst_features": (B, Fb)}
+    (base64-pickled, as in the reference), produced by an external
+    featurizer."""
+
+    base_mode = "AM1BCCELF10"
+
+    def __init__(self, smirks, params, props):
+        self.smirks = smirks  # unused (kept for the serialization contract)
+        self.params = np.asarray(params, dtype=np.float64).ravel()
+        self.props = props
+
+    def _layer_weights(self, flat_params):
+        shapes = [tuple(s) for s in self.props["layer_shapes"]]
+        weights, at = [], 0
+        for out_d, in_d in shapes:
+            weights.append(jnp.asarray(flat_params[at : at + out_d * in_d]).reshape(out_d, in_d))
+            at += out_d * in_d
+        assert at == len(flat_params), "flat param vector does not match layer_shapes"
+        return weights
+
+    def get_bond_idxs_and_charge_deltas(self, flat_params, mol):
+        features = pickle.loads(base64.b64decode(mol.props[NN_FEATURES_PROPNAME]))
+        atom_f = np.asarray(features["atom_features"])
+        bond_idxs = np.asarray(features["bond_idxs"], dtype=np.int32)
+        src_f = np.asarray(features["bond_src_features"])
+        dst_f = np.asarray(features["bond_dst_features"])
+
+        # one feature row per bond: [atom_i | atom_j | src | dst]
+        order = np.lexsort((bond_idxs[:, 1], bond_idxs[:, 0]))
+        bond_idxs = bond_idxs[order]
+        rows = np.concatenate([atom_f[bond_idxs[:, 0]], atom_f[bond_idxs[:, 1]], src_f[order], dst_f[order]], axis=1)
+
+        weights = self._layer_weights(flat_params)
+        deltas = jax.vmap(lambda f: eval_charge_nn(weights, f))(jnp.asarray(rows))
+        return bond_idxs, np.sqrt(constants.ONE_4PI_EPS0) * deltas
+
+    def partial_parameterize(self, params, mol):
+        base = compute_or_load_base_charges(mol, mode=self.base_mode)
+        bond_idxs, deltas = self.get_bond_idxs_and_charge_deltas(params, mol)
+        return apply_bond_charge_corrections(base, bond_idxs, deltas, runtime_validate=False)
+
+    def parameterize(self, mol):
+        return self.partial_parameterize(self.params, mol)
 
 
 class EnvironmentBCCPartialHandler(SerializableMixIn):
