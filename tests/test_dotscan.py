@@ -181,3 +181,74 @@ def test_dot_configure_gate_and_provider():
     f_r = np.asarray(f_r)
     scale = np.abs(f_r).max()
     assert np.abs(np.asarray(f_d) - np.asarray(f_r)).max() / scale < 3e-4
+
+
+def test_dotscan_force_mode_nontriangular_no_self_pair_nan():
+    """Force mode (compute_u=False) with dot_r2=True — the default public
+    dotscan_sweep combination — must gate out self-pairs despite the ~1e-6
+    dot-identity r^2 cancellation error (regression: self-pairs leaked
+    through the 1e-7 gate and produced NaN/inf forces)."""
+    n = 18**3
+    conf, params, box = lattice_fluid(n, 18, 0.05, seed=6, spacing=0.31)
+    conf32 = jnp.asarray(conf, jnp.float32)
+    params32 = jnp.asarray(params, jnp.float32)
+    box32 = jnp.asarray(box, jnp.float32)
+    mp = dk.suggest_max_pairs(conf, box, CUTOFF, triangular=False)
+    po, rs, rc, ci, cq, ov = dk.build_dotscan_tiles(
+        conf32, params32, box32, CUTOFF, max_pairs=mp, triangular=False
+    )
+    assert int(ov) == 0
+    n_pad = po.shape[0]
+    inv = jnp.zeros(n, jnp.int32).at[po[:n]].set(jnp.arange(n, dtype=jnp.int32))
+    box_diag = jnp.diagonal(box32)
+    wrapped = conf32[:, :3] - box_diag * jnp.floor(conf32[:, :3] / box_diag)
+    xyzN = wrapped[po]
+    valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
+    pr = params32[po]
+    prowsT = jnp.stack([pr[:, 3], pr[:, 0] * valid, pr[:, 1], 2.0 * pr[:, 2] * valid], 1)
+    z1 = jnp.zeros((1, n_pad), jnp.float32)
+    atoms8 = jnp.concatenate([xyzN.T, prowsT.T, z1], 0)
+    atomsT = jnp.concatenate([xyzN, prowsT, z1.T], 1)
+    h, p = es_energy_force_series(BETA, CUTOFF)
+    out = dk.dotscan_sweep(
+        atoms8, atomsT, rs, rc, ci, cq, dk._scalars(box32, CUTOFF), n_pad // 32, mp, h, p,
+        compute_u=False, interpret=True, triangular=False, dot_r2=True,
+    )
+    f_d = -np.asarray(out[inv, 1:4])
+    assert np.all(np.isfinite(f_d))
+
+    mp_r = suggest_max_pairs(conf, box, CUTOFF, triangular=True)
+    _, f_ref = make_nonbonded_rowscan_energy_force(BETA, CUTOFF, mp_r, interpret=True, triangular=True)(
+        conf, params, box
+    )
+    scale = np.abs(np.asarray(f_ref)).max()
+    assert np.abs(f_d - np.asarray(f_ref)).max() / scale < 3e-4
+
+
+def test_dotscan_provider_poisons_forces_on_invalid_tiles():
+    """Tile overflow or an image-bound violation at rebuild time must fail
+    loudly (NaN forces -> Context guard), never silently drop interactions."""
+    n = 18**3
+    conf, params, box = lattice_fluid(n, 18, 0.05, seed=7, spacing=0.31)
+
+    # overflow: deliberately undersized max_pairs
+    init_fn, apply_fn, energy_fn, _, _ = dk.make_nonbonded_dotscan_md(
+        BETA, CUTOFF, max_pairs=8, skin=0.1, interpret=True, triangular=True
+    )
+    state = init_fn(conf, params, box)
+    assert int(state[-4]) > 0  # invalid flag (tiles tuple's last element)
+    _, force, _ = apply_fn(state, conf, params, box, 1)  # t=1: no rebuild
+    assert np.all(np.isnan(np.asarray(force)))
+    assert np.isnan(float(energy_fn(state, conf, params, box)))
+
+    # image-bound violation: rebuild (t=0) against a box shrunk below the
+    # row-extent + cutoff soundness bound
+    mp = dk.suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True)
+    init_fn, apply_fn, *_ = dk.make_nonbonded_dotscan_md(
+        BETA, CUTOFF, max_pairs=mp, skin=0.1, interpret=True, triangular=True
+    )
+    state = init_fn(conf, params, box)
+    assert int(state[-4]) == 0
+    small = 0.45 * box
+    _, force, _ = apply_fn(state, conf * 0.45, params, small, 0)
+    assert np.all(np.isnan(np.asarray(force)))

@@ -295,3 +295,54 @@ def test_nn_charge_handler_applies_mlp_bond_deltas():
 
     g = jax.grad(lambda p: (h.partial_parameterize(p, mol) ** 2).sum())(flat)
     assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
+
+
+def test_strict_mode_rejects_cached_gasteiger(monkeypatch):
+    """TM_STRICT_CHARGES=1 must reject previously cached Gasteiger fallback
+    charges too — a non-strict run's degraded cache may persist on the mol
+    (e.g. through SDF prop round-trips) into a later strict production run."""
+    import pytest as _pytest
+
+    from timemachine_tpu.chem import mol_from_smiles
+    from timemachine_tpu.ff.handlers import (
+        GASTEIGER_CHARGE_CACHE,
+        GasteigerFallbackWarning,
+        MissingBaseChargesError,
+        compute_or_load_base_charges,
+    )
+
+    mol = mol_from_smiles("CCN", add_hs=True)
+    with _pytest.warns(GasteigerFallbackWarning):
+        compute_or_load_base_charges(mol)
+    assert GASTEIGER_CHARGE_CACHE in mol.props
+
+    monkeypatch.setenv("TM_STRICT_CHARGES", "1")
+    with _pytest.raises(MissingBaseChargesError):
+        compute_or_load_base_charges(mol)
+
+
+def test_nn_handler_serialize_round_trips_params():
+    """NNHandler has no smirks patterns, so the generic mixin serialization
+    would drop the weight vector (regression); the handler carries it in
+    props['flat_params'] and deserialize reconstructs it."""
+    import numpy as np
+
+    from timemachine_tpu.ff.handlers import NNHandler
+    from timemachine_tpu.ff.serialize import deserialize_handlers, serialize_handlers
+
+    shapes = [(4, 6), (1, 4)]
+    rng = np.random.default_rng(3)
+    flat = rng.standard_normal(sum(o * i for o, i in shapes))
+    h = NNHandler([], flat, {"layer_shapes": shapes})
+
+    text = serialize_handlers([h], "amber99", "tip3p")
+    handlers, _, _ = deserialize_handlers(text)
+    (h2,) = handlers
+    assert isinstance(h2, NNHandler)
+    np.testing.assert_allclose(h2.params, flat)
+    assert [tuple(s) for s in h2.props["layer_shapes"]] == shapes
+
+    # json format round-trips too
+    text_j = serialize_handlers([h], "amber99", "tip3p", fmt="json")
+    handlers_j, _, _ = deserialize_handlers(text_j)
+    np.testing.assert_allclose(handlers_j[0].params, flat)

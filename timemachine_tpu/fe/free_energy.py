@@ -1302,11 +1302,14 @@ def _run_sims_hrex_time_multiplexed(
             _set_water_params(state_idx)
             acc0, prop0 = _water_counts()
 
+            # collision-free per-(replica, frame) noise seed: the reference's
+            # state_idx + current_frame gives replica k at frame f+1 the same
+            # seed as replica k+1 at frame f, and drops the user seed
             md_params_replica = replace(
                 md_params,
                 n_frames=1,
                 n_eq_steps=md_params.n_eq_steps if current_frame == 0 else 0,
-                seed=state_idx + current_frame,
+                seed=md_params.seed + state_idx * md_params.n_frames + current_frame,
             )
             frame, box, final_velos = next(
                 sample_with_context_iter(context, md_params_replica, temperature, ligand_idxs, batch_size=1)

@@ -325,10 +325,13 @@ def _st_systems_over_lambda(st, n_windows: int):
     return lambdas, [st.setup_intermediate_state(lamb) for lamb in lambdas]
 
 
-def plot_interpolation_schedule(st, filter_fn, fig_title: str, n_windows: int = 48):
+def plot_interpolation_schedule(st, filter_fn, fig_title: str, n_windows: int = 48, cutoff: float | None = None):
     """Parameter trajectories vs lambda for every interpolated term class of
     a SingleTopology, restricted to atoms passing filter_fn(atom_idx)
-    (compact equivalent of ref plots.py:466-874's per-term panels)."""
+    (compact equivalent of ref plots.py:466-874's per-term panels).
+
+    `cutoff` must match the host nonbonded cutoff the simulation runs with
+    (the guest w-coordinate plateaus at it); defaults to DEFAULT_NB_CUTOFF."""
     plt = _plt()
     lambdas, systems = _st_systems_over_lambda(st, n_windows)
 
@@ -348,8 +351,12 @@ def plot_interpolation_schedule(st, filter_fn, fig_title: str, n_windows: int = 
     # per-ATOM guest<->environment nonbonded interpolation (charge and the 4D
     # lift; ref plots.py:687-757's guest-nb panel)
     atom_rows = np.arange(len(st.c_flags))[:, None]
+    if cutoff is None:
+        from timemachine_tpu.constants import DEFAULT_NB_CUTOFF
+
+        cutoff = DEFAULT_NB_CUTOFF
     guest_qw = [
-        np.asarray(st._get_guest_params(st.ff.q_handle, st.ff.lj_handle, float(lamb), 1.2)) for lamb in lambdas
+        np.asarray(st._get_guest_params(st.ff.q_handle, st.ff.lj_handle, float(lamb), cutoff)) for lamb in lambdas
     ]
     panels += [
         ("guest atom q", lambda li, s: guest_qw[li][:, 0], lambda s: atom_rows),

@@ -266,9 +266,10 @@ def plot_atom_mapping(mol_a: Mol, mol_b: Mol, core, seed=2022) -> tuple[str, str
     """Consistently colored SVG depictions of both sides of an atom mapping
     (ref fe/utils.py:116-122; returns the SVG strings instead of drawing to a
     notebook)."""
-    colors_a, colors_b = get_atom_map_colors(np.asarray(core), seed)
-    bonds_a, bond_colors_a = generate_bond_idxs_and_colors(mol_a, mol_b, np.asarray(core))
-    bonds_b, bond_colors_b = generate_bond_idxs_and_colors(mol_b, mol_a, np.asarray(core)[:, ::-1])
+    core = np.asarray(core)
+    colors_a, colors_b = get_atom_map_colors(core, seed)
+    bonds_a, bond_colors_a = generate_bond_idxs_and_colors(mol_a, mol_b, core)
+    bonds_b, bond_colors_b = generate_bond_idxs_and_colors(mol_b, mol_a, core[:, ::-1])
     svg_a = draw_mol(mol_a, core[:, 0].tolist(), colors_a, bonds_a, bond_colors_a)
     svg_b = draw_mol(mol_b, core[:, 1].tolist(), colors_b, bonds_b, bond_colors_b)
     return svg_a, svg_b

@@ -173,10 +173,12 @@ def compute_or_load_base_charges(mol: Mol, mode: str = "AM1ELF10"):
         q = np.array([float(x) for x in str(mol.props["PartialCharges"]).split()])
         assert len(q) == mol.num_atoms
         return q * np.sqrt(constants.ONE_4PI_EPS0)
-    if GASTEIGER_CHARGE_CACHE in mol.props:
+    if GASTEIGER_CHARGE_CACHE in mol.props and not strict_base_charges():
         # a previous call on this mol already fell back (and warned once);
         # degraded charges live under their OWN key so they can never
-        # masquerade as AM1-family values on later reads or serialization
+        # masquerade as AM1-family values on later reads or serialization.
+        # Strict mode rejects the cache too: previously-cached degraded
+        # charges must not slip through a TM_STRICT_CHARGES=1 run.
         charges = pickle.loads(base64.b64decode(mol.props[GASTEIGER_CHARGE_CACHE]))
         assert len(charges) == mol.num_atoms
         return np.array(charges, dtype=np.float64)
@@ -589,8 +591,19 @@ class NNHandler(SerializableMixIn):
 
     def __init__(self, smirks, params, props):
         self.smirks = smirks  # unused (kept for the serialization contract)
+        if (params is None or len(np.atleast_1d(params)) == 0) and props and "flat_params" in props:
+            params = props["flat_params"]
         self.params = np.asarray(params, dtype=np.float64).ravel()
         self.props = props
+
+    def serialize(self):
+        # the generic mixin zips smirks x params, which is empty here (no
+        # patterns) — carry the flat weight vector in props instead so it
+        # round-trips through deserialize_handlers
+        props = dict(self.props or {})
+        props["flat_params"] = self.params.tolist()
+        props["layer_shapes"] = [list(s) for s in props["layer_shapes"]]
+        return {"NN": {"patterns": [], "props": props}}
 
     def _layer_weights(self, flat_params):
         shapes = [tuple(s) for s in self.props["layer_shapes"]]

@@ -199,7 +199,12 @@ def _dotscan_kernel(
         inv_r3 = inv_r * inv_r2
         fes = qq * p * inv_r3
 
-        gate = (r2 < cut2) & (r2 > 1e-7)
+        # self-pair gate: the dot-identity r^2 carries ~1e-6 absolute f32
+        # cancellation error, so a self-pair's "zero" can land above 1e-7 and
+        # leak inf/NaN forces — use a 1e-5 floor there (no physical pair sits
+        # below r = 0.0032 nm); the exact-difference branches keep 1e-7.
+        self_eps = 1e-7 if (compute_u or not dot_r2) else 1e-5
+        gate = (r2 < cut2) & (r2 > self_eps)
         if triangular:
             gate = gate & ((row_gid - jnp.float32(cid * COL)) < col_iota)
         g_tile = jnp.where(gate, flj + fes, 0.0)  # (ROW, COL)
@@ -361,7 +366,12 @@ def build_dotscan_tiles(conf, params, box, cutoff, max_pairs: int, atom_mask=Non
     census), not rowscan's.
 
     Returns (pad_order (Npad,) int32, row_start (nR,), row_count (nR,),
-    col_ids (max_pairs,) int32, rcen_q (nR*4,) int32, overflow int32)."""
+    col_ids (max_pairs,) int32, rcen_q (nR*4,) int32, invalid int32).
+    `invalid` is nonzero when the tile list overflowed max_pairs OR the
+    row-center image bound (max row half-extent + cutoff < box/2) no longer
+    holds for this conf/box — either way the sweep would silently drop
+    interactions, so callers must treat nonzero as a hard failure (the MD
+    provider poisons forces with NaN, which the Context guard surfaces)."""
     pad_order, row_start, row_count, col_ids, overflow = build_rowscan_tiles(
         conf, params, box, cutoff, max_pairs=max_pairs, atom_mask=atom_mask, triangular=triangular, sort="hilbert"
     )
@@ -378,13 +388,22 @@ def build_dotscan_tiles(conf, params, box, cutoff, max_pairs: int, atom_mask=Non
         valid = valid[pad_order]
     vmask = valid.reshape(n_rows, ROW, 1) > 0
     big = jnp.asarray(1e9, jnp.float32)
-    rcen = 0.5 * (
-        jnp.min(jnp.where(vmask, xs, big), axis=1) + jnp.max(jnp.where(vmask, xs, -big), axis=1)
-    )
-    rcen = jnp.where(jnp.any(vmask[:, :, 0], axis=1)[:, None], rcen, 0.0)
+    rmin = jnp.min(jnp.where(vmask, xs, big), axis=1)
+    rmax = jnp.max(jnp.where(vmask, xs, -big), axis=1)
+    any_valid = jnp.any(vmask[:, :, 0], axis=1)[:, None]
+    rcen = jnp.where(any_valid, 0.5 * (rmin + rmax), 0.0)
     rcen_q = jnp.round(rcen / CEN_SCALE).astype(jnp.int32)
     rcen_q = jnp.concatenate([rcen_q, jnp.zeros((n_rows, 1), jnp.int32)], axis=1).reshape(-1)
-    return pad_order, row_start, row_count, col_ids, rcen_q, overflow
+    # rebuild-time recheck of the image-mapping soundness bound: `cutoff`
+    # here is the BUILD radius (bare cutoff + skin at the provider), so the
+    # skin margin also covers diffusion between rebuilds of sweeps gated at
+    # the bare cutoff. configure-time dotscan_valid() is only an estimate on
+    # the initial conf; NPT box shrinkage or row-chunk stretching must fail
+    # loudly, not silently exclude in-cutoff pairs.
+    rhal = jnp.where(any_valid, 0.5 * (rmax - rmin), 0.0)
+    bound_bad = jnp.any(jnp.max(rhal, axis=0) + cutoff >= 0.5 * box_diag)
+    invalid = overflow + bound_bad.astype(overflow.dtype)
+    return pad_order, row_start, row_count, col_ids, rcen_q, invalid
 
 
 def dotscan_valid(conf, box, cutoff, headroom: float = 0.1) -> bool:
@@ -432,28 +451,23 @@ def make_nonbonded_dotscan_md(
     dot_r2: bool = True,
 ):
     """Stateful MD force provider on the dotscan kernel (same contract as
-    rowscan_kernel.make_nonbonded_rowscan_md, same tile census — size with
-    rowscan's suggest_max_pairs at cutoff+skin). Energy evaluations reuse
+    rowscan_kernel.make_nonbonded_rowscan_md; size max_pairs with THIS
+    module's suggest_max_pairs at cutoff+skin — dotscan sorts by Hilbert
+    key, so rowscan's snake-census number does not transfer). Tile overflow
+    or an image-bound violation at rebuild time poisons forces with NaN
+    (caught by the Context guard) instead of silently dropping pairs.
+    Energy evaluations reuse
     the cached tiles exactly like the rowscan provider; note the dot-form
     r^2 carries ~1e-6 absolute f32 error, so callers that need the
     polynomial ES to cancel exclusion corrections bitwise (dense-path
     consistency) should keep energy paths on the rowscan kernel
     (potentials.py does)."""
+    from timemachine_tpu.ops.pallas.rowscan_kernel import make_param_rows_fn, make_tile_md_provider
+
     h_coeffs, p_coeffs = es_energy_force_series(beta, cutoff)
 
-    def _param_rows(params, pad_order, n):
-        n_pad = pad_order.shape[0]
-        params = jnp.asarray(params, jnp.float32)
-        valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
-        if atom_mask is not None:
-            pm = jnp.concatenate([jnp.asarray(atom_mask, jnp.float32), jnp.zeros(n_pad - n, jnp.float32)])
-            valid = valid * pm[pad_order]
-        pr = params[pad_order]
-        rowsT = jnp.stack([pr[:, 3], pr[:, 0] * valid, pr[:, 1], 2.0 * pr[:, 2] * valid], axis=1)
-        return rowsT.T, rowsT
-
-    def _build(conf, params, box):
-        pad_order, row_start, row_count, col_ids, rcen_q, overflow = build_dotscan_tiles(
+    def build_fn(conf, params, box):
+        return build_dotscan_tiles(
             jnp.asarray(conf, jnp.float32),
             jnp.asarray(params, jnp.float32),
             jnp.asarray(box, jnp.float32),
@@ -462,25 +476,9 @@ def make_nonbonded_dotscan_md(
             atom_mask=atom_mask,
             triangular=triangular,
         )
-        n = conf.shape[0]
-        inv = jnp.zeros(n, dtype=jnp.int32).at[pad_order[:n]].set(jnp.arange(n, dtype=jnp.int32))
-        prows, prowsT = _param_rows(params, pad_order, n)
-        return (pad_order, inv, row_start, row_count, col_ids, rcen_q, overflow, prows, prowsT)
 
-    def init_fn(conf, params, box):
-        return _build(conf, params, box)
-
-    def _sweep_from_state(state, conf, box, compute_u):
-        pad_order, inv, row_start, row_count, col_ids, rcen_q, _, prows, prowsT = state
-        n_pad = pad_order.shape[0]
-        conf = jnp.asarray(conf, jnp.float32)
-        box32 = jnp.asarray(box, jnp.float32)
-        box_diag = jnp.diagonal(box32)
-        wrapped = conf[:, :3] - box_diag * jnp.floor(conf[:, :3] / box_diag)
-        xyzN = wrapped[pad_order]
-        z1 = jnp.zeros((1, n_pad), jnp.float32)
-        atoms8 = jnp.concatenate([xyzN.T, prows, z1], axis=0)
-        atomsT = jnp.concatenate([xyzN, prowsT, z1.T], axis=1)
+    def sweep_fn(tiles, atoms8, atomsT, box, compute_u):
+        pad_order, row_start, row_count, col_ids, rcen_q, _ = tiles
         return dotscan_sweep(
             atoms8,
             atomsT,
@@ -489,7 +487,7 @@ def make_nonbonded_dotscan_md(
             col_ids,
             rcen_q,
             _scalars(box, cutoff),
-            n_rows=n_pad // ROW,
+            n_rows=pad_order.shape[0] // ROW,
             max_pairs=max_pairs,
             h_coeffs=h_coeffs,
             p_coeffs=p_coeffs,
@@ -499,26 +497,4 @@ def make_nonbonded_dotscan_md(
             dot_r2=dot_r2,
         )
 
-    def apply_fn(state, conf, params, box, t):
-        state = jax.lax.cond(
-            (t % rebuild_interval) == 0,
-            lambda: _build(conf, params, box),
-            lambda: state,
-        )
-        out = _sweep_from_state(state, conf, box, compute_u=False)
-        inv = state[1]
-        force = -out[inv, 1:4]
-        return jnp.zeros((), jnp.float32), force, state
-
-    def energy_fn(state, conf, params, box):
-        out = _sweep_from_state(state, conf, box, compute_u=True)
-        return jnp.sum(out[:, 0])
-
-    def energy_with_params_fn(state, conf, params, box):
-        pad_order = state[0]
-        prows, prowsT = _param_rows(params, pad_order, conf.shape[0])
-        refreshed = (*state[:7], prows, prowsT)
-        out = _sweep_from_state(refreshed, conf, box, compute_u=True)
-        return jnp.sum(out[:, 0])
-
-    return init_fn, apply_fn, energy_fn, energy_fn, energy_with_params_fn
+    return make_tile_md_provider(build_fn, sweep_fn, make_param_rows_fn(atom_mask), rebuild_interval)

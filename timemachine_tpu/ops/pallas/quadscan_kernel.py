@@ -554,19 +554,14 @@ def make_nonbonded_quadscan_md(
     use_shifts: bool = True,
 ):
     """Stateful MD force provider on the quadscan kernel (same contract as
-    rowscan_kernel.make_nonbonded_rowscan_md)."""
+    rowscan_kernel.make_nonbonded_rowscan_md; state machine shared via
+    rowscan_kernel.make_tile_md_provider)."""
+    from timemachine_tpu.ops.pallas.rowscan_kernel import make_param_rows_fn, make_tile_md_provider
+
     h_coeffs, p_coeffs = es_energy_force_series(beta, cutoff)
 
-    def _param_rows(params, pad_order, n):
-        n_pad = pad_order.shape[0]
-        params = jnp.asarray(params, jnp.float32)
-        valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
-        pr = params[pad_order]
-        rowsT = jnp.stack([pr[:, 3], pr[:, 0] * valid, pr[:, 1], 2.0 * pr[:, 2] * valid], axis=1)
-        return rowsT.T, rowsT
-
-    def _build(conf, params, box):
-        pad_order, row_start, row_count, entries, overflow = build_quadscan_tiles(
+    def build_fn(conf, params, box):
+        return build_quadscan_tiles(
             jnp.asarray(conf, jnp.float32),
             jnp.asarray(params, jnp.float32),
             jnp.asarray(box, jnp.float32),
@@ -575,25 +570,9 @@ def make_nonbonded_quadscan_md(
             sort=sort,
             tiles_per_iter=tiles_per_iter,
         )
-        n = conf.shape[0]
-        inv = jnp.zeros(n, dtype=jnp.int32).at[pad_order[:n]].set(jnp.arange(n, dtype=jnp.int32))
-        prows, prowsT = _param_rows(params, pad_order, n)
-        return (pad_order, inv, row_start, row_count, entries, overflow, prows, prowsT)
 
-    def init_fn(conf, params, box):
-        return _build(conf, params, box)
-
-    def _sweep_from_state(state, conf, box, compute_u):
-        pad_order, inv, row_start, row_count, entries, _, prows, prowsT = state
-        n_pad = pad_order.shape[0]
-        conf = jnp.asarray(conf, jnp.float32)
-        box32 = jnp.asarray(box, jnp.float32)
-        box_diag = jnp.diagonal(box32)
-        wrapped = conf[:, :3] - box_diag * jnp.floor(conf[:, :3] / box_diag)
-        xyzN = wrapped[pad_order]
-        z1 = jnp.zeros((1, n_pad), jnp.float32)
-        atoms8 = jnp.concatenate([xyzN.T, prows, z1], axis=0)
-        atomsT = jnp.concatenate([xyzN, prowsT, z1.T], axis=1)
+    def sweep_fn(tiles, atoms8, atomsT, box, compute_u):
+        pad_order, row_start, row_count, entries, _ = tiles
         return quadscan_sweep(
             atoms8,
             atomsT,
@@ -601,7 +580,7 @@ def make_nonbonded_quadscan_md(
             row_count,
             entries,
             _scalars(box, cutoff),
-            n_pad // ROW,
+            pad_order.shape[0] // ROW,
             h_coeffs,
             p_coeffs,
             compute_u=compute_u,
@@ -611,30 +590,4 @@ def make_nonbonded_quadscan_md(
             use_shifts=use_shifts,
         )
 
-    def apply_fn(state, conf, params, box, t):
-        state = jax.lax.cond(
-            (t % rebuild_interval) == 0,
-            lambda: _build(conf, params, box),
-            lambda: state,
-        )
-        out = _sweep_from_state(state, conf, box, compute_u=False)
-        force = -out[state[1], 1:4]
-        return jnp.zeros((), jnp.float32), force, state
-
-    def energy_fn(state, conf, params, box):
-        out = _sweep_from_state(state, conf, box, compute_u=True)
-        return jnp.sum(out[:, 0])
-
-    def energy_with_params_fn(state, conf, params, box):
-        """Tile-reusing energy under DIFFERENT parameters (HREX U_kl path)."""
-        pad_order = state[0]
-        prows, prowsT = _param_rows(params, pad_order, conf.shape[0])
-        refreshed = (*state[:6], prows, prowsT)
-        out = _sweep_from_state(refreshed, conf, box, compute_u=True)
-        return jnp.sum(out[:, 0])
-
-    # tuple contract (md/context.py energy_with_states): [2] energy through
-    # cached tiles+params; [3] the rigid-move energy variant (same here — the
-    # nonbonded term is never rigid-invariant); [4] tile-reusing energy under
-    # DIFFERENT params (HREX banded-U_kl path, parallel/replica_exchange.py)
-    return init_fn, apply_fn, energy_fn, energy_fn, energy_with_params_fn
+    return make_tile_md_provider(build_fn, sweep_fn, make_param_rows_fn(None), rebuild_interval)

@@ -558,6 +558,106 @@ def suggest_max_pairs(conf, box, cutoff, margin: float = 1.3, atom_mask=None, tr
     return min(max(want, 128), cap)
 
 
+def make_param_rows_fn(atom_mask):
+    """Sorted parameter-row cache builder shared by the tile MD providers:
+    (params, pad_order, n) -> ((4, Npad) [w q sig/2 2*sqrt(eps)] lane-major,
+    (Npad, 4) row-major mirror); padding/masked atoms carry q = eps = 0."""
+
+    def _param_rows(params, pad_order, n):
+        n_pad = pad_order.shape[0]
+        params = jnp.asarray(params, jnp.float32)
+        valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
+        if atom_mask is not None:
+            pm = jnp.concatenate([jnp.asarray(atom_mask, jnp.float32), jnp.zeros(n_pad - n, jnp.float32)])
+            valid = valid * pm[pad_order]
+        pr = params[pad_order]  # (Npad, 4) [q sig eps w]
+        rowsT = jnp.stack([pr[:, 3], pr[:, 0] * valid, pr[:, 1], 2.0 * pr[:, 2] * valid], axis=1)
+        return rowsT.T, rowsT
+
+    return _param_rows
+
+
+def make_tile_md_provider(build_fn, sweep_fn, param_rows_fn, rebuild_interval: int = 20):
+    """Shared stateful-provider state machine for the tile-sweep kernels
+    (rowscan / quadscan / dotscan), so the rebuild/cache/poison logic exists
+    once:
+
+      build_fn(conf, params, box) -> tiles tuple with pad_order FIRST and an
+        invalid/overflow flag LAST (nonzero => the sweep would silently drop
+        interactions, so forces/energies are poisoned with NaN and the
+        failure surfaces at the Context NaN guard / as +inf in MBAR).
+      sweep_fn(tiles, atoms8, atomsT, box, compute_u) -> (Npad, 8) output
+        [u_atom, du/dx(3), ...] in sorted order.
+      param_rows_fn: from make_param_rows_fn (params cached at rebuild time
+        in both layouts so the per-step assemble touches only coordinates).
+
+    State = (*tiles, inv, prows, prowsT) — opaque to callers. Invariant:
+    params must not change between rebuilds (the Context re-initializes
+    provider state at every `multiple_steps` call; set_params only happens
+    between calls).
+
+    Returns (init_fn, apply_fn, energy_fn, energy_fn, energy_with_params_fn)
+    — the md/context.py energy_with_states tuple contract: [2] energy
+    through cached tiles+params; [3] the rigid-move energy variant (same
+    here — the nonbonded term is never rigid-invariant); [4] tile-reusing
+    energy under DIFFERENT params (HREX banded-U_kl path,
+    parallel/replica_exchange.py), valid for any conf within skin/2 of the
+    tiles' build conf."""
+
+    def _build(conf, params, box):
+        tiles = build_fn(conf, params, box)
+        pad_order = tiles[0]
+        n = conf.shape[0]
+        inv = jnp.zeros(n, dtype=jnp.int32).at[pad_order[:n]].set(jnp.arange(n, dtype=jnp.int32))
+        prows, prowsT = param_rows_fn(params, pad_order, n)
+        return (*tiles, inv, prows, prowsT)
+
+    def init_fn(conf, params, box):
+        return _build(conf, params, box)
+
+    def _sweep_from_state(state, conf, box, compute_u):
+        tiles = state[:-3]
+        pad_order = tiles[0]
+        prows, prowsT = state[-2], state[-1]
+        n_pad = pad_order.shape[0]
+        conf = jnp.asarray(conf, jnp.float32)
+        box32 = jnp.asarray(box, jnp.float32)
+        box_diag = jnp.diagonal(box32)
+        wrapped = conf[:, :3] - box_diag * jnp.floor(conf[:, :3] / box_diag)
+        xyzN = wrapped[pad_order]  # (Npad, 3) row gather — the only per-step gather
+        z1 = jnp.zeros((1, n_pad), jnp.float32)
+        atoms8 = jnp.concatenate([xyzN.T, prows, z1], axis=0)  # (8, Npad)
+        atomsT = jnp.concatenate([xyzN, prowsT, z1.T], axis=1)  # (Npad, 8)
+        return sweep_fn(tiles, atoms8, atomsT, box, compute_u)
+
+    def _poison(state, val):
+        # state[-4] is the build's invalid flag (tiles tuple's last element)
+        return jnp.where(state[-4] > 0, jnp.float32(jnp.nan), val)
+
+    def apply_fn(state, conf, params, box, t):
+        state = jax.lax.cond(
+            (t % rebuild_interval) == 0,
+            lambda: _build(conf, params, box),
+            lambda: state,
+        )
+        out = _sweep_from_state(state, conf, box, compute_u=False)
+        force = -out[state[-3], 1:4]
+        return jnp.zeros((), jnp.float32), _poison(state, force), state
+
+    def energy_fn(state, conf, params, box):
+        out = _sweep_from_state(state, conf, box, compute_u=True)
+        return _poison(state, jnp.sum(out[:, 0]))
+
+    def energy_with_params_fn(state, conf, params, box):
+        pad_order = state[0]
+        prows, prowsT = param_rows_fn(params, pad_order, conf.shape[0])
+        refreshed = (*state[:-2], prows, prowsT)
+        out = _sweep_from_state(refreshed, conf, box, compute_u=True)
+        return _poison(state, jnp.sum(out[:, 0]))
+
+    return init_fn, apply_fn, energy_fn, energy_fn, energy_with_params_fn
+
+
 def make_nonbonded_rowscan_md(
     beta: float,
     cutoff: float,
@@ -582,31 +682,17 @@ def make_nonbonded_rowscan_md(
     this by re-initializing provider state at every `multiple_steps` call
     (set_params only happens between calls).
 
-    Returns (init_fn, apply_fn, energy_fn):
-      init_fn(conf, params, box) -> state
-      apply_fn(state, conf, params, box, t) -> (u, force, state')  [u == 0]
-      energy_fn(state, conf, params, box) -> u, reusing the state's tile
-        lists (valid for any conf within skin/2 of the tiles' build conf —
-        the barostat's ~1e-3 nm trial displacements qualify), so MC movers
-        pay one sweep instead of sweep + tile rebuild per energy evaluation.
+    Returns the 5-tuple documented on make_tile_md_provider (init, apply,
+    energy through cached tiles, rigid-move energy, energy under different
+    params); energies reuse the state's tile lists (valid for any conf
+    within skin/2 of the tiles' build conf — the barostat's ~1e-3 nm trial
+    displacements qualify), so MC movers pay one sweep instead of
+    sweep + tile rebuild per energy evaluation.
     """
     h_coeffs, p_coeffs = es_energy_force_series(beta, cutoff)
 
-    def _param_rows(params, pad_order, n):
-        """Cached sorted parameter rows: (4, Npad) [w q sig eps] and its
-        (Npad, 4) row-major mirror; padding/masked atoms carry q = eps = 0."""
-        n_pad = pad_order.shape[0]
-        params = jnp.asarray(params, jnp.float32)
-        valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
-        if atom_mask is not None:
-            pm = jnp.concatenate([jnp.asarray(atom_mask, jnp.float32), jnp.zeros(n_pad - n, jnp.float32)])
-            valid = valid * pm[pad_order]
-        pr = params[pad_order]  # (Npad, 4) [q sig eps w]
-        rowsT = jnp.stack([pr[:, 3], pr[:, 0] * valid, pr[:, 1], 2.0 * pr[:, 2] * valid], axis=1)  # (Npad, 4)
-        return rowsT.T, rowsT
-
-    def _build(conf, params, box):
-        pad_order, row_start, row_count, col_ids, overflow = build_rowscan_tiles(
+    def build_fn(conf, params, box):
+        return build_rowscan_tiles(
             jnp.asarray(conf, jnp.float32),
             jnp.asarray(params, jnp.float32),
             jnp.asarray(box, jnp.float32),
@@ -615,25 +701,9 @@ def make_nonbonded_rowscan_md(
             atom_mask=atom_mask,
             triangular=triangular,
         )
-        n = conf.shape[0]
-        inv = jnp.zeros(n, dtype=jnp.int32).at[pad_order[:n]].set(jnp.arange(n, dtype=jnp.int32))
-        prows, prowsT = _param_rows(params, pad_order, n)
-        return (pad_order, inv, row_start, row_count, col_ids, overflow, prows, prowsT)
 
-    def init_fn(conf, params, box):
-        return _build(conf, params, box)
-
-    def _sweep_from_state(state, conf, box, compute_u):
-        pad_order, inv, row_start, row_count, col_ids, _, prows, prowsT = state
-        n_pad = pad_order.shape[0]
-        conf = jnp.asarray(conf, jnp.float32)
-        box32 = jnp.asarray(box, jnp.float32)
-        box_diag = jnp.diagonal(box32)
-        wrapped = conf[:, :3] - box_diag * jnp.floor(conf[:, :3] / box_diag)
-        xyzN = wrapped[pad_order]  # (Npad, 3) row gather — the only per-step gather
-        z1 = jnp.zeros((1, n_pad), jnp.float32)
-        atoms8 = jnp.concatenate([xyzN.T, prows, z1], axis=0)  # (8, Npad)
-        atomsT = jnp.concatenate([xyzN, prowsT, z1.T], axis=1)  # (Npad, 8)
+    def sweep_fn(tiles, atoms8, atomsT, box, compute_u):
+        pad_order, row_start, row_count, col_ids, _ = tiles
         return rowscan_sweep(
             atoms8,
             atomsT,
@@ -641,7 +711,7 @@ def make_nonbonded_rowscan_md(
             row_count,
             col_ids,
             _scalars(box, cutoff),
-            n_rows=n_pad // ROW,
+            n_rows=pad_order.shape[0] // ROW,
             max_pairs=max_pairs,
             h_coeffs=h_coeffs,
             p_coeffs=p_coeffs,
@@ -651,38 +721,7 @@ def make_nonbonded_rowscan_md(
             has_w=has_w,
         )
 
-    def apply_fn(state, conf, params, box, t):
-        state = jax.lax.cond(
-            (t % rebuild_interval) == 0,
-            lambda: _build(conf, params, box),
-            lambda: state,
-        )
-        out = _sweep_from_state(state, conf, box, compute_u=False)
-        inv = state[1]
-        force = -out[inv, 1:4]
-        return jnp.zeros((), jnp.float32), force, state
-
-    def energy_fn(state, conf, params, box):
-        out = _sweep_from_state(state, conf, box, compute_u=True)
-        return jnp.sum(out[:, 0])
-
-    def energy_with_params_fn(state, conf, params, box):
-        """Energy reusing the state's TILE lists but with freshly gathered
-        parameter rows — the HREX banded-U_kl path, where one replica's
-        geometry is evaluated under neighbor states' parameters. Valid for
-        any conf within skin/2 of the tiles' build conf."""
-        pad_order = state[0]
-        n = conf.shape[0]
-        prows, prowsT = _param_rows(params, pad_order, n)
-        refreshed = (*state[:6], prows, prowsT)
-        out = _sweep_from_state(refreshed, conf, box, compute_u=True)
-        return jnp.sum(out[:, 0])
-
-    # tuple contract (md/context.py energy_with_states): [2] energy through
-    # cached tiles+params; [3] the rigid-move energy variant (same here — the
-    # nonbonded term is never rigid-invariant); [4] tile-reusing energy under
-    # DIFFERENT params (HREX banded-U_kl path, parallel/replica_exchange.py)
-    return init_fn, apply_fn, energy_fn, energy_fn, energy_with_params_fn
+    return make_tile_md_provider(build_fn, sweep_fn, make_param_rows_fn(atom_mask), rebuild_interval)
 
 
 def make_nonbonded_rowscan_energy_force(

@@ -365,7 +365,12 @@ class NonbondedAllPairs(Potential):
                 atom_mask=mask,
             )
             return self
-        if kernel == "rowscan":
+        if kernel in ("rowscan", "quad", "dot"):
+            # rowscan, quad and dot share the rowscan ENERGY/analysis wiring
+            # (polynomial ES so exclusion corrections cancel exactly; du/dp
+            # backward on the v1 dp-only pass) and differ only in the MD
+            # hot-loop provider below. quad reaches here only with mask=None
+            # (masked systems fall back to rowscan above).
             from timemachine_tpu.ops.pallas.rowscan_kernel import (
                 es_energy_force_series,
                 make_nonbonded_rowscan,
@@ -378,7 +383,6 @@ class NonbondedAllPairs(Potential):
             max_pairs = suggest_max_pairs(
                 np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, atom_mask=mask, triangular=True
             )
-            # du/dp backward still runs on the v1 dp-only pass
             dp_tiles = suggest_max_tiles(
                 np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, cb=cb, atom_mask=mask
             )
@@ -390,87 +394,44 @@ class NonbondedAllPairs(Potential):
             self._pallas_energy_force = make_nonbonded_rowscan_energy_force(
                 self.beta, self.cutoff, max_pairs, interpret=interpret, atom_mask=mask
             )
-            md_pairs = suggest_max_pairs(
-                np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, atom_mask=mask,
-                triangular=True,
-            )
-            self._pallas_md = make_nonbonded_rowscan_md(
-                self.beta, self.cutoff, md_pairs, skin=skin, rebuild_interval=20, interpret=interpret,
-                atom_mask=mask,
-            )
-            return self
-        if kernel == "quad":
-            from timemachine_tpu.ops.pallas.quadscan_kernel import (
-                make_nonbonded_quadscan_md,
-            )
-            from timemachine_tpu.ops.pallas.quadscan_kernel import (
-                suggest_max_tiles as suggest_quad_tiles,
-            )
-            from timemachine_tpu.ops.pallas.rowscan_kernel import (
-                es_energy_force_series,
-                make_nonbonded_rowscan,
-                make_nonbonded_rowscan_energy_force,
-                suggest_max_pairs,
-            )
+            if kernel == "rowscan":
+                md_pairs = suggest_max_pairs(
+                    np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, atom_mask=mask,
+                    triangular=True,
+                )
+                self._pallas_md = make_nonbonded_rowscan_md(
+                    self.beta, self.cutoff, md_pairs, skin=skin, rebuild_interval=20, interpret=interpret,
+                    atom_mask=mask,
+                )
+            elif kernel == "quad":
+                from timemachine_tpu.ops.pallas.quadscan_kernel import (
+                    make_nonbonded_quadscan_md,
+                )
+                from timemachine_tpu.ops.pallas.quadscan_kernel import (
+                    suggest_max_tiles as suggest_quad_tiles,
+                )
 
-            self._es_series = es_energy_force_series(self.beta, self.cutoff)
-            max_pairs = suggest_max_pairs(
-                np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, triangular=True
-            )
-            dp_tiles = suggest_max_tiles(
-                np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, cb=cb
-            )
-            self.pallas_max_tiles = max_pairs
-            self._pallas_energy = make_nonbonded_rowscan(
-                self.beta, self.cutoff, max_pairs, interpret=interpret,
-                dp_max_tiles=dp_tiles, dp_cb=cb,
-            )
-            self._pallas_energy_force = make_nonbonded_rowscan_energy_force(
-                self.beta, self.cutoff, max_pairs, interpret=interpret
-            )
-            md_tiles = suggest_quad_tiles(np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin)
-            self._pallas_md = make_nonbonded_quadscan_md(
-                self.beta, self.cutoff, md_tiles, skin=skin, rebuild_interval=20, interpret=interpret,
-                has_w=quad_has_w,
-            )
-            return self
-        if kernel == "dot":
-            from timemachine_tpu.ops.pallas.dotscan_kernel import (
-                make_nonbonded_dotscan_md,
-            )
-            from timemachine_tpu.ops.pallas.dotscan_kernel import (
-                suggest_max_pairs as suggest_dot_pairs,
-            )
-            from timemachine_tpu.ops.pallas.rowscan_kernel import (
-                es_energy_force_series,
-                make_nonbonded_rowscan,
-                make_nonbonded_rowscan_energy_force,
-                suggest_max_pairs,
-            )
+                md_tiles = suggest_quad_tiles(np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin)
+                self._pallas_md = make_nonbonded_quadscan_md(
+                    self.beta, self.cutoff, md_tiles, skin=skin, rebuild_interval=20, interpret=interpret,
+                    has_w=quad_has_w,
+                )
+            else:
+                from timemachine_tpu.ops.pallas.dotscan_kernel import (
+                    make_nonbonded_dotscan_md,
+                )
+                from timemachine_tpu.ops.pallas.dotscan_kernel import (
+                    suggest_max_pairs as suggest_dot_pairs,
+                )
 
-            self._es_series = es_energy_force_series(self.beta, self.cutoff)
-            max_pairs = suggest_max_pairs(
-                np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, atom_mask=mask, triangular=True
-            )
-            dp_tiles = suggest_max_tiles(
-                np.asarray(conf), np.asarray(box), self.cutoff, margin=margin, cb=cb, atom_mask=mask
-            )
-            self.pallas_max_tiles = max_pairs
-            self._pallas_energy = make_nonbonded_rowscan(
-                self.beta, self.cutoff, max_pairs, interpret=interpret, atom_mask=mask,
-                dp_max_tiles=dp_tiles, dp_cb=cb,
-            )
-            self._pallas_energy_force = make_nonbonded_rowscan_energy_force(
-                self.beta, self.cutoff, max_pairs, interpret=interpret, atom_mask=mask
-            )
-            md_pairs = suggest_dot_pairs(
-                np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, atom_mask=mask,
-                triangular=True,
-            )
-            self._pallas_md = make_nonbonded_dotscan_md(
-                self.beta, self.cutoff, md_pairs, skin=skin, rebuild_interval=20, interpret=interpret,
-                atom_mask=mask,
-            )
+                md_pairs = suggest_dot_pairs(
+                    np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, atom_mask=mask,
+                    triangular=True,
+                )
+                self._pallas_md = make_nonbonded_dotscan_md(
+                    self.beta, self.cutoff, md_pairs, skin=skin, rebuild_interval=20, interpret=interpret,
+                    atom_mask=mask,
+                )
             return self
 
         self._es_series = None
