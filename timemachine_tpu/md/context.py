@@ -250,7 +250,8 @@ class Context:
             else:
                 noise = jax.random.normal(k_int, x.shape, dtype=x.dtype)
                 v_mid = v + jnp.asarray(cb, x.dtype) * force
-                v = ca * v_mid + jnp.asarray(cc, x.dtype) * noise
+                # cast ca too: a numpy f64 scalar would promote an f32 carry under x64
+                v = jnp.asarray(ca, x.dtype) * v_mid + jnp.asarray(cc, x.dtype) * noise
                 x = x + 0.5 * dt * (v_mid + v)
 
             new_mover_states = []
@@ -499,7 +500,7 @@ class Context:
             noise = jax.random.normal(key_t, x.shape, dtype=x.dtype)
             fm = free[:, None]
             v_mid = v + jnp.asarray(cb, x.dtype) * fm * force
-            v_new = ca * v_mid + jnp.asarray(cc, x.dtype) * fm * noise
+            v_new = jnp.asarray(ca, x.dtype) * v_mid + jnp.asarray(cc, x.dtype) * fm * noise
             # frozen atoms: coordinates AND velocities untouched
             x = x + jnp.where(fm > 0, 0.5 * dt * (v_mid + v_new), 0.0)
             v = jnp.where(fm > 0, v_new, v)
