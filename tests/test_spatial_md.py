@@ -60,7 +60,7 @@ def test_spatial_md_matches_context(water_system, n_dev):
         bps, masses, mesh, interpret=True, conf0=x0, box0=box
     )
     run = make_run(TEMP, DT, FRICTION, N_STEPS)
-    x_s, v_s = run(x0, v0, box, jax.random.key(SEED))
+    x_s, v_s, _ = run(x0, v0, box, jax.random.key(SEED))
     x_s, v_s = np.asarray(x_s), np.asarray(v_s)
 
     assert np.all(np.isfinite(x_s)) and np.all(np.isfinite(v_s))
@@ -81,6 +81,29 @@ def test_spatial_md_mesh_size_consistency(water_system):
         mesh = Mesh(np.array(jax.devices()[:n_dev]), ("spatial",))
         make_run = make_spatial_md_runner(bps, masses, mesh, interpret=True, conf0=x0, box0=box)
         run = make_run(TEMP, DT, FRICTION, N_STEPS)
-        x_s, _ = run(x0, v0, box, jax.random.key(SEED))
+        x_s, _, _ = run(x0, v0, box, jax.random.key(SEED))
         outs.append(np.asarray(x_s))
     assert np.abs(outs[0] - outs[1]).max() < 5e-4
+
+
+def test_spatial_md_npt_barostat(water_system):
+    """NPT: the replicated volume move sees the partitioned (psum'd)
+    rigid-move energy; the box evolves and stays finite, and the adaptive
+    state advances on schedule."""
+    from timemachine_tpu.md.barostat import MonteCarloBarostat
+
+    bps, masses, x0, v0, box = water_system
+    n = x0.shape[0]
+    groups = [np.arange(3 * w, 3 * w + 3) for w in range(n // 3)]
+    baro = MonteCarloBarostat(n, 1.013, TEMP, groups, interval=3, seed=0)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+    make_run = make_spatial_md_runner(bps, masses, mesh, interpret=True, conf0=x0, box0=box)
+    run = make_run(TEMP, DT, FRICTION, 9, barostat=baro)
+    x_s, v_s, box_s = run(x0, v0, box, jax.random.key(SEED))
+    assert np.all(np.isfinite(np.asarray(x_s))) and np.all(np.isfinite(np.asarray(box_s)))
+    # 3 volume moves attempted: the box either moved or every move was
+    # rejected with the diagonal untouched
+    assert np.asarray(box_s).shape == (3, 3)
+    ratio = float(np.asarray(box_s)[0, 0] / box[0, 0])
+    assert 0.9 < ratio < 1.1

@@ -96,8 +96,9 @@ def make_spatial_md_runner(
     conf0/box0: geometry used to size the static tile budget
       (suggest_max_pairs at cutoff + skin).
 
-    Returns run(x0, v0, box, integrator_seed, n_steps) -> (x, v), both
-    replicated across the mesh.
+    Returns make_run(temperature, dt, friction, n_steps, barostat=None);
+    make_run returns run(x0, v0, box, base_key) -> (x, v, box), all
+    replicated across the mesh (box changes only under a barostat).
     """
     n_dev = int(np.prod(mesh.devices.shape))
     n = int(np.asarray(conf0).shape[0])
@@ -152,7 +153,13 @@ def make_spatial_md_runner(
         prows, prowsT = param_rows(nb_params, pad_order, n)
         return pad_order, row_start, row_count, col_ids, prows, prowsT
 
-    def make_run(temperature, dt, friction, n_steps: int):
+    def make_run(temperature, dt, friction, n_steps: int, barostat=None):
+        """barostat: optional md.barostat.MonteCarloBarostat descriptor —
+        volume moves run REPLICATED (identical keys and, after the psum,
+        identical energies on every device) with the rigid-move energy
+        (sweep only: bonded and exclusion terms are bond-graph-local and
+        cancel exactly in the volume move's dU, matching the Context's
+        rigid_only skip)."""
         intg = LangevinIntegrator(temperature, dt, friction, masses, seed=0)
         ca, cb, cc = intg.coefficients()
         ca = float(ca)  # np f64 scalar would promote the f32 carry under x64
@@ -220,12 +227,50 @@ def make_spatial_md_runner(
                 force = force + f_b
             return force
 
-        def sharded_body(x0, v0, box, base_key, b_terms, exc_local):
+        def local_sweep_u(x, box, tiles, dev_idx):
+            """This device's share of the all-pairs energy (triangular sweep
+            counts each Newton pair once on its row side, so summing local
+            row energies and psum-ing is exact). Reuses the cached tiles,
+            like the Context's MC-mover energy path (valid within skin/2)."""
+            pad_order, row_start, row_count, col_ids, prows, prowsT = tiles
+            box_diag = jnp.diagonal(box)
+            wrapped = x[:, :3] - box_diag * jnp.floor(x[:, :3] / box_diag)
+            xyzN = wrapped[pad_order]
+            z1 = jnp.zeros((1, n_pad), jnp.float32)
+            atoms8 = jnp.concatenate([xyzN.T, prows, z1], axis=0)
+            atoms_cm = atoms8.reshape(8, n_pad // COL, COL).transpose(1, 0, 2)
+            atomsT = jnp.concatenate([xyzN, prowsT, z1.T], axis=1)
+            row_base = dev_idx * rows_local
+            rs_local = jax.lax.dynamic_slice_in_dim(row_start, row_base, rows_local)
+            rc_local = jax.lax.dynamic_slice_in_dim(row_count, row_base, rows_local)
+            atomsT_pad = jnp.concatenate(
+                [atomsT, jnp.zeros((n_rows_padded * ROW - n_pad, 8), jnp.float32)], axis=0
+            )
+            atomsT_local = jax.lax.dynamic_slice_in_dim(atomsT_pad, row_base * ROW, rows_local * ROW)
+            out_rows, _ = _rowscan_call(
+                atomsT_local,
+                atoms_cm,
+                rs_local,
+                rc_local,
+                col_ids,
+                _scalars(box, cutoff),
+                rows_local,
+                row_base=row_base.reshape(1).astype(jnp.int32),
+                h_coeffs=h_coeffs,
+                p_coeffs=p_coeffs,
+                compute_u=True,
+                interpret=interpret,
+                triangular=True,
+            )
+            return jnp.sum(out_rows[:, 0])
+
+        def sharded_body(x0, v0, box0_arr, base_key, b_terms, exc_local):
             dev_idx = jax.lax.axis_index(axis_name)
-            tiles0 = build_tiles(x0, box)
+            tiles0 = build_tiles(x0, box0_arr)
+            baro_state0 = barostat.init_state() if barostat is not None else jnp.zeros(())
 
             def step(carry, _):
-                x, v, t, tiles = carry
+                x, v, box, t, tiles, baro_state = carry
                 tiles = jax.lax.cond(
                     (t % rebuild_interval) == 0, lambda: build_tiles(x, box), lambda: tiles
                 )
@@ -236,15 +281,36 @@ def make_spatial_md_runner(
 
                 # identical noise stream to md/context.py step_fn
                 key_t = jax.random.fold_in(base_key, t)
-                k_int, _ = jax.random.split(key_t)
+                k_int, k_movers = jax.random.split(key_t)
                 noise = jax.random.normal(k_int, x.shape, dtype=x.dtype)
                 v_mid = v + cb32 * force
                 v_new = ca * v_mid + cc32 * noise
                 x_new = x + 0.5 * dt * (v_mid + v_new)
-                return (x_new, v_new, t + 1, tiles), None
 
-            (x, v, _, _), _ = jax.lax.scan(step, (x0, v0, 0, tiles0), None, length=n_steps)
-            return x, v
+                if barostat is not None:
+                    # replicated volume move with the PARTITIONED rigid-move
+                    # energy; all devices draw identical keys and see the
+                    # identical psum'd energy, so accept decisions agree
+                    def u_fn(xx, bb):
+                        return jax.lax.psum(local_sweep_u(xx, bb, tiles, dev_idx), axis_name)
+
+                    move_fn = barostat.make_move_fn(u_fn)
+                    mk = jax.random.fold_in(k_movers, 0)
+                    due = ((t + 1) % barostat.interval) == 0
+
+                    def do_move(args):
+                        st, xx, vv, bb = args
+                        return move_fn(st, xx, vv, bb, mk)
+
+                    baro_state, x_new, v_new, box = jax.lax.cond(
+                        due, do_move, lambda a: a, (baro_state, x_new, v_new, box)
+                    )
+                return (x_new, v_new, box, t + 1, tiles, baro_state), None
+
+            (x, v, box, _, _, _), _ = jax.lax.scan(
+                step, (x0, v0, box0_arr, 0, tiles0, baro_state0), None, length=n_steps
+            )
+            return x, v, box
 
         from jax.sharding import PartitionSpec as P
 
@@ -258,7 +324,7 @@ def make_spatial_md_runner(
             sharded_body,
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), term_specs, (P(axis_name), P(axis_name))),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()),
             check_rep=False,
         )
 
