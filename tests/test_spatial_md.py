@@ -107,3 +107,25 @@ def test_spatial_md_npt_barostat(water_system):
     assert np.asarray(box_s).shape == (3, 3)
     ratio = float(np.asarray(box_s)[0, 0] / box[0, 0])
     assert 0.9 < ratio < 1.1
+
+
+def test_spatial_md_partitions_interaction_group(water_system):
+    """RBFE-window shape: an explicit ligand x environment interaction group
+    rides along; the spatial runner partitions its ENVIRONMENT columns
+    (mask-padded grid) and must match the single-device Context."""
+    from timemachine_tpu.potentials import NonbondedInteractionGroup
+
+    bps, masses, x0, v0, box = water_system
+    n = x0.shape[0]
+    ig = NonbondedInteractionGroup(n, np.arange(6, dtype=np.int32), beta=2.0, cutoff=1.2)
+    # reuse the Nonbonded term's per-atom params for the group term
+    nb_bp = next(bp for bp in bps if hasattr(bp.potential, "configure_pallas"))
+    bps_ig = list(bps) + [ig.bind(np.asarray(nb_bp.params, np.float32))]
+
+    x_ref, v_ref = reference_trajectory(bps_ig, masses, x0, v0, box)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("spatial",))
+    make_run = make_spatial_md_runner(bps_ig, masses, mesh, interpret=True, conf0=x0, box0=box)
+    run = make_run(TEMP, DT, FRICTION, N_STEPS)
+    x_s, v_s, _ = run(x0, v0, box, jax.random.key(SEED))
+    assert np.abs(np.asarray(x_s) - np.asarray(x_ref)).max() < 5e-4

@@ -480,8 +480,12 @@ def specific_pairs_energy_force(conf, params, box, pairs, beta, cutoff, rescale_
     return u, force
 
 
-def interaction_group_energy_force(conf, params, box, a_idxs, b_idxs, beta, cutoff):
+def interaction_group_energy_force(conf, params, box, a_idxs, b_idxs, beta, cutoff, col_mask=None):
     """Closed-form (u, force) for the A×B interaction group in grid form.
+
+    col_mask: optional (C,) bool — False columns contribute nothing (lets a
+    spatially-partitioned caller pad b_idxs to an even split by duplicating
+    a real index without double counting; parallel/spatial_md.py).
 
     The pair-list formulation's autodiff adjoint scatter-adds 2·R·C force
     contributions (the dominant per-step cost of RBFE windows at ~224k
@@ -509,6 +513,8 @@ def interaction_group_energy_force(conf, params, box, a_idxs, b_idxs, beta, cuto
     dij = jnp.where(d2 > 0, jnp.sqrt(safe_d2), 0.0)
     keep = dij < cutoff
     dij_safe = jnp.where(dij > 0, dij, 1.0)
+    if col_mask is not None:
+        keep = keep & jnp.asarray(col_mask)[None, :]
 
     sig_ij = jnp.where(keep, combine_sigma(sig[a_idxs][:, None], sig[b_idxs][None, :]), 0.0)
     eps_ij = jnp.where(keep, combine_epsilon(eps[a_idxs][:, None], eps[b_idxs][None, :]), 0.0)

@@ -58,7 +58,13 @@ from timemachine_tpu.ops.pallas.rowscan_kernel import (
     make_param_rows_fn,
     suggest_max_pairs,
 )
-from timemachine_tpu.potentials import HarmonicAngle, HarmonicBond, Nonbonded, PeriodicTorsion
+from timemachine_tpu.potentials import (
+    HarmonicAngle,
+    HarmonicBond,
+    Nonbonded,
+    NonbondedInteractionGroup,
+    PeriodicTorsion,
+)
 
 
 def _pad_terms(idxs, params, n_dev: int):
@@ -107,6 +113,7 @@ def make_spatial_md_runner(
     nb_pot = None
     nb_params = None
     bonded = []  # (force_fn, idxs_sharded, params_sharded)
+    ig_terms = []  # (potential, params, b_idxs_padded, b_mask_padded) — cols partitioned
     grad_terms = []  # (potential, params) — replicated fallback
     for bp in bps:
         pot, params = bp.potential, np.asarray(bp.params)
@@ -121,6 +128,21 @@ def make_spatial_md_runner(
             bonded.append((generic_angle_energy_force, *_pad_terms(pot.idxs, params, n_dev)))
         elif isinstance(pot, PeriodicTorsion):
             bonded.append((torsion_energy_force, *_pad_terms(pot.idxs, params, n_dev)))
+        elif isinstance(pot, NonbondedInteractionGroup):
+            # ligand x environment grid: partition the ENVIRONMENT columns
+            # (the large axis); padding duplicates column 0 with a False mask
+            # so the grid-form force drops it (no double counting)
+            b_idxs = pot.col_atom_idxs
+            if b_idxs is None:
+                b_idxs = np.setdiff1d(np.arange(int(np.asarray(conf0).shape[0])), np.asarray(pot.row_atom_idxs))
+            b_idxs = np.asarray(b_idxs, np.int32)
+            c = len(b_idxs)
+            cpad = max(n_dev, -(-c // n_dev) * n_dev)
+            b_p = np.full(cpad, int(b_idxs[0]) if c else 0, np.int32)
+            b_p[:c] = b_idxs
+            b_mask = np.zeros(cpad, bool)
+            b_mask[:c] = True
+            ig_terms.append((pot, np.asarray(params, np.float32), b_p, b_mask))
         else:
             grad_terms.append((pot, jnp.asarray(params)))
 
@@ -166,7 +188,7 @@ def make_spatial_md_runner(
         cb32 = jnp.asarray(cb, jnp.float32)
         cc32 = jnp.asarray(cc, jnp.float32)
 
-        def local_step(x, box, tiles, dev_idx, b_terms, exc_local):
+        def local_step(x, box, tiles, dev_idx, b_terms, exc_local, ig_locals):
             """Per-device force contribution (N, 3); caller psums."""
             pad_order, row_start, row_count, col_ids, prows, prowsT = tiles
             box_diag = jnp.diagonal(box)
@@ -225,6 +247,13 @@ def make_spatial_md_runner(
             for (fn, _, _), (t_idx, t_par) in zip(bonded, b_terms):
                 _, f_b = fn(x, t_par, box, t_idx)
                 force = force + f_b
+
+            for (pot, p_ig, _, _), (b_local, m_local) in zip(ig_terms, ig_locals):
+                _, f_ig = nb_ops.interaction_group_energy_force(
+                    x, jnp.asarray(p_ig), box, pot.row_atom_idxs, b_local, pot.beta, pot.cutoff,
+                    col_mask=m_local,
+                )
+                force = force + f_ig
             return force
 
         def local_sweep_u(x, box, tiles, dev_idx):
@@ -264,7 +293,7 @@ def make_spatial_md_runner(
             )
             return jnp.sum(out_rows[:, 0])
 
-        def sharded_body(x0, v0, box0_arr, base_key, b_terms, exc_local):
+        def sharded_body(x0, v0, box0_arr, base_key, b_terms, exc_local, ig_locals):
             dev_idx = jax.lax.axis_index(axis_name)
             tiles0 = build_tiles(x0, box0_arr)
             baro_state0 = barostat.init_state() if barostat is not None else jnp.zeros(())
@@ -274,7 +303,7 @@ def make_spatial_md_runner(
                 tiles = jax.lax.cond(
                     (t % rebuild_interval) == 0, lambda: build_tiles(x, box), lambda: tiles
                 )
-                f_local = local_step(x, box, tiles, dev_idx, b_terms, exc_local)
+                f_local = local_step(x, box, tiles, dev_idx, b_terms, exc_local, ig_locals)
                 for pot, p in grad_terms:
                     f_local = f_local + (-jax.grad(lambda xx: pot(xx, p, box))(x)) / n_dev
                 force = jax.lax.psum(f_local, axis_name)
@@ -323,7 +352,8 @@ def make_spatial_md_runner(
         sharded = shard_map(
             sharded_body,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), term_specs, (P(axis_name), P(axis_name))),
+            in_specs=(P(), P(), P(), P(), term_specs, (P(axis_name), P(axis_name)),
+                      tuple((P(axis_name), P(axis_name)) for _ in ig_terms)),
             out_specs=(P(), P(), P()),
             check_rep=False,
         )
@@ -338,6 +368,7 @@ def make_spatial_md_runner(
                 base_key,
                 b_terms,
                 (jnp.asarray(exc_idxs_p), jnp.asarray(exc_scales_p)),
+                tuple((jnp.asarray(bp_), jnp.asarray(mk_)) for _, _, bp_, mk_ in ig_terms),
             )
 
         return run
