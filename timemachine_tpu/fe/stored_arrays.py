@@ -73,7 +73,13 @@ class StoredArrays(Sequence):
 
     def __getitem__(self, key):
         if isinstance(key, slice):
-            return np.stack([self[i] for i in range(*key.indices(len(self)))])
+            items = [self[i] for i in range(*key.indices(len(self)))]
+            if not items:
+                # np.stack rejects empty lists; preserve the item shape when
+                # the store has one
+                item_shape = self._load_chunk(0).shape[1:] if self._n_chunks() else ()
+                return np.zeros((0,) + item_shape)
+            return np.stack(items)
         if not isinstance(key, (int, np.integer)):
             raise NotImplementedError("only integer and slice indexing is supported")
         n = len(self)
