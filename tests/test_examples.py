@@ -128,3 +128,18 @@ def test_run_smc_on_freesolv(tmp_path):
         ],
         timeout=2400,
     )
+
+
+def test_spatial_md_scaling():
+    env_extra = {"XLA_FLAGS": os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"}
+    env = dict(os.environ)
+    env.update(env_extra)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO)
+    proc = subprocess.run(
+        [sys.executable, str(EXAMPLES / "spatial_md_scaling.py"),
+         "--box-width", "2.6", "--n-steps", "4", "--mesh-sizes", "1", "8"],
+        env=env, cwd=str(REPO), capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, f"spatial_md_scaling failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    assert "mesh=8" in proc.stdout
