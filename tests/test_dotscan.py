@@ -30,14 +30,14 @@ def lattice_fluid(n, n_side, jitter, seed, spacing=0.31):
     return conf, params, box
 
 
-def run_dotscan(conf, params, box, triangular):
+def run_dotscan(conf, params, box, triangular, sort="hilbert"):
     conf32 = jnp.asarray(conf, jnp.float32)
     params32 = jnp.asarray(params, jnp.float32)
     box32 = jnp.asarray(box, jnp.float32)
     n = conf.shape[0]
-    mp = dk.suggest_max_pairs(conf, box, CUTOFF, triangular=triangular)
+    mp = dk.suggest_max_pairs(conf, box, CUTOFF, triangular=triangular, sort=sort)
     po, rs, rc, ci, cq, ov = dk.build_dotscan_tiles(
-        conf32, params32, box32, CUTOFF, max_pairs=mp, triangular=triangular
+        conf32, params32, box32, CUTOFF, max_pairs=mp, triangular=triangular, sort=sort
     )
     assert int(ov) == 0
     n_pad = po.shape[0]
@@ -63,7 +63,7 @@ def run_dotscan(conf, params, box, triangular):
 def test_dotscan_matches_rowscan(triangular):
     n = 18**3  # box 5.58 nm: row half-extents + cutoff clear box/2
     conf, params, box = lattice_fluid(n, 18, 0.05, seed=0, spacing=0.31)
-    assert dk.dotscan_valid(conf, box, CUTOFF)
+    assert dk.dotscan_valid(conf, box, CUTOFF, sort="hilbert")
 
     mp = suggest_max_pairs(conf, box, CUTOFF, triangular=True)
     u_ref, f_ref = make_nonbonded_rowscan_energy_force(BETA, CUTOFF, mp, interpret=True, triangular=True)(
@@ -100,15 +100,15 @@ def test_dotscan_4d_lifted_w():
 def test_dotscan_md_provider_matches_rowscan_provider():
     n = 18**3
     conf, params, box = lattice_fluid(n, 18, 0.05, seed=3, spacing=0.31)
-    assert dk.dotscan_valid(conf, box, CUTOFF + 0.1)
+    assert dk.dotscan_valid(conf, box, CUTOFF + 0.1, sort="hilbert")
     mp_r = suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True)
-    mp_d = dk.suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True)
+    mp_d = dk.suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True, sort="hilbert")
 
     init_r, apply_r, energy_r, _, ewp_r = make_nonbonded_rowscan_md(
         BETA, CUTOFF, mp_r, skin=0.1, interpret=True, triangular=True
     )
     init_d, apply_d, energy_d, _, ewp_d = dk.make_nonbonded_dotscan_md(
-        BETA, CUTOFF, mp_d, skin=0.1, interpret=True, triangular=True
+        BETA, CUTOFF, mp_d, skin=0.1, interpret=True, triangular=True, sort="hilbert"
     )
     sr = init_r(conf, params, box)
     sd = init_d(conf, params, box)
@@ -137,11 +137,11 @@ def test_dotscan_direct_diff_variant_matches():
     must agree with rowscan tightly (exact subtraction)."""
     n = 18**3
     conf, params, box = lattice_fluid(n, 18, 0.05, seed=4, spacing=0.31)
-    mp_d = dk.suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True)
+    mp_d = dk.suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True, sort="hilbert")
     mp_r = suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True)
     init_r, apply_r, *_ = make_nonbonded_rowscan_md(BETA, CUTOFF, mp_r, skin=0.1, interpret=True, triangular=True)
     init_d, apply_d, *_ = dk.make_nonbonded_dotscan_md(
-        BETA, CUTOFF, mp_d, skin=0.1, interpret=True, triangular=True, dot_r2=False
+        BETA, CUTOFF, mp_d, skin=0.1, interpret=True, triangular=True, dot_r2=False, sort="hilbert"
     )
     sr = init_r(conf, params, box)
     sd = init_d(conf, params, box)
@@ -193,9 +193,9 @@ def test_dotscan_force_mode_nontriangular_no_self_pair_nan():
     conf32 = jnp.asarray(conf, jnp.float32)
     params32 = jnp.asarray(params, jnp.float32)
     box32 = jnp.asarray(box, jnp.float32)
-    mp = dk.suggest_max_pairs(conf, box, CUTOFF, triangular=False)
+    mp = dk.suggest_max_pairs(conf, box, CUTOFF, triangular=False, sort="hilbert")
     po, rs, rc, ci, cq, ov = dk.build_dotscan_tiles(
-        conf32, params32, box32, CUTOFF, max_pairs=mp, triangular=False
+        conf32, params32, box32, CUTOFF, max_pairs=mp, triangular=False, sort="hilbert"
     )
     assert int(ov) == 0
     n_pad = po.shape[0]
@@ -233,7 +233,7 @@ def test_dotscan_provider_poisons_forces_on_invalid_tiles():
 
     # overflow: deliberately undersized max_pairs
     init_fn, apply_fn, energy_fn, _, _ = dk.make_nonbonded_dotscan_md(
-        BETA, CUTOFF, max_pairs=8, skin=0.1, interpret=True, triangular=True
+        BETA, CUTOFF, max_pairs=8, skin=0.1, interpret=True, triangular=True, sort="hilbert"
     )
     state = init_fn(conf, params, box)
     assert int(state[-4]) > 0  # invalid flag (tiles tuple's last element)
@@ -243,12 +243,60 @@ def test_dotscan_provider_poisons_forces_on_invalid_tiles():
 
     # image-bound violation: rebuild (t=0) against a box shrunk below the
     # row-extent + cutoff soundness bound
-    mp = dk.suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True)
+    mp = dk.suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True, sort="hilbert")
     init_fn, apply_fn, *_ = dk.make_nonbonded_dotscan_md(
-        BETA, CUTOFF, max_pairs=mp, skin=0.1, interpret=True, triangular=True
+        BETA, CUTOFF, max_pairs=mp, skin=0.1, interpret=True, triangular=True, sort="hilbert"
     )
     state = init_fn(conf, params, box)
     assert int(state[-4]) == 0
     small = 0.45 * box
     _, force, _ = apply_fn(state, conf * 0.45, params, small, 0)
     assert np.all(np.isnan(np.asarray(force)))
+
+
+def test_dotscan_periodic_centers_handle_boundary_straddle():
+    """Chunks straddling the box boundary (any equilibrated fluid) must not
+    break the image mapping: periodic (largest-gap) centers + the kernel's
+    row-side rounding keep parity with rowscan on a lattice shifted by half
+    a box (regression: naive min/max centers read extent ~ box and the old
+    configure gate silently fell back to rowscan on ALL production
+    systems)."""
+    n = 18**3
+    conf, params, box = lattice_fluid(n, 18, 0.05, seed=8, spacing=0.31)
+    conf = conf + 0.5 * np.diagonal(box)  # straddle every boundary
+    assert dk.dotscan_valid(conf, box, CUTOFF, sort="hilbert")
+
+    mp = suggest_max_pairs(conf, box, CUTOFF, triangular=True)
+    u_ref, f_ref = make_nonbonded_rowscan_energy_force(BETA, CUTOFF, mp, interpret=True, triangular=True)(
+        conf, params, box
+    )
+    u_d, f_d = run_dotscan(conf, params, box, triangular=True, sort="hilbert")
+    assert u_d == pytest.approx(float(u_ref), rel=2e-5)
+    assert np.abs(f_d - np.asarray(f_ref)).max() / np.abs(np.asarray(f_ref)).max() < 5e-5
+
+
+def test_dotscan_snake_sort_at_production_density():
+    """At water-like density the snake sort's row chunks satisfy the image
+    bound (and its tile census is 12-17% tighter than Hilbert's —
+    ARCHITECTURE.md); parity vs rowscan under sort='snake'."""
+    n = 22**3
+    conf, params, box = lattice_fluid(n, 22, 0.04, seed=9, spacing=0.215)
+    assert dk.dotscan_valid(conf, box, CUTOFF, sort="snake")
+
+    mp = suggest_max_pairs(conf, box, CUTOFF, triangular=True)
+    u_ref, f_ref = make_nonbonded_rowscan_energy_force(BETA, CUTOFF, mp, interpret=True, triangular=True)(
+        conf, params, box
+    )
+    u_d, f_d = run_dotscan(conf, params, box, triangular=True, sort="snake")
+    assert u_d == pytest.approx(float(u_ref), rel=2e-5)
+    assert np.abs(f_d - np.asarray(f_ref)).max() / np.abs(np.asarray(f_ref)).max() < 5e-5
+
+
+def test_dot_configure_gate_prefers_snake_at_density():
+    from timemachine_tpu.potentials import NonbondedAllPairs
+
+    n = 22**3
+    conf, _, box = lattice_fluid(n, 22, 0.04, seed=10, spacing=0.215)
+    pot = NonbondedAllPairs(n, beta=BETA, cutoff=CUTOFF)
+    pot.configure_pallas(box, conf, interpret=True, kernel="dot")
+    assert pot.pallas_kernel == "dot"

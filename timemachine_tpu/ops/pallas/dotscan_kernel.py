@@ -4,15 +4,17 @@ Same (32-row x 128-col) Newton-triangular tile decomposition, snake sort and
 tile builder as rowscan_kernel.py, but the per-slot VPU work is restructured
 so the three densest pieces of the pair math ride the (otherwise idle) MXU:
 
-* PER-COLUMN-ATOM image shifts relative to the row-chunk center: each column
-  atom is mapped once per tile to its periodic image nearest the row center
-  (3 rounds on (1, 128) vectors, amortized over the 32 rows), after which
-  displacements subtract directly — the 9-op/slot per-pair minimum-image
-  rounding disappears. Soundness needs only the ROW-side bound
-  max row half-extent + cutoff < box/2 per axis (`dotscan_valid`; out-of-
-  image pairs always measure >= box/2 >= cutoff, so they can only be
-  excluded, never wrongly included). Column-chunk extents don't enter —
-  unlike a tile-constant shift, which 128-atom chunks can't support.
+* image shifts relative to the row-chunk center: each ROW atom is mapped to
+  its image nearest the (periodic, largest-gap) chunk center once per grid
+  step, and each COLUMN atom once per tile (3 rounds on (1, 128) vectors,
+  amortized over the 32 rows) — after which displacements subtract directly,
+  and the 9-op/slot per-pair minimum-image rounding disappears. Soundness
+  needs only the ROW-side bound max periodic row half-extent + cutoff <
+  box/2 per axis (`dotscan_valid`, rechecked every rebuild by
+  build_dotscan_tiles; out-of-image pairs always measure >= box/2 >= cutoff,
+  so they can only be excluded, never wrongly included). Column-chunk
+  extents don't enter — unlike a tile-constant shift, which 128-atom chunks
+  can't support — so the tighter-culling snake sort stays usable.
 * squared distances via the dot identity  r^2 = |xi|^2 + |xj'|^2 - 2 xi.xj'
   with the cross term as ONE (32, 8) @ (8, 128) MXU matmul per tile over the
   [x y z w] rows (the 4D lifted coordinate rides along for free). Both sides
@@ -60,11 +62,13 @@ from timemachine_tpu.ops.pallas.rowscan_kernel import (
 )
 
 
-def suggest_max_pairs(conf, box, cutoff, margin: float = 1.3, atom_mask=None, triangular: bool = False) -> int:
-    """Hilbert-census tile sizing (dotscan sorts by Hilbert key, so the
-    snake-census rowscan number does not transfer)."""
+def suggest_max_pairs(conf, box, cutoff, margin: float = 1.3, atom_mask=None, triangular: bool = False, sort: str = "snake") -> int:
+    """Tile census sizing for dotscan. Snake by default, matching
+    build_dotscan_tiles: with periodic (largest-gap) row centers the image
+    bound holds for snake row chunks too, and the snake census is measured
+    12-17% tighter than Hilbert's on production systems (ARCHITECTURE.md)."""
     return _suggest_max_pairs_sorted(
-        conf, box, cutoff, margin=margin, atom_mask=atom_mask, triangular=triangular, sort="hilbert"
+        conf, box, cutoff, margin=margin, atom_mask=atom_mask, triangular=triangular, sort=sort
     )
 
 ROW = 32
@@ -130,7 +134,15 @@ def _dotscan_kernel(
     e_one = (lane == 4).astype(jnp.float32)
     dmask = (lane < 4).astype(jnp.float32)
     cvec = cx * ex + cy * ey + cz * ez  # (1, 8)
-    rowD = (rowT - cvec) * dmask  # (ROW, 8) [xl yl zl w 0 0 0 0]
+    # map each ROW atom to its image nearest the chunk center too: chunks
+    # that straddle a periodic boundary (any real fluid at production box
+    # sizes) would otherwise put |x_local| ~ box and break both the r^2
+    # cancellation bound and the image-soundness argument. One round per
+    # row atom per grid step — amortized over the whole column loop.
+    bvec = box_x * ex + box_y * ey + box_z * ez  # (1, 8); zero in w lane
+    ivec = inv_bx * ex + inv_by * ey + inv_bz * ez
+    raw = (rowT - cvec) * dmask
+    rowD = raw - bvec * jax.lax.round(raw * ivec)  # (ROW, 8) [xl yl zl w 0...]
     rowD1 = rowD + e_one  # ones in slot 4: contracting it gives sum_i G
     rn2 = jnp.sum(rowD * rowD, axis=1, keepdims=True)  # (ROW, 1) incl. w^2
 
@@ -356,24 +368,48 @@ def dotscan_sweep(
     return out_rows.at[:, 1:4].add(out_cols[0:3].T)
 
 
-@partial(jax.jit, static_argnames=("max_pairs", "triangular"))
-def build_dotscan_tiles(conf, params, box, cutoff, max_pairs: int, atom_mask=None, triangular: bool = False):
-    """Rowscan tile build under the HILBERT sort (compact 32-atom row chunks
-    keep the row-center image bound away from box/2; snake runs span whole
-    box rows and violate it at production box sizes — and compact 128-atom
-    column chunks cull ~tighter tile lists as a bonus) + quantized row-chunk
-    centers. Size max_pairs with this module's suggest_max_pairs (hilbert
-    census), not rowscan's.
+def _periodic_center_halfextent(xs, box_diag):
+    """Per-chunk periodic center and half-extent, per axis.
+
+    xs: (nR, ROW) wrapped positions along one axis; box_diag: scalar.
+    The tight covering interval of a periodic point set is the complement
+    of the LARGEST gap between circularly-sorted positions — a naive
+    min/max reads ~box for any chunk that straddles the boundary (which
+    real fluids always have), wrongly failing the image bound. Returns
+    (center (nR,), half_extent (nR,)); center may exceed box (the kernel
+    maps atoms to its nearest image, so only its residue matters)."""
+    s = jnp.sort(xs, axis=1)  # (nR, ROW)
+    inner = s[:, 1:] - s[:, :-1]  # (nR, ROW-1)
+    wrap = (s[:, 0] + box_diag - s[:, -1])[:, None]
+    gaps = jnp.concatenate([inner, wrap], axis=1)  # gap i follows s[i]
+    gi = jnp.argmax(gaps, axis=1)  # (nR,)
+    extent = box_diag - jnp.take_along_axis(gaps, gi[:, None], axis=1)[:, 0]
+    # the covering interval starts at the element AFTER the largest gap —
+    # s[(gi+1) % ROW] in both the wrap-gap (gi == ROW-1 -> s[0]) and
+    # inner-gap cases — and spans `extent` (possibly past box; the kernel
+    # only uses the center's residue)
+    start = jnp.take_along_axis(s, ((gi + 1) % s.shape[1])[:, None], axis=1)[:, 0]
+    return start + 0.5 * extent, 0.5 * extent
+
+
+@partial(jax.jit, static_argnames=("max_pairs", "triangular", "sort"))
+def build_dotscan_tiles(conf, params, box, cutoff, max_pairs: int, atom_mask=None, triangular: bool = False, sort: str = "snake"):
+    """Rowscan tile build (snake sort by default — its census is measured
+    12-17% tighter than Hilbert's) + PERIODIC quantized row-chunk centers:
+    each chunk's center/extent comes from the largest circular gap per
+    axis, so chunks straddling the box boundary are handled exactly (both
+    row and column atoms are mapped to the center's nearest image — the
+    rows at kernel entry, the columns per tile).
 
     Returns (pad_order (Npad,) int32, row_start (nR,), row_count (nR,),
     col_ids (max_pairs,) int32, rcen_q (nR*4,) int32, invalid int32).
     `invalid` is nonzero when the tile list overflowed max_pairs OR the
-    row-center image bound (max row half-extent + cutoff < box/2) no longer
-    holds for this conf/box — either way the sweep would silently drop
-    interactions, so callers must treat nonzero as a hard failure (the MD
-    provider poisons forces with NaN, which the Context guard surfaces)."""
+    row-center image bound (max periodic row half-extent + cutoff < box/2)
+    does not hold for this conf/box — either way the sweep would silently
+    drop interactions, so callers must treat nonzero as a hard failure (the
+    MD provider poisons forces with NaN, which the Context guard surfaces)."""
     pad_order, row_start, row_count, col_ids, overflow = build_rowscan_tiles(
-        conf, params, box, cutoff, max_pairs=max_pairs, atom_mask=atom_mask, triangular=triangular, sort="hilbert"
+        conf, params, box, cutoff, max_pairs=max_pairs, atom_mask=atom_mask, triangular=triangular, sort=sort
     )
     n = conf.shape[0]
     n_pad = pad_order.shape[0]
@@ -381,56 +417,60 @@ def build_dotscan_tiles(conf, params, box, cutoff, max_pairs: int, atom_mask=Non
     box_diag = jnp.diagonal(box)
     wrapped = conf[:, :3] - box_diag * jnp.floor(conf[:, :3] / box_diag)
     xs = wrapped[pad_order].reshape(n_rows, ROW, 3)
-    if atom_mask is None:
-        valid = jnp.concatenate([jnp.ones(n), jnp.zeros(n_pad - n)])
-    else:
-        valid = jnp.concatenate([jnp.asarray(atom_mask, jnp.float32), jnp.zeros(n_pad - n)])
-        valid = valid[pad_order]
-    vmask = valid.reshape(n_rows, ROW, 1) > 0
-    big = jnp.asarray(1e9, jnp.float32)
-    rmin = jnp.min(jnp.where(vmask, xs, big), axis=1)
-    rmax = jnp.max(jnp.where(vmask, xs, -big), axis=1)
-    any_valid = jnp.any(vmask[:, :, 0], axis=1)[:, None]
-    rcen = jnp.where(any_valid, 0.5 * (rmin + rmax), 0.0)
+    # padding entries duplicate real atoms (zero-width gaps) and masked
+    # atoms only widen extents — both conservative for the bound
+    cen_parts, hal_parts = [], []
+    for ax in range(3):
+        c, h = _periodic_center_halfextent(xs[:, :, ax], box_diag[ax])
+        cen_parts.append(c)
+        hal_parts.append(h)
+    rcen = jnp.stack(cen_parts, axis=1)  # (nR, 3)
+    rhal = jnp.stack(hal_parts, axis=1)
     rcen_q = jnp.round(rcen / CEN_SCALE).astype(jnp.int32)
     rcen_q = jnp.concatenate([rcen_q, jnp.zeros((n_rows, 1), jnp.int32)], axis=1).reshape(-1)
     # rebuild-time recheck of the image-mapping soundness bound: `cutoff`
     # here is the BUILD radius (bare cutoff + skin at the provider), so the
     # skin margin also covers diffusion between rebuilds of sweeps gated at
-    # the bare cutoff. configure-time dotscan_valid() is only an estimate on
-    # the initial conf; NPT box shrinkage or row-chunk stretching must fail
+    # the bare cutoff. NPT box shrinkage or row-chunk stretching must fail
     # loudly, not silently exclude in-cutoff pairs.
-    rhal = jnp.where(any_valid, 0.5 * (rmax - rmin), 0.0)
     bound_bad = jnp.any(jnp.max(rhal, axis=0) + cutoff >= 0.5 * box_diag)
     invalid = overflow + bound_bad.astype(overflow.dtype)
     return pad_order, row_start, row_count, col_ids, rcen_q, invalid
 
 
-def dotscan_valid(conf, box, cutoff, headroom: float = 0.1) -> bool:
+def dotscan_valid(conf, box, cutoff, headroom: float = 0.1, sort: str = "snake") -> bool:
     """Host-side soundness check of the row-center image mapping: an
     in-cutoff pair's true image equals its column atom's row-center image
-    whenever max row half-extent + cutoff < box/2 per axis (out-of-image
-    pairs then always measure >= box/2 >= cutoff and can only be excluded).
-    Pass cutoff+skin when gating the MD provider (it builds tiles at that
-    radius); `headroom` covers row-extent growth from diffusion between
-    rebuilds (~skin)."""
+    whenever max PERIODIC row half-extent + cutoff < box/2 per axis
+    (out-of-image pairs then always measure >= box/2 >= cutoff and can only
+    be excluded; the periodic extent — box minus the largest circular gap —
+    handles chunks straddling the box boundary, which a naive min/max reads
+    as ~box). Pass cutoff+skin when gating the MD provider (it builds tiles
+    at that radius); `headroom` covers row-extent growth from diffusion
+    between rebuilds (~skin). This is only the configure-time estimate on
+    the initial conf; build_dotscan_tiles rechecks the bound at every
+    rebuild and flags `invalid` when it fails."""
+    conf = np.asarray(conf)
     n = conf.shape[0]
-    n_pad = (-(-n // COL) + 1) * COL
     box_diag = np.diagonal(np.asarray(box))
     if np.any(box_diag < 2.0 * cutoff):
         return False
-    from timemachine_tpu.ops.pallas.quadscan_kernel import _hilbert_keys
-
-    conf = np.asarray(conf)[:, :3]
-    wrapped = conf - box_diag * np.floor(conf / box_diag)
-    frac = wrapped / box_diag
-    frac = frac - np.floor(frac)
-    keys = np.asarray(_hilbert_keys(jnp.asarray(frac, jnp.float32)))
-    xs = wrapped[np.argsort(keys, kind="stable")]
-    xs = np.concatenate([xs, np.tile(xs[-1:], (n_pad - n, 1))])
-    rh = xs.reshape(-1, ROW, 3)
-    rhal = 0.5 * (rh.max(axis=1) - rh.min(axis=1))
-    return bool(np.all(rhal.max(axis=0) + cutoff + headroom < 0.5 * box_diag))
+    pad_order, *_ = build_rowscan_tiles(
+        jnp.asarray(conf, jnp.float32),
+        jnp.zeros((n, 4), jnp.float32),
+        jnp.asarray(box, jnp.float32),
+        cutoff,
+        max_pairs=32,  # only pad_order is needed; overflow is irrelevant here
+        triangular=True,
+        sort=sort,
+    )
+    wrapped = conf[:, :3] - box_diag * np.floor(conf[:, :3] / box_diag)
+    xs = np.asarray(wrapped, np.float32)[np.asarray(pad_order)].reshape(-1, ROW, 3)
+    ok = True
+    for ax in range(3):
+        _, rhal = _periodic_center_halfextent(jnp.asarray(xs[:, :, ax]), box_diag[ax])
+        ok = ok and bool(np.max(np.asarray(rhal)) + cutoff + headroom < 0.5 * box_diag[ax])
+    return ok
 
 
 def _scalars(box, cutoff):
@@ -449,11 +489,14 @@ def make_nonbonded_dotscan_md(
     atom_mask=None,
     triangular: bool = True,
     dot_r2: bool = True,
+    sort: str = "snake",
 ):
     """Stateful MD force provider on the dotscan kernel (same contract as
     rowscan_kernel.make_nonbonded_rowscan_md; size max_pairs with THIS
-    module's suggest_max_pairs at cutoff+skin — dotscan sorts by Hilbert
-    key, so rowscan's snake-census number does not transfer). Tile overflow
+    module's suggest_max_pairs at cutoff+skin and the SAME `sort` — snake
+    culls 12-17% tighter, Hilbert keeps row chunks compact when the system
+    is too sparse for snake's image bound; configure_pallas picks
+    per-system via dotscan_valid). Tile overflow
     or an image-bound violation at rebuild time poisons forces with NaN
     (caught by the Context guard) instead of silently dropping pairs.
     Energy evaluations reuse
@@ -475,6 +518,7 @@ def make_nonbonded_dotscan_md(
             max_pairs=max_pairs,
             atom_mask=atom_mask,
             triangular=triangular,
+            sort=sort,
         )
 
     def sweep_fn(tiles, atoms8, atomsT, box, compute_u):

@@ -312,15 +312,22 @@ class NonbondedAllPairs(Potential):
 
         self.impl = "pallas"
         skin = 0.1
+        dot_sort = None
         if kernel == "dot":
             # dot = rowscan energy/analysis paths + the dotscan MD hot-loop
             # provider (MXU dot-identity distances + matmul force
             # accumulation, ops/pallas/dotscan_kernel.py); requires the
-            # row-center image bound (row half-extent + cutoff < box/2) —
-            # otherwise fall back to rowscan wholesale
+            # periodic row-center image bound (row half-extent + cutoff <
+            # box/2). Prefer the snake sort (12-17% tighter tile census);
+            # fall back to Hilbert rows (compact chunks at any density),
+            # then to rowscan wholesale.
             from timemachine_tpu.ops.pallas.dotscan_kernel import dotscan_valid
 
-            if not dotscan_valid(np.asarray(conf), np.asarray(box), self.cutoff + skin):
+            for cand in ("snake", "hilbert"):
+                if dotscan_valid(np.asarray(conf), np.asarray(box), self.cutoff + skin, sort=cand):
+                    dot_sort = cand
+                    break
+            if dot_sort is None:
                 kernel = "rowscan"
         if kernel == "quad":
             # quad = rowscan energy/analysis paths + the quadscan MD hot-loop
@@ -426,11 +433,11 @@ class NonbondedAllPairs(Potential):
 
                 md_pairs = suggest_dot_pairs(
                     np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, atom_mask=mask,
-                    triangular=True,
+                    triangular=True, sort=dot_sort,
                 )
                 self._pallas_md = make_nonbonded_dotscan_md(
                     self.beta, self.cutoff, md_pairs, skin=skin, rebuild_interval=20, interpret=interpret,
-                    atom_mask=mask,
+                    atom_mask=mask, sort=dot_sort,
                 )
             return self
 
