@@ -18,6 +18,13 @@ set -x
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
 
+# Validate any existing probe npz is actually loadable before reusing it
+# (a dump killed mid-write used to leave a truncated file behind).
+JAX_PLATFORMS=cpu python - <<'EOF' 2>/dev/null || rm -f /tmp/water23k.npz
+import numpy as np
+d = np.load("/tmp/water23k.npz")
+_ = d["x0"].shape, d["box"].shape, d["params"].shape
+EOF
 [ -f /tmp/water23k.npz ] || JAX_PLATFORMS=cpu timeout 600 python scripts/dump_water23k.py \
   || { echo 'probe-data dump failed; aborting'; exit 1; }
 
@@ -26,7 +33,9 @@ import jax, jax.numpy as jnp
 x = jnp.ones((128,128)); print('health', float((x@x).sum()), jax.devices())
 " || { echo 'TPU unhealthy; aborting'; exit 1; }
 
+set -e
 timeout 2400 python scripts/probe_dotscan.py
+timeout 2400 python scripts/probe_dhfr.py
 timeout 1500 python bench.py
 timeout 1500 python bench.py --kernel dot
 echo "session complete"

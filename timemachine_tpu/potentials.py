@@ -538,8 +538,8 @@ class Nonbonded(Potential):
         self._all_pairs.configure_tiled(box, conf=conf)
         return self
 
-    def configure_pallas(self, box, conf, margin: float = 1.4, interpret: bool = False):
-        self._all_pairs.configure_pallas(box, conf, margin=margin, interpret=interpret)
+    def configure_pallas(self, box, conf, margin: float = 1.4, interpret: bool = False, **kwargs):
+        self._all_pairs.configure_pallas(box, conf, margin=margin, interpret=interpret, **kwargs)
         self.impl = "pallas"
         return self
 
