@@ -24,7 +24,9 @@ def build(variant: str):
     hs = cfg.host_system
     n_w = cfg.num_water_atoms
 
-    if variant == "no_excl":
+    if variant in ("no_baro", "nb_only_baro"):
+        pass  # potential content unchanged; mover/term selection below
+    elif variant == "no_excl":
         # keep only the water exclusions (first rows after waters-first sort)
         nb = hs.nonbonded_all_pairs
         e = np.asarray(nb.potential.exclusion_idxs)
@@ -63,6 +65,8 @@ def build(variant: str):
     bps = hs.get_U_fns()
     nb = hs.nonbonded_all_pairs.potential
     nb.configure_pallas(cfg.box, cfg.conf)
+    if variant in ("nb_only", "nb_only_baro"):
+        bps = [hs.nonbonded_all_pairs]
     masses = apply_hmr(cfg.masses, hs.bond.potential.idxs)
     return cfg, bps, masses
 
@@ -97,8 +101,9 @@ def run(variant: str):
     intg = LangevinIntegrator(300.0, 0.0, 1.0, masses, seed=2026)  # dt=0: same compute graph, frozen dynamics (stripped variants are not integrable)
     groups = list(cfg.host_topology.group_idxs)
     baro = MonteCarloBarostat(len(masses), 1.013, 300.0, groups, 25, seed=2027)
+    movers = [] if variant in ("no_baro", "nb_only") else [baro]
     v0 = sample_velocities(masses, 300.0, seed=2028).astype(dtype)
-    ctxt = Context(x0, v0, box.astype(dtype), intg, bps, movers=[baro])
+    ctxt = Context(x0, v0, box.astype(dtype), intg, bps, movers=movers)
 
     n_steps = 1000
     ctxt.multiple_steps(n_steps)
@@ -109,7 +114,7 @@ def run(variant: str):
 
 
 def main():
-    for variant in ("full", "no_excl", "no_protein_bonded"):
+    for variant in ("full", "no_baro", "no_excl", "no_protein_bonded", "nb_only", "nb_only_baro"):
         run(variant)
 
 

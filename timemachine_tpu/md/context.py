@@ -179,24 +179,57 @@ class Context:
             ca, cb, cc = self.integrator.coefficients(free_mask)
         dt = self.integrator.dt
 
-        # split potentials into three tiers:
+        # split potentials into four tiers:
         # 1. stateful MD providers (Pallas nonbonded with amortized tile
         #    rebuilds — state carried through the scan),
-        # 2. stateless fused (u, f) providers (one pass, no backward sweep),
-        # 3. grad-evaluated terms.
+        # 2. contribution providers: irregular term lists (bonded tails,
+        #    exclusion tails) whose forces are assembled scatter-free through
+        #    ONE shared atom-major plan (ops/assembly.py; XLA scatter-add
+        #    serializes at ~9 ns/update — measured 1.04 -> 0.73 ms/step for
+        #    the DHFR protein tails, scripts/probe_assembly.py),
+        # 3. stateless fused (u, f) providers (one pass, no backward sweep),
+        # 4. grad-evaluated terms.
         stateful: dict = {}
         fused_fns: dict = {}
+        contrib_groups: list = []
+        contrib_entries: list = []  # (potential index, fn)
         for i, p in enumerate(self.potentials):
+            split_m = getattr(p, "md_force_provider_split", None)
+            split = split_m() if split_m is not None else None
+            if split is not None:
+                prov, groups, fn = split
+                stateful[i] = prov
+                contrib_groups.extend(groups)
+                contrib_entries.append((i, fn))
+                continue
             mdp = getattr(p, "md_force_provider", None)
             prov = mdp() if mdp is not None else None
             if prov is not None:
                 stateful[i] = prov
                 continue
+            fc_m = getattr(p, "force_contribs", None)
+            fc = fc_m() if fc_m is not None else None
+            if fc is not None:
+                groups, fn = fc
+                contrib_groups.extend(groups)
+                contrib_entries.append((i, fn))
+                continue
             ef = getattr(p, "energy_force_fn", lambda: None)()
             if ef is not None:
                 fused_fns[i] = ef
-        grad_idx = [i for i in range(len(self.potentials)) if i not in fused_fns and i not in stateful]
+        contrib_idx = {i for i, _ in contrib_entries}
+        grad_idx = [
+            i
+            for i in range(len(self.potentials))
+            if i not in fused_fns and i not in stateful and i not in contrib_idx
+        ]
         self._stateful_provider_idx = sorted(stateful.keys())
+
+        contrib_plan = None
+        if contrib_groups:
+            from timemachine_tpu.ops.assembly import assemble_forces, build_contrib_plan
+
+            contrib_plan = build_contrib_plan(contrib_groups, self._x.shape[0])
 
         def energy_with_states(x, box, params_list, prov_states, rigid_only=False):
             """Total energy where stateful providers REUSE their tile lists
@@ -230,6 +263,14 @@ class Context:
             for i in fused_fns:
                 _, f = fused_fns[i](x, params_list[i], box)
                 force = force + f
+            if contrib_plan is not None:
+                all_contribs = []
+                for i, fn in contrib_entries:
+                    cs, extra = fn(x, params_list[i], box)
+                    all_contribs.extend(cs)
+                    if extra is not None:
+                        force = force + extra
+                force = force + assemble_forces(contrib_plan, all_contribs)
             new_states = []
             for k, i in enumerate(self._stateful_provider_idx):
                 _, f, st = stateful[i][1](prov_states[k], x, params_list[i], box, t)

@@ -315,12 +315,11 @@ def _scatter_force(force, idxs_col, contrib, mask, n):
     return force.at[safe].add(jnp.where(mask[:, None], contrib, 0.0), mode="drop")
 
 
-def generic_bond_energy_force(conf, params, box, idxs):
-    """Closed-form (u, force) for arbitrary harmonic-bond rows — the forward
-    derivative of `harmonic_bond` assembled by gather + scatter-add, skipping
-    the autodiff adjoint (protein/ligand tails; ref k_harmonic_bond.cuh does
-    the same on CUDA)."""
-    n = conf.shape[0]
+def bond_force_contribs(conf, params, idxs):
+    """Closed-form harmonic-bond forward pass: (u, [force contribution of
+    each bond on its role-0 atom, on its role-1 atom]) — contributions of
+    padding rows are zero. Shared by the scatter (generic_bond_energy_force)
+    and scatter-free (ops/assembly.py) assembly paths."""
     mask = _pad_mask(idxs)
     ci = _safe_gather(conf, idxs[:, 0])
     cj = _safe_gather(conf, idxs[:, 1])
@@ -333,19 +332,30 @@ def generic_bond_energy_force(conf, params, box, idxs):
     u = jnp.sum(jnp.where(mask, e, 0.0))
     # dU/d(ci) = pref * dx with pref = k (r0==0) else k*(d-r0)/d
     pref = jnp.where(r0 == 0, k, k * (d - r0) / jnp.where(d > 0, d, 1.0))
-    g = pref[:, None] * dx
+    g = jnp.where(mask, pref, 0.0)[:, None] * dx
+    return u, [-g, g]
+
+
+def generic_bond_energy_force(conf, params, box, idxs):
+    """Closed-form (u, force) for arbitrary harmonic-bond rows — the forward
+    derivative of `harmonic_bond` assembled by gather + scatter-add, skipping
+    the autodiff adjoint (protein/ligand tails; ref k_harmonic_bond.cuh does
+    the same on CUDA)."""
+    n = conf.shape[0]
+    mask = _pad_mask(idxs)
+    u, (g_i, g_j) = bond_force_contribs(conf, params, idxs)
     force = jnp.zeros_like(conf)
-    force = _scatter_force(force, idxs[:, 0], -g, mask, n)
-    force = _scatter_force(force, idxs[:, 1], +g, mask, n)
+    force = _scatter_force(force, idxs[:, 0], g_i, mask, n)
+    force = _scatter_force(force, idxs[:, 1], g_j, mask, n)
     return u, force
 
 
-def generic_angle_energy_force(conf, params, box, idxs):
-    """Closed-form (u, force) for harmonic-angle rows, INCLUDING the eps
-    stabilizer: the Kahan form in `stable_angle` equals arccos of the
-    eps-extended vectors (d, eps), whose gradient in the 3-D components is
-    closed-form. Reduces exactly to the water fast-path form at eps == 0."""
-    n = conf.shape[0]
+def angle_force_contribs(conf, params, idxs):
+    """Closed-form harmonic-angle forward pass, INCLUDING the eps stabilizer:
+    the Kahan form in `stable_angle` equals arccos of the eps-extended
+    vectors (d, eps), whose gradient in the 3-D components is closed-form.
+    Returns (u, [f_i, f_j, f_k] per-role force contributions, zero on
+    padding rows)."""
     mask = _pad_mask(idxs)
     ci = _safe_gather(conf, idxs[:, 0])
     cj = _safe_gather(conf, idxs[:, 1])
@@ -362,23 +372,32 @@ def generic_angle_energy_force(conf, params, box, idxs):
     delta = theta - a0
     u = jnp.sum(jnp.where(mask, 0.5 * k * delta * delta, 0.0))
     # dtheta/d(d1) = -s_inv (d2/(r1 r2) - c d1/r1^2); force = -k delta dtheta
-    g = (k * delta * s_inv)[:, None]
+    g = jnp.where(mask, k * delta * s_inv, 0.0)[:, None]
     f_i = g * (d2v / (r1 * r2)[:, None] - c[:, None] * d1 / (r1 * r1)[:, None])
     f_k = g * (d1 / (r1 * r2)[:, None] - c[:, None] * d2v / (r2 * r2)[:, None])
+    return u, [f_i, -(f_i + f_k), f_k]
+
+
+def generic_angle_energy_force(conf, params, box, idxs):
+    """Closed-form (u, force) for harmonic-angle rows (see
+    angle_force_contribs), assembled by scatter-add."""
+    n = conf.shape[0]
+    mask = _pad_mask(idxs)
+    u, (f_i, f_j, f_k) = angle_force_contribs(conf, params, idxs)
     force = jnp.zeros_like(conf)
     force = _scatter_force(force, idxs[:, 0], f_i, mask, n)
-    force = _scatter_force(force, idxs[:, 1], -(f_i + f_k), mask, n)
+    force = _scatter_force(force, idxs[:, 1], f_j, mask, n)
     force = _scatter_force(force, idxs[:, 2], f_k, mask, n)
     return u, force
 
 
-def torsion_energy_force(conf, params, box, idxs):
-    """Closed-form (u, force) for periodic-torsion rows via the
-    Blondel-Karplus dihedral gradient (adapted to this module's
-    `signed_torsion_angle` vector convention; ref k_periodic_torsion.cuh).
-    Collinear near-singularities are clamped the same way autodiff's
-    1/|n|^2 factors saturate."""
-    n = conf.shape[0]
+def torsion_force_contribs(conf, params, idxs):
+    """Closed-form periodic-torsion forward pass via the Blondel-Karplus
+    dihedral gradient (adapted to this module's `signed_torsion_angle`
+    vector convention; ref k_periodic_torsion.cuh). Collinear
+    near-singularities are clamped the same way autodiff's 1/|n|^2 factors
+    saturate. Returns (u, [f_i, f_j, f_k, f_l] 3-wide per-role force
+    contributions, zero on padding rows)."""
     mask = _pad_mask(idxs)
     conf3 = conf[:, :3]
     ci = _safe_gather(conf3, idxs[:, 0])
@@ -412,11 +431,18 @@ def torsion_energy_force(conf, params, box, idxs):
     gk = t[:, None] * gi - (s + 1.0)[:, None] * gl
 
     w = jnp.where(mask, dU, 0.0)[:, None]
-    force3 = jnp.zeros_like(conf3)
-    force3 = force3.at[jnp.where(mask, idxs[:, 0], n)].add(w * gi, mode="drop")
-    force3 = force3.at[jnp.where(mask, idxs[:, 1], n)].add(w * gj, mode="drop")
-    force3 = force3.at[jnp.where(mask, idxs[:, 2], n)].add(w * gk, mode="drop")
-    force3 = force3.at[jnp.where(mask, idxs[:, 3], n)].add(w * gl, mode="drop")
+    return u, [w * gi, w * gj, w * gk, w * gl]
+
+
+def torsion_energy_force(conf, params, box, idxs):
+    """Closed-form (u, force) for periodic-torsion rows (see
+    torsion_force_contribs), assembled by scatter-add."""
+    n = conf.shape[0]
+    mask = _pad_mask(idxs)
+    u, contribs = torsion_force_contribs(conf, params, idxs)
+    force3 = jnp.zeros((n, 3), conf.dtype)
+    for role, c in enumerate(contribs):
+        force3 = force3.at[jnp.where(mask, idxs[:, role], n)].add(c, mode="drop")
     if conf.shape[1] > 3:
         force3 = jnp.concatenate([force3, jnp.zeros((n, conf.shape[1] - 3), conf.dtype)], axis=1)
     return u, force3

@@ -417,20 +417,17 @@ def water_exclusion_energy(conf, params, box, nw, beta, cutoff, es_poly_coeffs=N
     return u
 
 
-def specific_pairs_energy_force(conf, params, box, pairs, beta, cutoff, rescale_mask, es_poly_coeffs):
-    """Closed-form (u, force) of `nonbonded_on_specific_pairs` with
-    polynomial (Chebyshev) electrostatics — the exclusion-correction hot
-    path. u = Σ vdW + Σ es (caller negates for exclusions); force = -dU/dx
-    assembled by scatter-add, skipping the autodiff adjoint.
-
-    Requires es_poly_coeffs (the rowscan kernel's own h(u) series so the
-    cancellation against the all-pairs term is exact); callers without a
-    polynomial ES stay on autodiff."""
+def specific_pairs_force_contribs(conf, params, box, pairs, beta, cutoff, rescale_mask, es_poly_coeffs):
+    """Closed-form forward pass of `nonbonded_on_specific_pairs` with
+    polynomial (Chebyshev) electrostatics. Returns (u, [f_l, f_r]) per-role
+    FORCE contributions (f = -dU/dx side), zero on padding/beyond-cutoff
+    rows — shared by the scatter (specific_pairs_energy_force) and
+    scatter-free (ops/assembly.py) assembly paths."""
     import numpy as _np
 
-    n = conf.shape[0]
     if pairs.shape[0] == 0:
-        return jnp.asarray(0.0, dtype=conf.dtype), jnp.zeros_like(conf)
+        z = jnp.zeros((0, 3), conf.dtype)
+        return jnp.asarray(0.0, dtype=conf.dtype), [z, z]
     coeffs = jnp.asarray(es_poly_coeffs, dtype=conf.dtype)
     dcoeffs = jnp.asarray(_np.polynomial.chebyshev.chebder(_np.asarray(es_poly_coeffs)), dtype=conf.dtype)
 
@@ -474,9 +471,28 @@ def specific_pairs_energy_force(conf, params, box, pairs, beta, cutoff, rescale_
     # force on l = -dU/dd * (dx / d); force on r = +...
     g = (dU * inv_d)[:, None] * dx
     g = jnp.where(keep[:, None], g, 0.0)
+    return u, [-g, g]
+
+
+def specific_pairs_energy_force(conf, params, box, pairs, beta, cutoff, rescale_mask, es_poly_coeffs):
+    """Closed-form (u, force) of `nonbonded_on_specific_pairs` with
+    polynomial (Chebyshev) electrostatics — the exclusion-correction hot
+    path. u = Σ vdW + Σ es (caller negates for exclusions); force = -dU/dx
+    assembled by scatter-add, skipping the autodiff adjoint.
+
+    Requires es_poly_coeffs (the rowscan kernel's own h(u) series so the
+    cancellation against the all-pairs term is exact); callers without a
+    polynomial ES stay on autodiff."""
+    n = conf.shape[0]
+    if pairs.shape[0] == 0:
+        return jnp.asarray(0.0, dtype=conf.dtype), jnp.zeros_like(conf)
+    u, (g_l, g_r) = specific_pairs_force_contribs(
+        conf, params, box, pairs, beta, cutoff, rescale_mask, es_poly_coeffs
+    )
+    valid = jnp.all(pairs >= 0, axis=-1)
     force = jnp.zeros_like(conf)
-    force = force.at[jnp.where(keep, inds_l, n)].add(-g, mode="drop")
-    force = force.at[jnp.where(keep, inds_r, n)].add(+g, mode="drop")
+    force = force.at[jnp.where(valid, pairs[:, 0], n)].add(g_l, mode="drop")
+    force = force.at[jnp.where(valid, pairs[:, 1], n)].add(g_r, mode="drop")
     return u, force
 
 

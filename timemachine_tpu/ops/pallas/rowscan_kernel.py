@@ -46,6 +46,7 @@ ROW = 32  # atoms per row chunk (grid step)
 UNROLL = 4  # column chunks per inner-loop iteration (builder pads to match)
 COL = 128  # atoms per column chunk (inner loop iteration) == lane width
 SWITCH_CUTOFF = 1.2  # pinned, matching ops/nonbonded.py
+CEN_SCALE = 1e-4  # row-center quantization (nm per int unit; preshift mode)
 
 _poly_cache: dict = {}
 
@@ -90,25 +91,36 @@ def _clenshaw(t2, coeffs):
 
 
 def _rowscan_kernel(
-    row_base_ref,  # (1,) int32 scalar prefetch: global row-chunk offset of
-    #               this shard (0 on a single device; d*nR_local when the row
-    #               axis is sharded over a mesh — the Newton pair-ordering
-    #               gate needs GLOBAL atom ids)
-    row_start_ref,  # (nR,) int32 scalar prefetch: offset into col_ids
-    row_count_ref,  # (nR,) int32 scalar prefetch: neighbor chunk count
-    col_ids_ref,  # (T,) int32 scalar prefetch: flat column chunk ids
-    rowT_ref,  # (ROW, 8) block: this row chunk, transposed atom data
-    atoms_ref,  # (nC, 8, COL) whole array, VMEM resident (chunk-major)
-    scal_ref,  # (1, 8) SMEM: box_x, box_y, box_z, cutoff, 0, 0, 0, 0
-    out_ref,  # (ROW, 8) block: [u, fx, fy, fz, 0, 0, 0, 0]
-    out_cols_ref=None,  # triangular only: (8, Npad) whole, accumulated across grid
-    *,
+    *refs,
+    # ref order: row_base (1,), row_start (nR,), row_count (nR,), col_ids (T,)
+    # [, rcen (nR*4,) when preshift] — int32 scalar prefetch (row_base is the
+    # global row-chunk offset of this shard: 0 single-device, d*nR_local when
+    # the row axis shards over a mesh — the Newton gate needs GLOBAL ids;
+    # rcen = quantized periodic row-chunk centers, 1e-4 nm units);
+    # then rowT (ROW, 8) block, atoms (nC, 8, COL) whole VMEM-resident,
+    # scal (1, 8) SMEM [box_x box_y box_z cutoff 0...],
+    # out (ROW, 8) block [u fx fy fz 0...]
+    # [, out_cols (8, Npad) whole, accumulated across the grid — triangular].
     h_coeffs,
     p_coeffs,
     compute_u: bool,
     triangular: bool = False,
     has_w: bool = True,
+    preshift: bool = False,
 ):
+    if preshift:
+        row_base_ref, row_start_ref, row_count_ref, col_ids_ref, rcen_ref = refs[:5]
+        rest = refs[5:]
+    else:
+        row_base_ref, row_start_ref, row_count_ref, col_ids_ref = refs[:4]
+        rcen_ref = None
+        rest = refs[4:]
+    if triangular:
+        rowT_ref, atoms_ref, scal_ref, out_ref, out_cols_ref = rest
+    else:
+        rowT_ref, atoms_ref, scal_ref, out_ref = rest
+        out_cols_ref = None
+
     i = pl.program_id(0)
     start = row_start_ref[i]
     count = row_count_ref[i]
@@ -133,6 +145,26 @@ def _rowscan_kernel(
     k0 = -2.0
 
     rowT = rowT_ref[:, :]  # (ROW, 8)
+    if preshift:
+        # map each ROW atom to its image nearest the (periodic) chunk center
+        # once per grid step; columns are imaged per tile on (1, COL) vectors
+        # — the 9-op/slot per-pair minimum-image rounding disappears.
+        # Soundness bound (rechecked every rebuild by build_dotscan_tiles):
+        # max periodic row half-extent + cutoff < box/2 per axis.
+        cx = rcen_ref[4 * i].astype(jnp.float32) * CEN_SCALE
+        cy = rcen_ref[4 * i + 1].astype(jnp.float32) * CEN_SCALE
+        cz = rcen_ref[4 * i + 2].astype(jnp.float32) * CEN_SCALE
+        cxb = cx * inv_bx
+        cyb = cy * inv_by
+        czb = cz * inv_bz
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+        ex = (lane == 0).astype(jnp.float32)
+        ey = (lane == 1).astype(jnp.float32)
+        ez = (lane == 2).astype(jnp.float32)
+        cvec = cx * ex + cy * ey + cz * ez
+        bvec = box_x * ex + box_y * ey + box_z * ez
+        ivec = inv_bx * ex + inv_by * ey + inv_bz * ez
+        rowT = rowT + bvec * jax.lax.round((cvec - rowT) * ivec)
     x_i = rowT[:, 0:1]
     y_i = rowT[:, 1:2]
     z_i = rowT[:, 2:3]
@@ -150,12 +182,26 @@ def _rowscan_kernel(
         acc_fx, acc_fy, acc_fz, acc_u = acc
         col = atoms_ref[cid]  # (8, COL), tile-aligned dynamic index
 
-        dx = x_i - col[0].reshape(1, COL)
-        dy = y_i - col[1].reshape(1, COL)
-        dz = z_i - col[2].reshape(1, COL)
-        dx = dx - box_x * jax.lax.round(dx * inv_bx)
-        dy = dy - box_y * jax.lax.round(dy * inv_by)
-        dz = dz - box_z * jax.lax.round(dz * inv_bz)
+        if preshift:
+            # image each column atom to the row center once per tile
+            # ((1, COL) work, amortized over ROW) — differences are then
+            # direct and exact, no per-pair rounding
+            xj = col[0].reshape(1, COL)
+            yj = col[1].reshape(1, COL)
+            zj = col[2].reshape(1, COL)
+            xj = xj + box_x * jax.lax.round((cxb - xj * inv_bx))
+            yj = yj + box_y * jax.lax.round((cyb - yj * inv_by))
+            zj = zj + box_z * jax.lax.round((czb - zj * inv_bz))
+            dx = x_i - xj
+            dy = y_i - yj
+            dz = z_i - zj
+        else:
+            dx = x_i - col[0].reshape(1, COL)
+            dy = y_i - col[1].reshape(1, COL)
+            dz = z_i - col[2].reshape(1, COL)
+            dx = dx - box_x * jax.lax.round(dx * inv_bx)
+            dy = dy - box_y * jax.lax.round(dy * inv_by)
+            dz = dz - box_z * jax.lax.round(dz * inv_bz)
         r2 = dx * dx + dy * dy + dz * dz
         if has_w:
             dw = w_i - col[3].reshape(1, COL)
@@ -248,6 +294,7 @@ def _rowscan_call(
     n_rows: int,
     *,
     row_base=None,  # (1,) int32 global row-chunk offset (sharded callers)
+    rcen_q=None,  # (nR*4,) int32 quantized row centers (preshift mode)
     h_coeffs,
     p_coeffs,
     compute_u: bool,
@@ -263,43 +310,58 @@ def _rowscan_call(
     n_row_atoms = n_rows * ROW
     if row_base is None:
         row_base = jnp.zeros((1,), jnp.int32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_rows,),
-        in_specs=[
-            pl.BlockSpec((ROW, 8), lambda i, rb, rs, rc, ci: (i, 0)),
-            pl.BlockSpec((n_chunks, 8, COL), lambda i, rb, rs, rc, ci: (0, 0, 0)),
-            pl.BlockSpec((1, 8), lambda i, rb, rs, rc, ci: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((ROW, 8), lambda i, rb, rs, rc, ci: (i, 0)),
+    preshift = rcen_q is not None
+    n_prefetch = 5 if preshift else 4
+    prefetch = (row_base, row_start, row_count, col_ids) + ((rcen_q,) if preshift else ())
+
+    row_map = lambda i, *_: (i, 0)
+    whole3 = lambda i, *_: (0, 0, 0)
+    whole2 = lambda i, *_: (0, 0)
+    in_specs = [
+        pl.BlockSpec((ROW, 8), row_map),
+        pl.BlockSpec((n_chunks, 8, COL), whole3),
+        pl.BlockSpec((1, 8), whole2, memory_space=pltpu.SMEM),
+    ]
+    kern = partial(
+        _rowscan_kernel,
+        h_coeffs=h_coeffs,
+        p_coeffs=p_coeffs,
+        compute_u=compute_u,
+        has_w=has_w,
+        preshift=preshift,
     )
     if not triangular:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(n_rows,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((ROW, 8), row_map),
+        )
         out_rows = pl.pallas_call(
-            partial(_rowscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u, has_w=has_w),
+            kern,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_row_atoms, 8), jnp.float32),
             interpret=interpret,
-        )(row_base, row_start, row_count, col_ids, atomsT, atoms_cm, scalars)
+        )(*prefetch, atomsT, atoms_cm, scalars)
         return out_rows, None
     grid_spec_tri = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=n_prefetch,
         grid=(n_rows,),
-        in_specs=grid_spec.in_specs,
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((ROW, 8), lambda i, rb, rs, rc, ci: (i, 0)),
-            pl.BlockSpec((8, n_pad), lambda i, rb, rs, rc, ci: (0, 0)),
+            pl.BlockSpec((ROW, 8), row_map),
+            pl.BlockSpec((8, n_pad), whole2),
         ],
     )
     out_rows, out_cols = pl.pallas_call(
-        partial(_rowscan_kernel, h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u, triangular=True,
-                has_w=has_w),
+        partial(kern, triangular=True),
         grid_spec=grid_spec_tri,
         out_shape=[
             jax.ShapeDtypeStruct((n_row_atoms, 8), jnp.float32),
             jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(row_base, row_start, row_count, col_ids, atomsT, atoms_cm, scalars)
+    )(*prefetch, atomsT, atoms_cm, scalars)
     return out_rows, out_cols
 
 
@@ -319,15 +381,22 @@ def rowscan_sweep(
     interpret: bool = False,
     triangular: bool = False,
     has_w: bool = True,
+    rcen_q=None,  # (nR*4,) int32 quantized periodic row centers => preshift
 ):
     """Returns (Npad, 8) f32: columns [u_atom, du/dx(3), 0...] in sorted
     order; sum of column 0 = total energy (if compute_u). In triangular mode
-    the result already includes both Newton-pair sides."""
+    the result already includes both Newton-pair sides. Passing rcen_q
+    selects the PRESHIFT variant: per-atom image mapping to the periodic
+    row-chunk center (rows once per grid step, columns once per tile)
+    replaces the 9-op/slot per-pair minimum-image rounding; sound iff
+    max periodic row half-extent + cutoff < box/2 per axis (the dotscan
+    image bound — build_dotscan_tiles rechecks it every rebuild)."""
     n_pad = atoms8.shape[1]
     n_chunks = n_pad // COL
     atoms_cm = atoms8.reshape(8, n_chunks, COL).transpose(1, 0, 2)  # chunk-major
     out_rows, out_cols = _rowscan_call(
         atomsT, atoms_cm, row_start, row_count, col_ids, scalars, n_rows,
+        rcen_q=rcen_q,
         h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u,
         interpret=interpret, triangular=triangular, has_w=has_w,
     )
@@ -668,6 +737,7 @@ def make_nonbonded_rowscan_md(
     atom_mask=None,
     triangular: bool = True,
     has_w: bool = True,
+    preshift: bool = False,
 ):
     """Stateful MD force provider on the rowscan kernel (API-compatible with
     nonbonded_kernel.make_nonbonded_pallas_md): tile lists culled at
@@ -690,6 +760,44 @@ def make_nonbonded_rowscan_md(
     sweep + tile rebuild per energy evaluation.
     """
     h_coeffs, p_coeffs = es_energy_force_series(beta, cutoff)
+
+    if preshift:
+        # periodic row-chunk centers + the image-bound recheck live in the
+        # dotscan tile builder (lazy import: dotscan imports from this module)
+        from timemachine_tpu.ops.pallas.dotscan_kernel import build_dotscan_tiles
+
+        def build_fn(conf, params, box):
+            return build_dotscan_tiles(
+                jnp.asarray(conf, jnp.float32),
+                jnp.asarray(params, jnp.float32),
+                jnp.asarray(box, jnp.float32),
+                cutoff + skin,
+                max_pairs=max_pairs,
+                atom_mask=atom_mask,
+                triangular=triangular,
+            )
+
+        def sweep_fn(tiles, atoms8, atomsT, box, compute_u):
+            pad_order, row_start, row_count, col_ids, rcen_q, _ = tiles
+            return rowscan_sweep(
+                atoms8,
+                atomsT,
+                row_start,
+                row_count,
+                col_ids,
+                _scalars(box, cutoff),
+                n_rows=pad_order.shape[0] // ROW,
+                max_pairs=max_pairs,
+                h_coeffs=h_coeffs,
+                p_coeffs=p_coeffs,
+                compute_u=compute_u,
+                interpret=interpret,
+                triangular=triangular,
+                has_w=has_w,
+                rcen_q=rcen_q,
+            )
+
+        return make_tile_md_provider(build_fn, sweep_fn, make_param_rows_fn(atom_mask), rebuild_interval)
 
     def build_fn(conf, params, box):
         return build_rowscan_tiles(

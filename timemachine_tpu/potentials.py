@@ -111,6 +111,29 @@ class HarmonicBond(Potential):
 
         return ef
 
+    def force_contribs(self):
+        """Scatter-free step protocol (md/context.py unified assembly):
+        (groups, fn) where fn(conf, params, box) -> (per-group per-role force
+        contributions, extra (N,3) force | None). The leading-water strided
+        block stays a dense reshape-assembled force (already scatter-free);
+        only the irregular tail goes through the contribution plan."""
+        idxs = np.asarray(self.idxs)
+        if idxs.shape[0] == 0:
+            return None
+        nw = bonded._leading_water_bonds(idxs)
+        rest_idxs = idxs[2 * nw :]
+        if rest_idxs.shape[0] == 0:
+            return None  # pure-water term: the fused path is already scatter-free
+
+        def fn(conf, params, box):
+            extra = None
+            if nw:
+                _, extra = bonded.water_bond_energy_force(conf, params[: 2 * nw], nw)
+            _, cs = bonded.bond_force_contribs(conf, params[2 * nw :], rest_idxs)
+            return [cs], extra
+
+        return [rest_idxs], fn
+
 
 @dataclass(eq=False)
 class HarmonicAngle(Potential):
@@ -148,6 +171,25 @@ class HarmonicAngle(Potential):
 
         return ef
 
+    def force_contribs(self):
+        """Scatter-free step protocol — see HarmonicBond.force_contribs."""
+        idxs = np.asarray(self.idxs)
+        if idxs.shape[0] == 0:
+            return None
+        nw = bonded._leading_water_angles(idxs)
+        rest_idxs = idxs[nw:]
+        if rest_idxs.shape[0] == 0:
+            return None
+
+        def fn(conf, params, box):
+            extra = None
+            if nw:
+                _, extra = bonded.water_angle_energy_force(conf, params[:nw], nw)
+            _, cs = bonded.angle_force_contribs(conf, params[nw:], rest_idxs)
+            return [cs], extra
+
+        return [rest_idxs], fn
+
 
 @dataclass(eq=False)
 class PeriodicTorsion(Potential):
@@ -173,6 +215,18 @@ class PeriodicTorsion(Potential):
             return bonded.torsion_energy_force(conf, params, box, idxs)
 
         return ef
+
+    def force_contribs(self):
+        """Scatter-free step protocol — see HarmonicBond.force_contribs."""
+        idxs = np.asarray(self.idxs)
+        if idxs.shape[0] == 0:
+            return None
+
+        def fn(conf, params, box):
+            _, cs = bonded.torsion_force_contribs(conf, params, idxs)
+            return [cs], None
+
+        return [idxs], fn
 
 
 @dataclass(eq=False)
@@ -406,9 +460,18 @@ class NonbondedAllPairs(Potential):
                     np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, atom_mask=mask,
                     triangular=True,
                 )
+                # preshift: per-atom image mapping to the periodic row-chunk
+                # center replaces the 9-op/slot per-pair minimum-image
+                # rounding (measured −7.5% sweep, force parity 3.5e-6 rel,
+                # scripts/probe_preshift.py). Gated on the dotscan image
+                # bound; build_dotscan_tiles rechecks it every rebuild and
+                # poisons on violation, so the gate can't silently go stale.
+                from timemachine_tpu.ops.pallas.dotscan_kernel import dotscan_valid
+
+                preshift = mask is None and dotscan_valid(np.asarray(conf), np.asarray(box), self.cutoff + skin)
                 self._pallas_md = make_nonbonded_rowscan_md(
                     self.beta, self.cutoff, md_pairs, skin=skin, rebuild_interval=20, interpret=interpret,
-                    atom_mask=mask,
+                    atom_mask=mask, preshift=preshift,
                 )
             elif kernel == "quad":
                 from timemachine_tpu.ops.pallas.quadscan_kernel import (
@@ -656,6 +719,52 @@ class Nonbonded(Potential):
         # exactly in a barostat's dU; skipping it saves a pass and avoids
         # f32 cancellation of large intra sums (md/context.py volume moves)
         return init_ap, apply_fn, energy_fn, energy_ap
+
+    def md_force_provider_split(self):
+        """Scatter-free step protocol (md/context.py unified assembly):
+        (provider, tail_groups, tail_fn). The provider's APPLY omits the
+        generic exclusion-tail force — the Context assembles it through the
+        shared contribution plan via tail_fn — while all ENERGY paths keep
+        the full exclusion correction (MC mover / HREX contracts unchanged).
+        None (caller falls back to md_force_provider) when there is no Pallas
+        provider, no polynomial ES series, or no exclusion tail."""
+        prov = self._all_pairs.md_force_provider()
+        if prov is None or len(prov) < 3:
+            return None
+        h_coeffs = self._all_pairs.es_h_coeffs()
+        if h_coeffs is None:
+            return None
+        exc_idxs, exc_scales = self._filtered
+        nw = nonbonded.leading_water_exclusions(exc_idxs, exc_scales)
+        tail_idxs = np.asarray(exc_idxs)[3 * nw :]
+        if tail_idxs.shape[0] == 0:
+            return None
+        tail_scales = jnp.asarray(np.asarray(exc_scales)[3 * nw :])
+        init_ap, apply_ap, energy_ap = prov[0], prov[1], prov[2]
+        beta, cutoff = self.beta, self.cutoff
+
+        def apply_fn(state, conf, params, box, t):
+            u, f, state = apply_ap(state, conf, params, box, t)
+            if nw:
+                _, g_w = jax.value_and_grad(
+                    lambda c: nonbonded.water_exclusion_energy(
+                        c, params, box, nw, beta, cutoff, es_poly_coeffs=h_coeffs
+                    )
+                )(conf)
+                f = f + g_w
+            return u, f, state
+
+        def energy_fn(state, conf, params, box):
+            return energy_ap(state, conf, params, box) - self._exclusion_energy(conf, params, box)
+
+        def tail_fn(conf, params, box):
+            _, (g_l, g_r) = nonbonded.specific_pairs_force_contribs(
+                conf, params, box, tail_idxs, beta, cutoff, tail_scales, h_coeffs
+            )
+            # the exclusion correction enters the total force as +dU_exc/dx
+            return [[-g_l, -g_r]], None
+
+        return (init_ap, apply_fn, energy_fn, energy_ap), [tail_idxs], tail_fn
 
     def __call__(self, conf, params, box):
         if self.impl in ("tiled", "pallas"):
