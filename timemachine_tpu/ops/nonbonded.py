@@ -28,14 +28,15 @@ from jax.scipy.special import erfc
 from timemachine_tpu.ops.pbc import lifted_distance_on_pairs, periodic_delta
 
 
-def _chebval(t, coeffs):
-    """Chebyshev series on t in [-1, 1] (Clenshaw; static float coeffs)."""
-    b1 = jnp.zeros_like(t)
-    b2 = jnp.zeros_like(t)
-    t2 = 2.0 * t
-    for ck in coeffs[:0:-1]:
-        b1, b2 = t2 * b1 - b2 + ck, b1
-    return t * b1 - b2 + coeffs[0]
+def _polyval_t(t, coeffs):
+    """Monomial series on t in [-1, 1] (Horner; static float coeffs,
+    low->high — the basis es_energy_force_series emits). On the symmetric
+    domain max|coef| < 1, so f32 Horner error matches Clenshaw's (~1.6e-7
+    measured) at half the op count."""
+    acc = jnp.full_like(t, coeffs[-1])
+    for ck in coeffs[-2::-1]:
+        acc = acc * t + ck
+    return acc
 
 # The switch function's cutoff is pinned at 1.2 nm in the reference regardless
 # of the interaction cutoff (nonbonded.py:23-39); we keep that contract.
@@ -229,7 +230,7 @@ def nonbonded_on_specific_pairs(conf, params, box, pairs, beta, cutoff=None, res
         electrostatics = jnp.where(keep, switched_direct_space_pme(dij_safe, qij, beta, cutoff_val), 0.0)
     else:
         t = 2.0 * (dij_safe / SWITCH_CUTOFF) - 1.0
-        h = _chebval(t, es_poly_coeffs)
+        h = _polyval_t(t, es_poly_coeffs)
         electrostatics = jnp.where(keep, qij * h / dij_safe, 0.0)
 
     if rescale_mask is not None:
@@ -412,7 +413,7 @@ def water_exclusion_energy(conf, params, box, nw, beta, cutoff, es_poly_coeffs=N
             es = jnp.where(keep, switched_direct_space_pme(dij_safe, qij, beta, cutoff), 0.0)
         else:
             t = 2.0 * (dij_safe / SWITCH_CUTOFF) - 1.0
-            es = jnp.where(keep, qij * _chebval(t, es_poly_coeffs) / dij_safe, 0.0)
+            es = jnp.where(keep, qij * _polyval_t(t, es_poly_coeffs) / dij_safe, 0.0)
         u = u + jnp.sum(es)
     return u
 
@@ -429,7 +430,7 @@ def specific_pairs_force_contribs(conf, params, box, pairs, beta, cutoff, rescal
         z = jnp.zeros((0, 3), conf.dtype)
         return jnp.asarray(0.0, dtype=conf.dtype), [z, z]
     coeffs = jnp.asarray(es_poly_coeffs, dtype=conf.dtype)
-    dcoeffs = jnp.asarray(_np.polynomial.chebyshev.chebder(_np.asarray(es_poly_coeffs)), dtype=conf.dtype)
+    dcoeffs = jnp.asarray(_np.polynomial.polynomial.polyder(_np.asarray(es_poly_coeffs)), dtype=conf.dtype)
 
     valid = jnp.all(pairs >= 0, axis=-1)
     safe_pairs = jnp.where(pairs >= 0, pairs, 0)
@@ -460,8 +461,8 @@ def specific_pairs_force_contribs(conf, params, box, pairs, beta, cutoff, rescal
 
     qij = jnp.where(keep, charges[inds_l] * charges[inds_r] * q_scale, 0.0)
     t = 2.0 * (dij_safe / SWITCH_CUTOFF) - 1.0
-    h = _chebval(t, coeffs)
-    hp = _chebval(t, dcoeffs)
+    h = _polyval_t(t, coeffs)
+    hp = _polyval_t(t, dcoeffs)
     es = qij * h * inv_d
     # d(es)/dd = q (h'(t) (2/S) / d - h / d^2)
     des = qij * (hp * (2.0 / SWITCH_CUTOFF) * inv_d - h * inv_d * inv_d)

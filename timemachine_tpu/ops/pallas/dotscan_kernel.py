@@ -53,7 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from timemachine_tpu.ops.pallas.rowscan_kernel import (
-    _clenshaw,
+    _horner,
     build_rowscan_tiles,
     es_energy_force_series,
 )
@@ -115,8 +115,8 @@ def _dotscan_kernel(
     inv_by = 1.0 / box_y
     inv_bz = 1.0 / box_z
     inv_c = 1.0 / 1.2  # SWITCH_CUTOFF pinned, matching rowscan
-    k1 = 4.0 * inv_c
-    k0 = -2.0
+    k1 = 2.0 * inv_c  # t = 2u - 1 = k1*r + k0
+    k0 = -1.0
 
     # row-chunk center (scalars; columns shift to the image nearest it)
     cx = rcen_ref[4 * i].astype(jnp.float32) * CEN_SCALE
@@ -206,8 +206,8 @@ def _dotscan_kernel(
         flj = e4 * inv_r2 * (6.0 * t6 - 12.0 * t12)
 
         r = r2s * inv_r
-        t2 = k1 * r + k0
-        p = _clenshaw(t2, p_coeffs)
+        t = k1 * r + k0
+        p = _horner(t, p_coeffs)
         inv_r3 = inv_r * inv_r2
         fes = qq * p * inv_r3
 
@@ -238,7 +238,7 @@ def _dotscan_kernel(
             out_cols_ref[:, pl.ds(cid * COL, COL)] = cur + react
 
         if compute_u:
-            h = _clenshaw(t2, h_coeffs)
+            h = _horner(t, h_coeffs)
             e_pair = e4 * (t12 - t6) + qq * h * inv_r
             acc_u = acc_u + jnp.where(gate, e_pair, 0.0)
         return accG, acc_u
@@ -253,8 +253,14 @@ def _dotscan_kernel(
         init_u = jnp.zeros((ROW, COL), jnp.float32)
     else:
         init_u = jnp.zeros((ROW, 1), jnp.float32)
+    init = (jnp.zeros((ROW, 8), jnp.float32), init_u)
+    if triangular:
+        # build_rowscan_tiles no longer lists the covering (diagonal) tile in
+        # triangular mode — process it unconditionally, like the rowscan peel
+        # (clamped for fake rows past the real chunks; q = eps = 0 there)
+        init = one_col(jnp.minimum((row_base_ref[0] + i) * ROW // COL, atoms_ref.shape[0] - 1), init)
     accG, acc_u = jax.lax.fori_loop(
-        0, (count + UNROLL - 1) // UNROLL, body, (jnp.zeros((ROW, 8), jnp.float32), init_u)
+        0, (count + UNROLL - 1) // UNROLL, body, init
     )
 
     # F_i = xi' * sumG - sumG.xj'   (per-dim; (ROW,) rank-1 assembly)
@@ -392,8 +398,8 @@ def _periodic_center_halfextent(xs, box_diag):
     return start + 0.5 * extent, 0.5 * extent
 
 
-@partial(jax.jit, static_argnames=("max_pairs", "triangular", "sort"))
-def build_dotscan_tiles(conf, params, box, cutoff, max_pairs: int, atom_mask=None, triangular: bool = False, sort: str = "snake"):
+@partial(jax.jit, static_argnames=("max_pairs", "triangular", "sort", "with_ranks"))
+def build_dotscan_tiles(conf, params, box, cutoff, max_pairs: int, atom_mask=None, triangular: bool = False, sort: str = "snake", with_ranks: bool = False):
     """Rowscan tile build (snake sort by default — its census is measured
     12-17% tighter than Hilbert's) + PERIODIC quantized row-chunk centers:
     each chunk's center/extent comes from the largest circular gap per
@@ -408,9 +414,12 @@ def build_dotscan_tiles(conf, params, box, cutoff, max_pairs: int, atom_mask=Non
     does not hold for this conf/box — either way the sweep would silently
     drop interactions, so callers must treat nonzero as a hard failure (the
     MD provider poisons forces with NaN, which the Context guard surfaces)."""
-    pad_order, row_start, row_count, col_ids, overflow = build_rowscan_tiles(
-        conf, params, box, cutoff, max_pairs=max_pairs, atom_mask=atom_mask, triangular=triangular, sort=sort
+    built = build_rowscan_tiles(
+        conf, params, box, cutoff, max_pairs=max_pairs, atom_mask=atom_mask, triangular=triangular, sort=sort,
+        with_ranks=with_ranks,
     )
+    pad_order, row_start, row_count, col_ids = built[:4]
+    overflow = built[-1]
     n = conf.shape[0]
     n_pad = pad_order.shape[0]
     n_rows = n_pad // ROW
@@ -435,6 +444,8 @@ def build_dotscan_tiles(conf, params, box, cutoff, max_pairs: int, atom_mask=Non
     # loudly, not silently exclude in-cutoff pairs.
     bound_bad = jnp.any(jnp.max(rhal, axis=0) + cutoff >= 0.5 * box_diag)
     invalid = overflow + bound_bad.astype(overflow.dtype)
+    if with_ranks:
+        return pad_order, row_start, row_count, col_ids, built[4], rcen_q, invalid
     return pad_order, row_start, row_count, col_ids, rcen_q, invalid
 
 

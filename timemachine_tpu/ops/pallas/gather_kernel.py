@@ -48,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from timemachine_tpu.ops.pallas.rowscan_kernel import _clenshaw, es_energy_force_series
+from timemachine_tpu.ops.pallas.rowscan_kernel import _horner, es_energy_force_series
 
 ROW = 32  # atoms per row chunk (grid step)
 COL = 128  # column register-tile width == lane width
@@ -84,8 +84,8 @@ def _gather_kernel(
     inv_bz = 1.0 / box_z
     cut2 = cutoff * cutoff
     inv_c = 1.0 / SWITCH_CUTOFF
-    k1 = 4.0 * inv_c  # t2 = 2*(2u - 1) = k1*r + k0
-    k0 = -2.0
+    k1 = 2.0 * inv_c  # t = 2u - 1 = k1*r + k0
+    k0 = -1.0
 
     rowT = rowT_ref[:, :]  # (ROW, 8)
     x_i = rowT[:, 0:1]
@@ -126,8 +126,8 @@ def _gather_kernel(
         flj = e4 * inv_r2 * (6.0 * t6 - 12.0 * t12)
 
         r = r2s * inv_r
-        t2 = k1 * r + k0
-        p = _clenshaw(t2, p_coeffs)
+        t = k1 * r + k0
+        p = _horner(t, p_coeffs)
         inv_r3 = inv_r * inv_r2
         fes = qq * p * inv_r3
 
@@ -141,7 +141,7 @@ def _gather_kernel(
         acc_fy = acc_fy + de_r * dy
         acc_fz = acc_fz + de_r * dz
         if compute_u:
-            h = _clenshaw(t2, h_coeffs)
+            h = _horner(t, h_coeffs)
             e_pair = e4 * (t12 - t6) + qq * h * inv_r
             acc_u = acc_u + jnp.where(gate, e_pair, 0.0)
         return acc_fx, acc_fy, acc_fz, acc_u

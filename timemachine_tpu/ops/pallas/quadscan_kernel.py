@@ -49,7 +49,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from timemachine_tpu.ops.pallas.rowscan_kernel import _clenshaw, es_energy_force_series
+from timemachine_tpu.ops.pallas.rowscan_kernel import _horner, es_energy_force_series
 
 ROW = 32  # atoms per row chunk (grid step)
 Q = 32  # atoms per column quarter-chunk (culling granularity)
@@ -101,8 +101,8 @@ def _quadscan_kernel(
     cutoff = scal_ref[0, 3]
     cut2 = cutoff * cutoff
     # switch domain rides scal slot 4 (the physical switch cutoff)
-    k1 = 4.0 / scal_ref[0, 4]
-    k0 = -2.0
+    k1 = 2.0 / scal_ref[0, 4]  # t = 2u - 1 = k1*r + k0
+    k0 = -1.0
 
     rowT = rowT_ref[:, :]
     x_i = rowT[:, 0:1]
@@ -171,8 +171,8 @@ def _quadscan_kernel(
         flj = e4 * inv_r2 * (6.0 * t6 - 12.0 * t12)
 
         r = r2s * inv_r
-        t2 = k1 * r + k0
-        p = _clenshaw(t2, p_coeffs)
+        t = k1 * r + k0
+        p = _horner(t, p_coeffs)
         fes = qq * p * (inv_r * inv_r2)
 
         gate = (r2 < cut2) & (r2 > 1e-7)
@@ -188,7 +188,7 @@ def _quadscan_kernel(
             gate = gate & (row_gid < col_gid)
         de_r = jnp.where(gate, flj + fes, 0.0)
         if compute_u:
-            h = _clenshaw(t2, h_coeffs)
+            h = _horner(t, h_coeffs)
             e_pair = jnp.where(gate, e4 * (t12 - t6) + qq * h * inv_r, 0.0)
         else:
             e_pair = None

@@ -13,11 +13,13 @@ nonbonded_kernel.py (v1, kept for the exact/du-dp paths):
 * forces accumulate in registers as (32, 128) partial sums, reduced across
   lanes once per row chunk (not per tile);
 * pair math is force-lean: the switched-erfc electrostatic force factor is a
-  single Chebyshev series P(u) = u h'(u) - h(u) derived EXACTLY (coefficient
+  single polynomial P(u) = u h'(u) - h(u) derived EXACTLY (coefficient
   algebra, not a second fit) from the fitted energy series h(u) =
   erfc(beta c u) switch(u), so kernel force == exact gradient of kernel
   energy, and exclusion corrections computed with the same h cancel
-  bitwise-consistently;
+  bitwise-consistently; both evaluate as monomial Horner in t = 2u - 1
+  (1 fma/degree — half of Clenshaw — at the same f32 accuracy, see
+  es_energy_force_series);
 * no validity masks: padding atoms carry zero charge/epsilon so their
   contributions vanish arithmetically; the only select is the
   (r2 < cutoff^2) & (r2 > tiny) gate on the accumulated force factor.
@@ -34,6 +36,7 @@ neighborlist.cu block bounds.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -43,7 +46,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROW = 32  # atoms per row chunk (grid step)
-UNROLL = 4  # column chunks per inner-loop iteration (builder pads to match)
+# column chunks per inner-loop iteration (builder pads to match); env knob is
+# a probe surface only — builder and kernel read the same module constant
+UNROLL = int(os.environ.get("TM_ROWSCAN_UNROLL", "4"))
 COL = 128  # atoms per column chunk (inner loop iteration) == lane width
 SWITCH_CUTOFF = 1.2  # pinned, matching ops/nonbonded.py
 CEN_SCALE = 1e-4  # row-center quantization (nm per int unit; preshift mode)
@@ -52,14 +57,18 @@ _poly_cache: dict = {}
 
 
 def es_energy_force_series(beta: float, cutoff: float, deg: int = 10):
-    """Chebyshev series (domain u = r/cutoff in [0, 1]) for
+    """Monomial series in t = 2(r/cutoff) - 1 on [-1, 1] for
 
         h(u) = erfc(beta c u) * cos^3((pi/2) u^8)     [energy:  E = qq h(u)/r]
         P(u) = u h'(u) - h(u)                         [force:   dE/dr / r = qq P(u)/r^3]
 
-    h is FIT (max abs err ~1e-7 at deg 14); P is derived from the fitted h by
-    exact Chebyshev coefficient algebra (derivative + multiply-by-u), so the
-    force is the exact analytic gradient of the polynomial energy."""
+    h is FIT (Chebyshev least squares in f64); P is derived from the fitted h
+    by exact Chebyshev coefficient algebra (derivative + multiply-by-u), so
+    the force is the exact analytic gradient of the polynomial energy. Both
+    are then converted (exactly, in f64) to the MONOMIAL basis in t = 2u - 1:
+    on that symmetric domain max|coef| < 1, so f32 Horner evaluates to
+    ~1.6e-7 max abs error (measured vs the f64 Chebyshev reference — at or
+    below Clenshaw's error) at HALF the op count (1 fma/degree vs 2)."""
     key = (float(beta), float(cutoff), deg)
     if key not in _poly_cache:
         from scipy.special import erfc as _erfc
@@ -78,16 +87,18 @@ def es_energy_force_series(beta: float, cutoff: float, deg: int = 10):
         P[: len(tc)] += 0.5 * tc
         P[: len(dc)] += 0.5 * dc
         P[: len(c)] -= c
-        _poly_cache[key] = (tuple(float(v) for v in c), tuple(float(v) for v in P))
+        mono_h = np.polynomial.chebyshev.cheb2poly(c)
+        mono_P = np.polynomial.chebyshev.cheb2poly(P)
+        _poly_cache[key] = (tuple(float(v) for v in mono_h), tuple(float(v) for v in mono_P))
     return _poly_cache[key]
 
 
-def _clenshaw(t2, coeffs):
-    b1 = jnp.zeros_like(t2)
-    b2 = jnp.zeros_like(t2)
-    for ck in coeffs[:0:-1]:
-        b1, b2 = t2 * b1 - b2 + ck, b1
-    return 0.5 * t2 * b1 - b2 + coeffs[0]
+def _horner(t, coeffs):
+    """Monomial series at t in [-1, 1]; coeffs static floats, low->high."""
+    acc = jnp.full_like(t, coeffs[-1])
+    for ck in coeffs[-2::-1]:
+        acc = acc * t + ck
+    return acc
 
 
 def _rowscan_kernel(
@@ -141,8 +152,8 @@ def _rowscan_kernel(
     inv_bz = 1.0 / box_z
     cut2 = cutoff * cutoff
     inv_c = 1.0 / SWITCH_CUTOFF
-    k1 = 4.0 * inv_c  # t2 = 2*(2u - 1) = k1*r + k0
-    k0 = -2.0
+    k1 = 2.0 * inv_c  # t = 2u - 1 = k1*r + k0
+    k0 = -1.0
 
     rowT = rowT_ref[:, :]  # (ROW, 8)
     if preshift:
@@ -178,7 +189,12 @@ def _rowscan_kernel(
     if triangular:
         row_gid = jnp.float32((row_base_ref[0] + i) * ROW) + jax.lax.broadcasted_iota(jnp.int32, (ROW, 1), 0).astype(jnp.float32)
 
-    def one_col(cid, acc):
+    def one_col(cid, acc, diag=False):
+        # diag=True: the single tile whose column chunk CONTAINS this row
+        # chunk (triangular mode) — the only tile needing the per-pair
+        # Newton ordering gate. The builder excludes it from the per-row
+        # lists; the kernel processes it once, peeled out of the loop, so
+        # loop tiles run a bare r2 < cutoff^2 gate.
         acc_fx, acc_fy, acc_fz, acc_u = acc
         col = atoms_ref[cid]  # (8, COL), tile-aligned dynamic index
 
@@ -217,21 +233,30 @@ def _rowscan_kernel(
 
         s2 = sg * sg * inv_r2
         t6 = s2 * s2 * s2
-        t12 = t6 * t6
-        flj = e4 * inv_r2 * (6.0 * t6 - 12.0 * t12)
+        # (e4 * t6) FIRST: padding-vs-padding pairs sit at r2 = 0 (clamped to
+        # 1e-8) where t6^2 would overflow f32 — e4 = 0 zeroes the product
+        # while every intermediate stays finite, so off-diagonal tiles need
+        # no r2 > tiny gate
+        et6 = e4 * t6
+        flj = et6 * inv_r2 * (6.0 - 12.0 * t6)
 
         r = r2s * inv_r
-        t2 = k1 * r + k0
-        p = _clenshaw(t2, p_coeffs)
+        t = k1 * r + k0
+        p = _horner(t, p_coeffs)
         inv_r3 = inv_r * inv_r2
         fes = qq * p * inv_r3
 
-        gate = (r2 < cut2) & (r2 > 1e-7)
         if triangular:
-            # Newton's third law: each unordered pair computed once; order by
-            # sorted global atom index (floats exact up to 2^24 atoms)
-            col_gid = jnp.float32(cid * COL) + jax.lax.broadcasted_iota(jnp.int32, (1, COL), 1).astype(jnp.float32)
-            gate = gate & (row_gid < col_gid)
+            gate = r2 < cut2
+            if diag:
+                # Newton's third law on the covering tile: order by sorted
+                # global atom index (floats exact up to 2^24 atoms); also
+                # excludes self pairs (r2 = 0)
+                col_gid = jnp.float32(cid * COL) + jax.lax.broadcasted_iota(jnp.int32, (1, COL), 1).astype(jnp.float32)
+                gate = gate & (row_gid < col_gid)
+        else:
+            # symmetric lists visit self pairs: the r2 > tiny gate kills them
+            gate = (r2 < cut2) & (r2 > 1e-7)
         de_r = jnp.where(gate, flj + fes, 0.0)
 
         tx = de_r * dx
@@ -249,8 +274,8 @@ def _rowscan_kernel(
             cur = out_cols_ref[:, pl.ds(cid * COL, COL)]
             out_cols_ref[:, pl.ds(cid * COL, COL)] = cur + neg
         if compute_u:
-            h = _clenshaw(t2, h_coeffs)
-            e_pair = e4 * (t12 - t6) + qq * h * inv_r
+            h = _horner(t, h_coeffs)
+            e_pair = et6 * (t6 - 1.0) + qq * h * inv_r
             acc_u = acc_u + jnp.where(gate, e_pair, 0.0)
         return acc_fx, acc_fy, acc_fz, acc_u
 
@@ -267,6 +292,15 @@ def _rowscan_kernel(
         init = (zeros, zeros, zeros, zeros)
     else:
         init = (zeros, zeros, zeros, zeros[:, :1])  # dead 1-lane accumulator
+    if triangular:
+        # peeled covering tile (builder excludes it from the per-row lists):
+        # global row chunk id * ROW // COL = covering column chunk id (col
+        # ids are global in sharded callers too — atoms_cm is replicated
+        # there). Clamp for FAKE rows past the real chunks (spatial_md pads
+        # the row axis): their atoms carry q = eps = 0, so the clamped tile
+        # contributes exact zeros.
+        cid_diag = jnp.minimum((row_base_ref[0] + i) * ROW // COL, atoms_ref.shape[0] - 1)
+        init = one_col(cid_diag, init, diag=True)
     acc_fx, acc_fy, acc_fz, acc_u = jax.lax.fori_loop(
         0, (count + UNROLL - 1) // UNROLL, body, init
     )
@@ -405,6 +439,41 @@ def rowscan_sweep(
     return out_rows.at[:, 1:4].add(out_cols[1:4].T)
 
 
+@partial(jax.jit, static_argnames=("n_rows", "max_pairs", "h_coeffs", "p_coeffs", "compute_u", "interpret", "triangular", "has_w"))
+def rowscan_sweep_cm(
+    atoms_cm,  # (nC, 8, COL) f32 chunk-major — built WITHOUT a lane<->sublane transpose
+    atomsT,  # (Npad, 8) f32
+    row_start,
+    row_count,
+    col_ids,
+    scalars,
+    n_rows: int,
+    max_pairs: int,
+    h_coeffs,
+    p_coeffs,
+    compute_u: bool = False,
+    interpret: bool = False,
+    triangular: bool = False,
+    has_w: bool = True,
+    rcen_q=None,
+):
+    """rowscan_sweep taking the column data already in chunk-major layout.
+
+    The per-step (3, Npad) lane<->sublane transpose inside rowscan_sweep is
+    the dominant non-sweep cost of the MD provider (XLA lowers it at far
+    below HBM bandwidth); the provider builds atoms_cm directly from three
+    1-D coordinate gathers instead (see make_tile_md_provider's cm assemble)."""
+    out_rows, out_cols = _rowscan_call(
+        atomsT, atoms_cm, row_start, row_count, col_ids, scalars, n_rows,
+        rcen_q=rcen_q,
+        h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u,
+        interpret=interpret, triangular=triangular, has_w=has_w,
+    )
+    if out_cols is None:
+        return out_rows
+    return out_rows.at[:, 1:4].add(out_cols[1:4].T)
+
+
 def rowscan_sweep_sharded(
     atoms8,
     atomsT,
@@ -479,14 +548,17 @@ def rowscan_sweep_sharded(
     return out_rows
 
 
-@partial(jax.jit, static_argnames=("max_pairs", "cell_size", "triangular", "sort"))
-def build_rowscan_tiles(conf, params, box, cutoff, max_pairs: int, cell_size: float = 0.65, atom_mask=None, triangular: bool = False, sort: str = "snake"):
+@partial(jax.jit, static_argnames=("max_pairs", "cell_size", "triangular", "sort", "with_ranks"))
+def build_rowscan_tiles(conf, params, box, cutoff, max_pairs: int, cell_size: float = 0.65, atom_mask=None, triangular: bool = False, sort: str = "snake", with_ranks: bool = False):
     """Spatial sort (snake cells by default; "hilbert" gives compact chunks
     for kernels whose image handling needs bounded row extents — dotscan) +
-    per-32-atom-row-chunk culled column-chunk lists.
+    per-32-atom-row-chunk culled column-chunk lists, each row's list ordered
+    by build-time bbox gap ASCENDING (so the skin shell sits at the tail and
+    the per-step count chop — chop_row_counts — can truncate it).
 
     Returns (pad_order (Npad,) int32, row_start (nR,), row_count (nR,),
-    col_ids (max_pairs,) int32, overflow int32)."""
+    col_ids (max_pairs,) int32[, rank_mat (nR, nC) int32 when with_ranks —
+    the rank of chunk c in row r's list, -1 if unlisted], overflow int32)."""
     n = conf.shape[0]
     # one extra all-padding column chunk (id n_cols-1): the unrolled kernel
     # pads odd per-row neighbor lists with it (zero q/eps => zero contribution)
@@ -542,10 +614,13 @@ def build_rowscan_tiles(conf, params, box, cutoff, max_pairs: int, cell_size: fl
     inter = (d2 < cutoff * cutoff) & r_has[:, None] & c_has[None, :]
     if triangular:
         # Newton (upper-triangular) tile list: row chunk r only visits column
-        # windows at or after its own covering window; in-window ordering is
-        # resolved per-pair in the kernel (row_gid < col_gid)
+        # windows STRICTLY after its own covering window — those tiles are
+        # fully ordered (every col gid > every row gid), so the kernel runs
+        # them with no per-pair ordering gate. The covering window itself is
+        # NOT listed: the kernel peels it unconditionally (one_col(diag=True))
+        # with the per-pair row_gid < col_gid gate.
         r_win = (jnp.arange(n_rows) * ROW) // COL
-        inter = inter & (jnp.arange(n_cols)[None, :] >= r_win[:, None])
+        inter = inter & (jnp.arange(n_cols)[None, :] > r_win[:, None])
 
     counts = jnp.sum(inter, axis=1).astype(jnp.int32)
     # per-row layout padded to a multiple of UNROLL (unrolled kernel loop)
@@ -557,9 +632,14 @@ def build_rowscan_tiles(conf, params, box, cutoff, max_pairs: int, cell_size: fl
 
     flat = inter.reshape(-1)
     idx = jnp.arange(n_rows * n_cols)
-    keys = jnp.where(flat, idx, n_rows * n_cols + idx)
+    # entries grouped by row (spacing 8 > any in-cutoff gap), gap-ascending
+    # within each row; non-entries tie at 1e18 (stable argsort keeps them
+    # deterministic). f32 key resolution (~5e-4 nm at row 736) only affects
+    # chop efficiency, never correctness — the kernel gate is per-pair.
+    gkey = (idx // n_cols).astype(jnp.float32) * 8.0 + jnp.sqrt(d2).reshape(-1).astype(jnp.float32)
+    keys = jnp.where(flat, gkey, 1e18)
     take = min(max_pairs, n_rows * n_cols)
-    sorted_idx = jnp.argsort(keys)[:take]
+    sorted_idx = jnp.argsort(keys, stable=True)[:take]
     entry_row = sorted_idx // n_cols
     entry_col = (sorted_idx % n_cols).astype(jnp.int32)
     seq = jnp.arange(take)
@@ -574,7 +654,43 @@ def build_rowscan_tiles(conf, params, box, cutoff, max_pairs: int, cell_size: fl
     row_count = jnp.minimum(counts, allowed).astype(jnp.int32)
     row_start = jnp.minimum(row_start, max_pairs - UNROLL).astype(jnp.int32)
 
+    if with_ranks:
+        rank_flat = jnp.full((n_rows * n_cols,), -1, jnp.int32)
+        rank_flat = rank_flat.at[jnp.where(ok, sorted_idx, n_rows * n_cols)].set(
+            rank.astype(jnp.int32), mode="drop"
+        )
+        return pad_order, row_start, row_count, cols, rank_flat.reshape(n_rows, n_cols), overflow
     return pad_order, row_start, row_count, cols, overflow
+
+
+def chop_row_counts(atoms_cm, rank_mat, row_count, box, cutoff):
+    """Per-step tile-count truncation: recompute chunk bboxes from the
+    CURRENT coordinates (chunk-major atom array — no gathers) and drop every
+    tile past the last one whose bbox gap is within the BARE cutoff. Build
+    lists are gap-ordered, so the cutoff..cutoff+skin shell sits at the tail
+    and stops costing sweep slots the moment it is out of range. Exact: a
+    tile with current bbox gap > cutoff contains no in-cutoff pair; listed
+    tiles that survive keep the per-pair r2 < cutoff^2 gate regardless."""
+    n_chunks = atoms_cm.shape[0]
+    sub = COL // ROW
+    box_diag = jnp.diagonal(jnp.asarray(box, jnp.float32))
+    xyz = atoms_cm[:, 0:3, :]  # (nC, 3, COL); padding atoms duplicate atom 0
+    # (conservative: only widens extents)
+    xr = xyz.reshape(n_chunks, 3, sub, ROW)
+    rmin = jnp.min(xr, axis=3).transpose(0, 2, 1).reshape(n_chunks * sub, 3)
+    rmax = jnp.max(xr, axis=3).transpose(0, 2, 1).reshape(n_chunks * sub, 3)
+    cmin = jnp.min(xyz, axis=2)  # (nC, 3)
+    cmax = jnp.max(xyz, axis=2)
+    rcen = 0.5 * (rmin + rmax)
+    rhal = 0.5 * (rmax - rmin)
+    ccen = 0.5 * (cmin + cmax)
+    chal = 0.5 * (cmax - cmin)
+    dc = rcen[:, None, :] - ccen[None, :, :]
+    dc = dc - box_diag * jnp.floor(dc / box_diag + 0.5)
+    gap = jnp.maximum(jnp.abs(dc) - (rhal[:, None, :] + chal[None, :, :]), 0.0)
+    d2 = jnp.sum(gap * gap, axis=2)
+    keep_rank = jnp.where(d2 < cutoff * cutoff, rank_mat, -1)
+    return jnp.minimum(row_count, jnp.max(keep_rank, axis=1) + 1)
 
 
 def _assemble(conf, params, box, pad_order, n, atom_mask=None):
@@ -646,7 +762,7 @@ def make_param_rows_fn(atom_mask):
     return _param_rows
 
 
-def make_tile_md_provider(build_fn, sweep_fn, param_rows_fn, rebuild_interval: int = 20):
+def make_tile_md_provider(build_fn, sweep_fn, param_rows_fn, rebuild_interval: int = 20, sweep_cm_fn=None):
     """Shared stateful-provider state machine for the tile-sweep kernels
     (rowscan / quadscan / dotscan), so the rebuild/cache/poison logic exists
     once:
@@ -671,7 +787,22 @@ def make_tile_md_provider(build_fn, sweep_fn, param_rows_fn, rebuild_interval: i
     here — the nonbonded term is never rigid-invariant); [4] tile-reusing
     energy under DIFFERENT params (HREX banded-U_kl path,
     parallel/replica_exchange.py), valid for any conf within skin/2 of the
-    tiles' build conf."""
+    tiles' build conf.
+
+    sweep_cm_fn(tiles, atoms_cm, atomsT, box, compute_u), if given, switches
+    the per-step assemble to CHUNK-MAJOR: the (nC, 8, COL) column array is
+    built from three 1-D coordinate gathers + a concat with the cached
+    chunk-major parameter rows — no (3, Npad) lane<->sublane transpose in the
+    hot loop (XLA lowers that transpose at far below HBM bandwidth; the
+    chunk-major param cache pays it once per rebuild instead)."""
+
+    def _prows_cm(prows):
+        # (4, Npad) [w q sig/2 2sqrt(eps)] -> (nC, 5, COL) chunk-major with a
+        # trailing zero row, matching atoms8 rows 3..7
+        n_pad = prows.shape[1]
+        nc = n_pad // COL
+        pm = prows.reshape(4, nc, COL).transpose(1, 0, 2)
+        return jnp.concatenate([pm, jnp.zeros((nc, 1, COL), jnp.float32)], axis=1)
 
     def _build(conf, params, box):
         tiles = build_fn(conf, params, box)
@@ -679,6 +810,8 @@ def make_tile_md_provider(build_fn, sweep_fn, param_rows_fn, rebuild_interval: i
         n = conf.shape[0]
         inv = jnp.zeros(n, dtype=jnp.int32).at[pad_order[:n]].set(jnp.arange(n, dtype=jnp.int32))
         prows, prowsT = param_rows_fn(params, pad_order, n)
+        if sweep_cm_fn is not None:
+            prows = _prows_cm(prows)
         return (*tiles, inv, prows, prowsT)
 
     def init_fn(conf, params, box):
@@ -693,10 +826,15 @@ def make_tile_md_provider(build_fn, sweep_fn, param_rows_fn, rebuild_interval: i
         box32 = jnp.asarray(box, jnp.float32)
         box_diag = jnp.diagonal(box32)
         wrapped = conf[:, :3] - box_diag * jnp.floor(conf[:, :3] / box_diag)
-        xyzN = wrapped[pad_order]  # (Npad, 3) row gather — the only per-step gather
+        xyzN = wrapped[pad_order]  # (Npad, 3) row gather
         z1 = jnp.zeros((1, n_pad), jnp.float32)
-        atoms8 = jnp.concatenate([xyzN.T, prows, z1], axis=0)  # (8, Npad)
         atomsT = jnp.concatenate([xyzN, prowsT, z1.T], axis=1)  # (Npad, 8)
+        if sweep_cm_fn is not None:
+            nc = n_pad // COL
+            xyz_cm = [wrapped[:, k][pad_order].reshape(nc, 1, COL) for k in range(3)]
+            atoms_cm = jnp.concatenate(xyz_cm + [prows], axis=1)  # (nC, 8, COL)
+            return sweep_cm_fn(tiles, atoms_cm, atomsT, box, compute_u)
+        atoms8 = jnp.concatenate([xyzN.T, prows, z1], axis=0)  # (8, Npad)
         return sweep_fn(tiles, atoms8, atomsT, box, compute_u)
 
     def _poison(state, val):
@@ -720,6 +858,8 @@ def make_tile_md_provider(build_fn, sweep_fn, param_rows_fn, rebuild_interval: i
     def energy_with_params_fn(state, conf, params, box):
         pad_order = state[0]
         prows, prowsT = param_rows_fn(params, pad_order, conf.shape[0])
+        if sweep_cm_fn is not None:
+            prows = _prows_cm(prows)
         refreshed = (*state[:-2], prows, prowsT)
         out = _sweep_from_state(refreshed, conf, box, compute_u=True)
         return _poison(state, jnp.sum(out[:, 0]))
@@ -761,6 +901,20 @@ def make_nonbonded_rowscan_md(
     """
     h_coeffs, p_coeffs = es_energy_force_series(beta, cutoff)
 
+    def _guard_w(build):
+        # has_w=False is caller-asserted (all w offsets zero); make the
+        # assertion self-checking: any nonzero w at rebuild poisons the state
+        # exactly like a tile overflow, so wrong usage can't be silent
+        if has_w:
+            return build
+
+        def checked(conf, params, box):
+            tiles = build(conf, params, box)
+            bad = jnp.any(jnp.asarray(params, jnp.float32)[:, 3] != 0.0).astype(jnp.int32)
+            return (*tiles[:-1], tiles[-1] + bad)
+
+        return checked
+
     if preshift:
         # periodic row-chunk centers + the image-bound recheck live in the
         # dotscan tile builder (lazy import: dotscan imports from this module)
@@ -775,12 +929,14 @@ def make_nonbonded_rowscan_md(
                 max_pairs=max_pairs,
                 atom_mask=atom_mask,
                 triangular=triangular,
+                with_ranks=True,
             )
 
-        def sweep_fn(tiles, atoms8, atomsT, box, compute_u):
-            pad_order, row_start, row_count, col_ids, rcen_q, _ = tiles
-            return rowscan_sweep(
-                atoms8,
+        def sweep_cm_fn(tiles, atoms_cm, atomsT, box, compute_u):
+            pad_order, row_start, row_count, col_ids, rank_mat, rcen_q, _ = tiles
+            row_count = chop_row_counts(atoms_cm, rank_mat, row_count, box, cutoff)
+            return rowscan_sweep_cm(
+                atoms_cm,
                 atomsT,
                 row_start,
                 row_count,
@@ -797,7 +953,9 @@ def make_nonbonded_rowscan_md(
                 rcen_q=rcen_q,
             )
 
-        return make_tile_md_provider(build_fn, sweep_fn, make_param_rows_fn(atom_mask), rebuild_interval)
+        return make_tile_md_provider(
+            _guard_w(build_fn), None, make_param_rows_fn(atom_mask), rebuild_interval, sweep_cm_fn=sweep_cm_fn
+        )
 
     def build_fn(conf, params, box):
         return build_rowscan_tiles(
@@ -808,12 +966,14 @@ def make_nonbonded_rowscan_md(
             max_pairs=max_pairs,
             atom_mask=atom_mask,
             triangular=triangular,
+            with_ranks=True,
         )
 
-    def sweep_fn(tiles, atoms8, atomsT, box, compute_u):
-        pad_order, row_start, row_count, col_ids, _ = tiles
-        return rowscan_sweep(
-            atoms8,
+    def sweep_cm_fn(tiles, atoms_cm, atomsT, box, compute_u):
+        pad_order, row_start, row_count, col_ids, rank_mat, _ = tiles
+        row_count = chop_row_counts(atoms_cm, rank_mat, row_count, box, cutoff)
+        return rowscan_sweep_cm(
+            atoms_cm,
             atomsT,
             row_start,
             row_count,
@@ -829,7 +989,9 @@ def make_nonbonded_rowscan_md(
             has_w=has_w,
         )
 
-    return make_tile_md_provider(build_fn, sweep_fn, make_param_rows_fn(atom_mask), rebuild_interval)
+    return make_tile_md_provider(
+        _guard_w(build_fn), None, make_param_rows_fn(atom_mask), rebuild_interval, sweep_cm_fn=sweep_cm_fn
+    )
 
 
 def make_nonbonded_rowscan_energy_force(
