@@ -66,6 +66,9 @@ def build_system():
         nb.set_impl("tiled").configure_tiled(host_config.box, conf=host_config.conf)
     else:
         kwargs = {"kernel": BENCH_KERNEL} if BENCH_KERNEL else {}
+        # apo systems carry no 4D offsets: drop the per-slot dw math
+        w_col = np.asarray(host_config.host_system.nonbonded_all_pairs.params)[:, 3]
+        kwargs["rowscan_has_w"] = bool(np.any(w_col != 0.0))
         nb.configure_pallas(host_config.box, host_config.conf, **kwargs)
 
     bond_idxs = host_config.host_system.bond.potential.idxs

@@ -65,7 +65,7 @@ def build(variant: str):
     bps = hs.get_U_fns()
     nb = hs.nonbonded_all_pairs.potential
     nb.configure_pallas(cfg.box, cfg.conf)
-    if variant in ("nb_only", "nb_only_baro"):
+    if variant in ("nb_only", "nb_only_baro", "nb_only_baro_every"):
         bps = [hs.nonbonded_all_pairs]
     masses = apply_hmr(cfg.masses, hs.bond.potential.idxs)
     return cfg, bps, masses
@@ -100,8 +100,9 @@ def run(variant: str):
 
     intg = LangevinIntegrator(300.0, 0.0, 1.0, masses, seed=2026)  # dt=0: same compute graph, frozen dynamics (stripped variants are not integrable)
     groups = list(cfg.host_topology.group_idxs)
-    baro = MonteCarloBarostat(len(masses), 1.013, 300.0, groups, 25, seed=2027)
-    movers = [] if variant in ("no_baro", "nb_only") else [baro]
+    interval = 1 if variant == "nb_only_baro_every" else 25
+    baro = MonteCarloBarostat(len(masses), 1.013, 300.0, groups, interval, seed=2027)
+    movers = [] if variant in ("no_baro", "nb_only") else [baro]  # nb_only_baro_every: barostat fires every step
     v0 = sample_velocities(masses, 300.0, seed=2028).astype(dtype)
     ctxt = Context(x0, v0, box.astype(dtype), intg, bps, movers=movers)
 
@@ -114,7 +115,9 @@ def run(variant: str):
 
 
 def main():
-    for variant in ("full", "no_baro", "no_excl", "no_protein_bonded", "nb_only", "nb_only_baro"):
+    import sys as _sys
+    variants = _sys.argv[1:] or ["full", "no_baro", "no_excl", "no_protein_bonded", "nb_only", "nb_only_baro"]
+    for variant in variants:
         run(variant)
 
 

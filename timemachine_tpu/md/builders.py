@@ -367,28 +367,62 @@ def _build_protein_system_native(host_pdbfile, protein_ff: str, water_ff: str, m
     if sanitize_water_ff(water_ff) != "tip3p":
         raise NotImplementedError(f"native protein builder supports tip3p water, got {water_ff}")
 
-    ff = Forcefield.load_default()
-    warnings.warn(
-        f"OpenMM not available: protein_ff={protein_ff!r} requires Amber templates. "
-        "Falling back to NATIVE SMIRNOFF-host parameterization (framework SMIRKS typing "
-        "+ standard base-charge policy). This is not Amber-parity physics."
-    )
-
     structure = parse_pdb(host_pdbfile)
     protein = protein_mol_from_pdb(structure)
     n_p = protein.num_atoms
     p_conf = protein.get_conf()
 
-    # parameterize the protein like any molecule
-    bond_params, bond_idxs = ff.hb_handle.parameterize(protein)
-    angle_params, angle_idxs = ff.ha_handle.parameterize(protein)
-    proper_params, proper_idxs = ff.pt_handle.parameterize(protein)
-    improper_params, improper_idxs = ff.it_handle.parameterize(protein)
-    q_params = np.asarray(ff.q_handle.parameterize(protein))  # sqrt(ONE_4PI_EPS0)-scaled
-    lj_params = np.asarray(ff.lj_handle.parameterize(protein))  # (sig/2, sqrt(eps))
-    excl_idxs, excl_scales = generate_exclusion_idxs(
-        protein, scale12=_SCALE_12, scale13=_SCALE_13, scale14_lj=_SCALE_14_LJ, scale14_q=_SCALE_14_Q
-    )
+    # Amber-parity path: an Amber-style forcefield XML supplied either via
+    # TM_AMBER_XML (path[:path...]) or as protein_ff itself pointing at a
+    # file. Produces the reference's host physics (openmm_deserializer.py
+    # parity) without OpenMM — template matching + class-tuple assignment
+    # implemented natively in ff/amber_xml.py.
+    import os as _os
+
+    amber_paths = None
+    env_xml = _os.environ.get("TM_AMBER_XML")
+    if env_xml:
+        amber_paths = env_xml.split(":")
+    elif protein_ff.endswith(".xml") and _os.path.exists(protein_ff):
+        amber_paths = [protein_ff]
+    elif _os.path.exists(f"{protein_ff}.xml"):
+        amber_paths = [f"{protein_ff}.xml"]
+
+    amber_masses = None
+    if amber_paths is not None:
+        from timemachine_tpu.constants import ONE_4PI_EPS0
+        from timemachine_tpu.ff.amber_xml import AmberForceField, assign_protein_parameters
+
+        aff = AmberForceField.parse(amber_paths)
+        ap = assign_protein_parameters(structure, protein, aff)
+        bond_idxs, bond_params = ap.bond_idxs, ap.bond_params
+        angle_idxs, angle_params = ap.angle_idxs, ap.angle_params
+        proper_idxs, proper_params = ap.proper_idxs, ap.proper_params
+        improper_idxs, improper_params = ap.improper_idxs, ap.improper_params
+        q_params = ap.charges * np.sqrt(ONE_4PI_EPS0)
+        lj_params = np.stack([ap.lj[:, 0] / 2.0, np.sqrt(ap.lj[:, 1])], axis=1)
+        excl_idxs, excl_scales = ap.exclusion_idxs, ap.exclusion_scales
+        if np.all(ap.masses > 0):
+            amber_masses = ap.masses
+    else:
+        ff = Forcefield.load_default()
+        warnings.warn(
+            f"OpenMM not available: protein_ff={protein_ff!r} requires Amber templates "
+            "(supply the XML via TM_AMBER_XML for native Amber-parity physics). "
+            "Falling back to NATIVE SMIRNOFF-host parameterization (framework SMIRKS typing "
+            "+ standard base-charge policy). This is not Amber-parity physics."
+        )
+
+        # parameterize the protein like any molecule
+        bond_params, bond_idxs = ff.hb_handle.parameterize(protein)
+        angle_params, angle_idxs = ff.ha_handle.parameterize(protein)
+        proper_params, proper_idxs = ff.pt_handle.parameterize(protein)
+        improper_params, improper_idxs = ff.it_handle.parameterize(protein)
+        q_params = np.asarray(ff.q_handle.parameterize(protein))  # sqrt(ONE_4PI_EPS0)-scaled
+        lj_params = np.asarray(ff.lj_handle.parameterize(protein))  # (sig/2, sqrt(eps))
+        excl_idxs, excl_scales = generate_exclusion_idxs(
+            protein, scale12=_SCALE_12, scale13=_SCALE_13, scale14_lj=_SCALE_14_LJ, scale14_q=_SCALE_14_Q
+        )
 
     # pre-equilibrated waters shipped in the PDB keep their coordinates
     pdb_water_coords = []
@@ -477,7 +511,7 @@ def _build_protein_system_native(host_pdbfile, protein_ff: str, water_ff: str, m
     system = HostSystem(
         bond=bond_pot, angle=angle_pot, proper=proper_pot, improper=improper_pot, nonbonded_all_pairs=nb_pot
     )
-    masses = np.concatenate([protein.masses, w_masses])
+    masses = np.concatenate([amber_masses if amber_masses is not None else protein.masses, w_masses])
     conf = np.concatenate([p_conf, water_conf])
     box = np.eye(3) * box_width
 

@@ -45,11 +45,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW = 32  # atoms per row chunk (grid step)
+ROW = 32  # atoms per row chunk (culling granularity)
 # column chunks per inner-loop iteration (builder pads to match); env knob is
 # a probe surface only — builder and kernel read the same module constant
 UNROLL = int(os.environ.get("TM_ROWSCAN_UNROLL", "4"))
 COL = 128  # atoms per column chunk (inner loop iteration) == lane width
+# row chunks processed per grid step: amortizes the fixed per-grid-step cost
+# (block DMA + control) over RPB row chunks without changing the tile census.
+# env knob is a probe surface only — builder and kernel read the same constant
+RPB = int(os.environ.get("TM_ROWSCAN_RPB", "1"))
 SWITCH_CUTOFF = 1.2  # pinned, matching ops/nonbonded.py
 CEN_SCALE = 1e-4  # row-center quantization (nm per int unit; preshift mode)
 
@@ -118,6 +122,7 @@ def _rowscan_kernel(
     triangular: bool = False,
     has_w: bool = True,
     preshift: bool = False,
+    rpb: int = 1,
 ):
     if preshift:
         row_base_ref, row_start_ref, row_count_ref, col_ids_ref, rcen_ref = refs[:5]
@@ -132,14 +137,12 @@ def _rowscan_kernel(
         rowT_ref, atoms_ref, scal_ref, out_ref = rest
         out_cols_ref = None
 
-    i = pl.program_id(0)
-    start = row_start_ref[i]
-    count = row_count_ref[i]
+    gi = pl.program_id(0)
 
     if triangular:
         # sequential grid on one TensorCore: zero the shared column-force
         # accumulator once, then read-modify-write it every tile
-        @pl.when(i == 0)
+        @pl.when(gi == 0)
         def _():
             out_cols_ref[:, :] = jnp.zeros_like(out_cols_ref)
 
@@ -155,7 +158,56 @@ def _rowscan_kernel(
     k1 = 2.0 * inv_c  # t = 2u - 1 = k1*r + k0
     k0 = -1.0
 
-    rowT = rowT_ref[:, :]  # (ROW, 8)
+    # rpb row chunks per grid step (unrolled): same tile census, 1/rpb the
+    # per-grid-step fixed cost
+    for p in range(rpb):
+        _rowscan_row_chunk(
+            gi * rpb + p,
+            p,
+            row_base_ref,
+            row_start_ref,
+            row_count_ref,
+            col_ids_ref,
+            rcen_ref,
+            rowT_ref,
+            atoms_ref,
+            out_ref,
+            out_cols_ref,
+            box_x, box_y, box_z, inv_bx, inv_by, inv_bz, cut2, k1, k0,
+            h_coeffs=h_coeffs,
+            p_coeffs=p_coeffs,
+            compute_u=compute_u,
+            triangular=triangular,
+            has_w=has_w,
+            preshift=preshift,
+        )
+
+
+def _rowscan_row_chunk(
+    i,  # global-within-shard row chunk index (traced)
+    p,  # block-local chunk slot (python int)
+    row_base_ref,
+    row_start_ref,
+    row_count_ref,
+    col_ids_ref,
+    rcen_ref,
+    rowT_ref,
+    atoms_ref,
+    out_ref,
+    out_cols_ref,
+    box_x, box_y, box_z, inv_bx, inv_by, inv_bz, cut2, k1, k0,
+    *,
+    h_coeffs,
+    p_coeffs,
+    compute_u: bool,
+    triangular: bool,
+    has_w: bool,
+    preshift: bool,
+):
+    start = row_start_ref[i]
+    count = row_count_ref[i]
+
+    rowT = rowT_ref[p * ROW : (p + 1) * ROW, :]  # (ROW, 8)
     if preshift:
         # map each ROW atom to its image nearest the (periodic) chunk center
         # once per grid step; columns are imaged per tile on (1, COL) vectors
@@ -238,13 +290,16 @@ def _rowscan_kernel(
         # while every intermediate stays finite, so off-diagonal tiles need
         # no r2 > tiny gate
         et6 = e4 * t6
-        flj = et6 * inv_r2 * (6.0 - 12.0 * t6)
+        # factored: de_r = (flj' + fes') * inv_r2 with
+        #   flj' = et6 * (6 - 12 t6)        [LJ: dU/dr / r * r2]
+        #   fes' = qq * P(t) * inv_r        [ES: qq P / r   * r2/r2 ...]
+        # saves two multiplies per slot vs scaling each term by inv_r2/inv_r3
+        flj = et6 * (6.0 - 12.0 * t6)
 
         r = r2s * inv_r
         t = k1 * r + k0
         p = _horner(t, p_coeffs)
-        inv_r3 = inv_r * inv_r2
-        fes = qq * p * inv_r3
+        fes = qq * p * inv_r
 
         if triangular:
             gate = r2 < cut2
@@ -257,7 +312,7 @@ def _rowscan_kernel(
         else:
             # symmetric lists visit self pairs: the r2 > tiny gate kills them
             gate = (r2 < cut2) & (r2 > 1e-7)
-        de_r = jnp.where(gate, flj + fes, 0.0)
+        de_r = jnp.where(gate, (flj + fes) * inv_r2, 0.0)
 
         tx = de_r * dx
         ty = de_r * dy
@@ -315,7 +370,7 @@ def _rowscan_kernel(
     else:
         u = jnp.zeros((ROW,), jnp.float32)
     z = jnp.zeros((ROW,), jnp.float32)
-    out_ref[:, :] = jnp.stack([u, fx, fy, fz, z, z, z, z], axis=1)
+    out_ref[p * ROW : (p + 1) * ROW, :] = jnp.stack([u, fx, fy, fz, z, z, z, z], axis=1)
 
 
 def _rowscan_call(
@@ -348,11 +403,12 @@ def _rowscan_call(
     n_prefetch = 5 if preshift else 4
     prefetch = (row_base, row_start, row_count, col_ids) + ((rcen_q,) if preshift else ())
 
+    rpb = RPB if n_rows % RPB == 0 else 1
     row_map = lambda i, *_: (i, 0)
     whole3 = lambda i, *_: (0, 0, 0)
     whole2 = lambda i, *_: (0, 0)
     in_specs = [
-        pl.BlockSpec((ROW, 8), row_map),
+        pl.BlockSpec((ROW * rpb, 8), row_map),
         pl.BlockSpec((n_chunks, 8, COL), whole3),
         pl.BlockSpec((1, 8), whole2, memory_space=pltpu.SMEM),
     ]
@@ -363,13 +419,14 @@ def _rowscan_call(
         compute_u=compute_u,
         has_w=has_w,
         preshift=preshift,
+        rpb=rpb,
     )
     if not triangular:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
-            grid=(n_rows,),
+            grid=(n_rows // rpb,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((ROW, 8), row_map),
+            out_specs=pl.BlockSpec((ROW * rpb, 8), row_map),
         )
         out_rows = pl.pallas_call(
             kern,
@@ -380,10 +437,10 @@ def _rowscan_call(
         return out_rows, None
     grid_spec_tri = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
-        grid=(n_rows,),
+        grid=(n_rows // rpb,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((ROW, 8), row_map),
+            pl.BlockSpec((ROW * rpb, 8), row_map),
             pl.BlockSpec((8, n_pad), whole2),
         ],
     )
@@ -719,7 +776,7 @@ def _scalars(box, cutoff):
     ).reshape(1, 8)
 
 
-def suggest_max_pairs(conf, box, cutoff, margin: float = 1.3, atom_mask=None, triangular: bool = False, sort: str = "snake") -> int:
+def suggest_max_pairs(conf, box, cutoff, margin: float = 1.3, atom_mask=None, triangular: bool = False, sort: str = "snake", cell_size: float = 0.65) -> int:
     """Host-side: measure the interacting (32-row x 128-col) chunk-pair count
     and pad with margin (diffusion headroom between rebuilds)."""
     n = conf.shape[0]
@@ -733,6 +790,7 @@ def suggest_max_pairs(conf, box, cutoff, margin: float = 1.3, atom_mask=None, tr
         jnp.asarray(box, jnp.float32),
         cutoff,
         max_pairs=cap,
+        cell_size=cell_size,
         atom_mask=atom_mask,
         triangular=triangular,
         sort=sort,
@@ -878,6 +936,7 @@ def make_nonbonded_rowscan_md(
     triangular: bool = True,
     has_w: bool = True,
     preshift: bool = False,
+    cell_size: float = 0.65,
 ):
     """Stateful MD force provider on the rowscan kernel (API-compatible with
     nonbonded_kernel.make_nonbonded_pallas_md): tile lists culled at
@@ -927,6 +986,7 @@ def make_nonbonded_rowscan_md(
                 jnp.asarray(box, jnp.float32),
                 cutoff + skin,
                 max_pairs=max_pairs,
+                cell_size=cell_size,
                 atom_mask=atom_mask,
                 triangular=triangular,
                 with_ranks=True,
@@ -964,6 +1024,7 @@ def make_nonbonded_rowscan_md(
             jnp.asarray(box, jnp.float32),
             cutoff + skin,
             max_pairs=max_pairs,
+            cell_size=cell_size,
             atom_mask=atom_mask,
             triangular=triangular,
             with_ranks=True,

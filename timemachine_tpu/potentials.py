@@ -333,7 +333,7 @@ class NonbondedAllPairs(Potential):
         return self
 
     def configure_pallas(self, box, conf, margin: float = 1.4, interpret: bool = False, cb: int = 2,
-                         kernel: str = "rowscan", quad_has_w: bool = True):
+                         kernel: str = "rowscan", quad_has_w: bool = True, rowscan_has_w: bool = True):
         """Switch to the fused Pallas tile kernel (the production TPU MD
         path), sizing the static tile budget from the actual geometry.
 
@@ -469,9 +469,14 @@ class NonbondedAllPairs(Potential):
                 from timemachine_tpu.ops.pallas.dotscan_kernel import dotscan_valid
 
                 preshift = mask is None and dotscan_valid(np.asarray(conf), np.asarray(box), self.cutoff + skin)
+                # rowscan_has_w=False drops the per-slot 4D dw math (~6% of
+                # the sweep) for systems whose w offsets are all zero (apo MD,
+                # endpoint hosts). Caller-asserted; the provider's _guard_w
+                # poisons the state if any nonzero w shows up at rebuild, so
+                # wrong usage can't be silent.
                 self._pallas_md = make_nonbonded_rowscan_md(
                     self.beta, self.cutoff, md_pairs, skin=skin, rebuild_interval=20, interpret=interpret,
-                    atom_mask=mask, preshift=preshift,
+                    atom_mask=mask, preshift=preshift, has_w=rowscan_has_w,
                 )
             elif kernel == "quad":
                 from timemachine_tpu.ops.pallas.quadscan_kernel import (
