@@ -64,3 +64,59 @@ def test_vacuum_edge_base_charge_sensitivity():
     err = float(np.sqrt(e1**2 + e08**2))
     # measured 1.59 kJ/mol at +-5.7 combined error; allow 3 sigma + floor
     assert shift < max(3.0 * err, 8.0), (shift, err, dg1, dg08)
+
+
+def test_solvent_edge_base_charge_sensitivity():
+    """Solvent-leg analog of the vacuum test (VERDICT r2 weak #5: the
+    Gasteiger-fallback policy leaned on vacuum evidence only, yet the
+    solvent leg adds reaction-field-style screening where base charges
+    enter both ligand-water interactions and the alchemical path).
+
+    Runs the hif2a 338->43 SOLVENT leg (explicit water host built around
+    the pair, 3 nm box to stay CPU-tractable) twice, with base Gasteiger
+    charges x1.0 and x0.8, and asserts the edge dG moves within combined
+    statistical error plus a floor — the relative-estimate cancellation
+    claim, now measured with solvent screening present."""
+    warnings.simplefilter("ignore")
+    from timemachine_tpu import constants
+    from timemachine_tpu.chem import read_sdf
+    from timemachine_tpu.constants import DEFAULT_ATOM_MAPPING_KWARGS
+    from timemachine_tpu.fe.atom_mapping import get_cores
+    from timemachine_tpu.fe.free_energy import HREXParams, MDParams
+    from timemachine_tpu.fe.rbfe import estimate_relative_free_energy_bisection_or_hrex
+    from timemachine_tpu.ff import Forcefield
+    from timemachine_tpu.ff.gasteiger import gasteiger_charges
+    from timemachine_tpu.ff.handlers import GASTEIGER_CHARGE_CACHE
+    from timemachine_tpu.md import builders
+
+    mols = {m.name: m for m in read_sdf(str(HIF2A_SDF))}
+    mol_a, mol_b = mols["338"], mols["43"]
+    core = get_cores(mol_a, mol_b, **DEFAULT_ATOM_MAPPING_KWARGS)[0]
+    ff = Forcefield.load_default()
+    md = MDParams(
+        n_frames=30,
+        n_eq_steps=1000,
+        steps_per_frame=100,
+        seed=2026,
+        hrex_params=HREXParams(n_frames_bisection=10),
+    )
+
+    def run(scale):
+        a, b = mol_a.copy(), mol_b.copy()
+        for m in (a, b):
+            q = gasteiger_charges(m) * scale * np.sqrt(constants.ONE_4PI_EPS0)
+            m.props[GASTEIGER_CHARGE_CACHE] = base64.b64encode(pickle.dumps(list(np.asarray(q))))
+        host_config = builders.build_water_system(3.0, ff.water_ff, mols=[a, b])
+        host_config.box += np.diag([0.1, 0.1, 0.1])
+        res = estimate_relative_free_energy_bisection_or_hrex(
+            a, b, core, ff, host_config, md_params=md, prefix="solvent", n_windows=8, min_overlap=0.667
+        )
+        dg = float(np.sum(res.final_result.dGs))
+        err = float(np.linalg.norm(res.final_result.dG_errs))
+        return dg, err
+
+    dg1, e1 = run(1.0)
+    dg08, e08 = run(0.8)
+    shift = abs(dg08 - dg1)
+    err = float(np.sqrt(e1**2 + e08**2))
+    assert shift < max(3.0 * err, 8.0), (shift, err, dg1, dg08)

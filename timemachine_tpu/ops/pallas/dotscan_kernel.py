@@ -449,7 +449,7 @@ def build_dotscan_tiles(conf, params, box, cutoff, max_pairs: int, cell_size: fl
     return pad_order, row_start, row_count, col_ids, rcen_q, invalid
 
 
-def dotscan_valid(conf, box, cutoff, headroom: float = 0.1, sort: str = "snake") -> bool:
+def dotscan_valid(conf, box, cutoff, headroom: float = 0.1, sort: str = "snake", cell_size: float = 0.65) -> bool:
     """Host-side soundness check of the row-center image mapping: an
     in-cutoff pair's true image equals its column atom's row-center image
     whenever max PERIODIC row half-extent + cutoff < box/2 per axis
@@ -472,6 +472,7 @@ def dotscan_valid(conf, box, cutoff, headroom: float = 0.1, sort: str = "snake")
         jnp.asarray(box, jnp.float32),
         cutoff,
         max_pairs=32,  # only pad_order is needed; overflow is irrelevant here
+        cell_size=cell_size,  # the sort grid sets row-chunk extents — must match the provider's
         triangular=True,
         sort=sort,
     )

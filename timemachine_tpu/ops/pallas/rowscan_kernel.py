@@ -52,8 +52,10 @@ UNROLL = int(os.environ.get("TM_ROWSCAN_UNROLL", "4"))
 COL = 128  # atoms per column chunk (inner loop iteration) == lane width
 # row chunks processed per grid step: amortizes the fixed per-grid-step cost
 # (block DMA + control) over RPB row chunks without changing the tile census.
-# env knob is a probe surface only — builder and kernel read the same constant
-RPB = int(os.environ.get("TM_ROWSCAN_RPB", "1"))
+# env knob is a probe surface only — builder and kernel read the same constant.
+# Default 4: measured -2.8% sweep on DHFR vs 1, forces bitwise-identical
+# (round-3 TPU session, ARCHITECTURE.md kernel A/B table).
+RPB = int(os.environ.get("TM_ROWSCAN_RPB", "4"))
 SWITCH_CUTOFF = 1.2  # pinned, matching ops/nonbonded.py
 CEN_SCALE = 1e-4  # row-center quantization (nm per int unit; preshift mode)
 
@@ -801,6 +803,60 @@ def suggest_max_pairs(conf, box, cutoff, margin: float = 1.3, atom_mask=None, tr
     return min(max(want, 128), cap)
 
 
+def census_swept_slots(conf, box, cutoff, skin: float, cell_size: float, triangular: bool = True) -> int:
+    """Host-side per-MD-step swept-slot census at one candidate sort-grid
+    cell size: tiles built at cutoff+skin (as the MD provider does at each
+    rebuild), per-row counts chopped at the bare cutoff (as every step does),
+    trips rounded up to UNROLL, plus the peeled diagonal covering tile per
+    row chunk. The cell size only changes the spatial sort that groups atoms
+    into row/column chunks, so any choice is correct — this census is purely
+    a performance decision (sweep time tracks swept slots ~1:1 on v5e)."""
+    n = conf.shape[0]
+    n_pad = (-(-n // COL) + 1) * COL
+    cap = (n_pad // ROW) * (-(-(n_pad // COL) // UNROLL) * UNROLL)
+    pad_order, _, row_count, _, rank_mat, _ = build_rowscan_tiles(
+        jnp.asarray(conf, jnp.float32),
+        jnp.zeros((n, 4), jnp.float32),
+        jnp.asarray(box, jnp.float32),
+        cutoff + skin,
+        max_pairs=cap,
+        cell_size=cell_size,
+        triangular=triangular,
+        with_ranks=True,
+    )
+    box_diag = jnp.diagonal(jnp.asarray(box, jnp.float32))
+    xyz = jnp.asarray(conf[:, :3], jnp.float32)
+    wrapped = xyz - box_diag * jnp.floor(xyz / box_diag)
+    xs = wrapped[pad_order]  # out-of-range padding indices clamp to atom n-1
+    n_chunks = n_pad // COL
+    atoms_cm = jnp.tile(xs.T.reshape(3, n_chunks, COL).transpose(1, 0, 2), (1, 3, 1))[:, :8]
+    chopped = np.asarray(chop_row_counts(atoms_cm, rank_mat, row_count, box, cutoff))
+    trips = int((-(-chopped // UNROLL) * UNROLL).sum())
+    n_rows = n_pad // ROW
+    return (trips + n_rows) * ROW * COL
+
+
+def suggest_cell_size(
+    conf, box, cutoff, skin: float = 0.1, candidates=(0.65, 0.9, 1.15, 1.4), triangular: bool = True
+) -> float:
+    """Pick the sort-grid cell size that minimizes the measured per-step
+    swept slots on this system (configure-time tile census over a small
+    candidate set). On solvated DHFR (23,558 atoms, box ~6.2 nm) the census
+    moves 93M swept slots at 0.65 to 76M at 1.15, and the TPU sweep follows
+    slots ~1:1 (2.07 -> 1.84 ms/step measured on v5e; force parity at f32
+    noise). Candidates larger than box_min/3 are skipped (too few sort cells
+    per axis for the snake order to localize anything)."""
+    box_diag = np.diagonal(np.asarray(box))
+    best, best_slots = candidates[0], None
+    for cell in candidates:
+        if cell > float(box_diag.min()) / 3.0 and best_slots is not None:
+            continue
+        slots = census_swept_slots(conf, box, cutoff, skin, cell, triangular=triangular)
+        if best_slots is None or slots < best_slots:
+            best, best_slots = cell, slots
+    return best
+
+
 def make_param_rows_fn(atom_mask):
     """Sorted parameter-row cache builder shared by the tile MD providers:
     (params, pad_order, n) -> ((4, Npad) [w q sig/2 2*sqrt(eps)] lane-major,
@@ -906,7 +962,11 @@ def make_tile_md_provider(build_fn, sweep_fn, param_rows_fn, rebuild_interval: i
             lambda: state,
         )
         out = _sweep_from_state(state, conf, box, compute_u=False)
-        force = -out[state[-3], 1:4]
+        # slice to (Npad, 3) BEFORE the un-sort gather: measured 6 ns/idx for
+        # 3-lane-row gathers vs 11.5 ns/idx for 8-lane rows on v5e — XLA as
+        # written would gather the full (Npad, 8) rows and slice after
+        f_sorted = out[:, 1:4]
+        force = -f_sorted[state[-3]]
         return jnp.zeros((), jnp.float32), _poison(state, force), state
 
     def energy_fn(state, conf, params, box):

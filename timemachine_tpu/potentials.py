@@ -437,6 +437,7 @@ class NonbondedAllPairs(Potential):
                 make_nonbonded_rowscan,
                 make_nonbonded_rowscan_energy_force,
                 make_nonbonded_rowscan_md,
+                suggest_cell_size,
                 suggest_max_pairs,
             )
 
@@ -456,9 +457,16 @@ class NonbondedAllPairs(Potential):
                 self.beta, self.cutoff, max_pairs, interpret=interpret, atom_mask=mask
             )
             if kernel == "rowscan":
+                # configure-time tile census picks the MD provider's sort-grid
+                # cell size (perf-only knob; any value is correct). Gated on
+                # system size: small systems are compile-dominated and the
+                # census's extra builder compilations aren't worth it there.
+                md_cell = 0.65
+                if conf.shape[0] >= 8192:
+                    md_cell = suggest_cell_size(np.asarray(conf), np.asarray(box), self.cutoff, skin=skin)
                 md_pairs = suggest_max_pairs(
                     np.asarray(conf), np.asarray(box), self.cutoff + skin, margin=margin, atom_mask=mask,
-                    triangular=True,
+                    triangular=True, cell_size=md_cell,
                 )
                 # preshift: per-atom image mapping to the periodic row-chunk
                 # center replaces the 9-op/slot per-pair minimum-image
@@ -468,7 +476,9 @@ class NonbondedAllPairs(Potential):
                 # poisons on violation, so the gate can't silently go stale.
                 from timemachine_tpu.ops.pallas.dotscan_kernel import dotscan_valid
 
-                preshift = mask is None and dotscan_valid(np.asarray(conf), np.asarray(box), self.cutoff + skin)
+                preshift = mask is None and dotscan_valid(
+                    np.asarray(conf), np.asarray(box), self.cutoff + skin, cell_size=md_cell
+                )
                 # rowscan_has_w=False drops the per-slot 4D dw math (~6% of
                 # the sweep) for systems whose w offsets are all zero (apo MD,
                 # endpoint hosts). Caller-asserted; the provider's _guard_w
@@ -476,7 +486,7 @@ class NonbondedAllPairs(Potential):
                 # wrong usage can't be silent.
                 self._pallas_md = make_nonbonded_rowscan_md(
                     self.beta, self.cutoff, md_pairs, skin=skin, rebuild_interval=20, interpret=interpret,
-                    atom_mask=mask, preshift=preshift, has_w=rowscan_has_w,
+                    atom_mask=mask, preshift=preshift, has_w=rowscan_has_w, cell_size=md_cell,
                 )
             elif kernel == "quad":
                 from timemachine_tpu.ops.pallas.quadscan_kernel import (
