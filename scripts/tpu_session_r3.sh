@@ -31,8 +31,7 @@ x = jnp.ones((128,128)); print('health', float((x@x).sum()), jax.devices())
 " || { echo 'TPU unhealthy; aborting'; exit 1; }
 
 set -e
-timeout 2400 python scripts/probe_dhfr.py
-timeout 1500 python bench.py
+timeout 2400 python scripts/probe_dhfr.py nb_only nb_only_baro nb_only_baro_every
 timeout 2400 python scripts/probe_spatial_tpu.py
 timeout 3600 python bench_hrex_production.py --n_states 8 --n_iters 5 --steps_per_iter 400
 echo "session complete"

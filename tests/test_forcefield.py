@@ -96,20 +96,27 @@ def test_exclusions_ethane():
 
 
 def test_charges_net_conserved(ff):
+    # native AM1 base charges (no fallback warning expected)
+    import warnings as _w
+
     for smi, total in [("CCO", 0), ("CC(=O)[O-]", -1), ("C[NH3+]", 1)]:
         mol = mol_from_smiles(smi, add_hs=True)
-        with pytest.warns(UserWarning, match="Gasteiger"):
+        with _w.catch_warnings():
+            _w.simplefilter("error")
             q = np.asarray(ff.q_handle.parameterize(mol))
         net = q.sum() / np.sqrt(constants.ONE_4PI_EPS0)
         np.testing.assert_allclose(net, total, atol=1e-8)
 
 
 def test_charge_cache_roundtrip(ff):
+    import warnings as _w
+
     mol = mol_from_smiles("CCO", add_hs=True)
-    with pytest.warns(UserWarning):
+    with _w.catch_warnings():
+        _w.simplefilter("error")
         q1 = np.asarray(ff.q_handle.parameterize(mol))
-    # second call reads from cache, no warning, identical values
-    q2 = np.asarray(ff.q_handle.parameterize(mol))
+        # second call reads from cache, identical values
+        q2 = np.asarray(ff.q_handle.parameterize(mol))
     np.testing.assert_array_equal(q1, q2)
 
 
@@ -118,8 +125,7 @@ def test_bcc_differentiability(ff):
     import jax
 
     mol = mol_from_smiles("CCO", add_hs=True)
-    with pytest.warns(UserWarning):
-        ff.q_handle.parameterize(mol)  # populate caches
+    ff.q_handle.parameterize(mol)  # populate caches
 
     def net_abs_charge(params):
         q = ff.q_handle.partial_parameterize(params, mol)
@@ -181,6 +187,43 @@ def test_proper_torsion_multiplicity(ff):
     assert periods == [1.0, 2.0, 3.0]
 
 
+def test_native_am1_base_charges_through_handler(monkeypatch):
+    """Default path: base charges come from the native AM1 SCF (no QM
+    backend, no fallback warning), are cached under the AM1-family cache
+    key, and symmetry-equivalent atoms get identical charges."""
+    import warnings as _warnings
+
+    import numpy as _np
+
+    from timemachine_tpu import constants as _c
+    from timemachine_tpu.chem import mol_from_smiles
+    from timemachine_tpu.ff.handlers import (
+        AM1ELF10_CHARGE_CACHE,
+        GASTEIGER_CHARGE_CACHE,
+        compute_or_load_base_charges,
+    )
+
+    mol = mol_from_smiles("CC(C)=O", add_hs=True)  # acetone: two equivalent methyls
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        q = _np.asarray(compute_or_load_base_charges(mol, mode="AM1ELF10"))
+    assert AM1ELF10_CHARGE_CACHE in mol.props
+    assert GASTEIGER_CHARGE_CACHE not in mol.props
+    qe = q / _np.sqrt(_c.ONE_4PI_EPS0)
+    assert abs(qe.sum()) < 1e-9
+    # methyl carbons (atoms 0, 2) are topologically equivalent
+    assert abs(qe[0] - qe[2]) < 1e-12
+    # carbonyl O strongly negative under AM1
+    assert qe[3] < -0.2
+    # strict mode is satisfied by the native backend (no error, no warning)
+    monkeypatch.setenv("TM_STRICT_CHARGES", "1")
+    mol2 = mol_from_smiles("CCO", add_hs=True)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        q2 = compute_or_load_base_charges(mol2, mode="AM1ELF10")
+    assert _np.isfinite(_np.asarray(q2)).all()
+
+
 def test_gasteiger_fallback_is_loud_and_strict_mode_errors(monkeypatch):
     """Charge-model honesty: uncached mols warn loudly by default and ERROR
     under TM_STRICT_CHARGES=1; mols carrying charges never hit the fallback."""
@@ -196,6 +239,7 @@ def test_gasteiger_fallback_is_loud_and_strict_mode_errors(monkeypatch):
         compute_or_load_base_charges,
     )
 
+    monkeypatch.setenv("TM_NATIVE_AM1", "0")  # force the fallback path
     mol = mol_from_smiles("CCO", add_hs=True)
     with _pytest.warns(GasteigerFallbackWarning):
         q = compute_or_load_base_charges(mol.copy())
@@ -216,7 +260,7 @@ def test_gasteiger_fallback_is_loud_and_strict_mode_errors(monkeypatch):
     assert q2.shape == (charged.num_atoms,)
 
 
-def test_gasteiger_fallback_never_masquerades_as_am1():
+def test_gasteiger_fallback_never_masquerades_as_am1(monkeypatch):
     """Degraded (Gasteiger) charges are cached under their own GasteigerCache
     key — never under the AM1-family cache property — and a second call loads
     them silently without re-warning."""
@@ -233,6 +277,7 @@ def test_gasteiger_fallback_never_masquerades_as_am1():
         compute_or_load_base_charges,
     )
 
+    monkeypatch.setenv("TM_NATIVE_AM1", "0")  # force the fallback path
     mol = mol_from_smiles("c1ccccc1O", add_hs=True)
     with _pytest.warns(GasteigerFallbackWarning):
         q1 = compute_or_load_base_charges(mol)
@@ -311,6 +356,7 @@ def test_strict_mode_rejects_cached_gasteiger(monkeypatch):
         compute_or_load_base_charges,
     )
 
+    monkeypatch.setenv("TM_NATIVE_AM1", "0")  # force the fallback path
     mol = mol_from_smiles("CCN", add_hs=True)
     with _pytest.warns(GasteigerFallbackWarning):
         compute_or_load_base_charges(mol)

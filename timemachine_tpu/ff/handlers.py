@@ -19,6 +19,7 @@ forcefield training happens (du/dq exact via jax.grad).
 from __future__ import annotations
 
 import base64
+import os
 import pickle
 import warnings
 from collections import Counter
@@ -48,6 +49,39 @@ class GasteigerFallbackWarning(UserWarning):
 
 class MissingBaseChargesError(RuntimeError):
     """Strict charge mode: no cached/precomputed base charges available."""
+
+
+class NativeAM1Unavailable(Exception):
+    """The native AM1 backend cannot handle this molecule (unsupported
+    element, open shell, degenerate conformer, or SCF non-convergence)."""
+
+
+def native_am1_enabled() -> bool:
+    """Native AM1 base charges are on by default; TM_NATIVE_AM1=0 disables
+    (falling back to cached/Gasteiger behavior, e.g. for fallback tests)."""
+    return os.environ.get("TM_NATIVE_AM1", "1") != "0"
+
+
+def _native_am1_base_charges(mol: Mol, mode: str) -> np.ndarray:
+    """Compute AM1-family base charges with the in-repo AM1 SCF
+    (`timemachine_tpu.qm`), scaled by sqrt(ONE_4PI_EPS0) like the
+    reference's oe_assign_charges (ref nonbonded.py:98-150). Raises
+    NativeAM1Unavailable when the model cannot apply."""
+    from timemachine_tpu.qm.charges import am1_mol_charges, am1bcc_mol_charges
+    from timemachine_tpu.qm.scf import SCFConvergenceError
+
+    try:
+        if mode == "AM1":
+            q = am1_mol_charges(mol, symmetrize=False)
+        elif mode == "AM1ELF10":
+            q = am1_mol_charges(mol, symmetrize=True)
+        elif mode in ("AM1BCC", "AM1BCCELF10"):
+            q = am1bcc_mol_charges(mol)
+        else:
+            raise NativeAM1Unavailable(f"unknown charge mode {mode!r}")
+    except (ValueError, SCFConvergenceError) as e:
+        raise NativeAM1Unavailable(str(e)) from e
+    return np.asarray(q, dtype=np.float64) * np.sqrt(constants.ONE_4PI_EPS0)
 
 
 def strict_base_charges() -> bool:
@@ -173,6 +207,16 @@ def compute_or_load_base_charges(mol: Mol, mode: str = "AM1ELF10"):
         q = np.array([float(x) for x in str(mol.props["PartialCharges"]).split()])
         assert len(q) == mol.num_atoms
         return q * np.sqrt(constants.ONE_4PI_EPS0)
+    if native_am1_enabled():
+        try:
+            scaled = _native_am1_base_charges(mol, mode)
+        except NativeAM1Unavailable as e:
+            native_am1_failure = str(e)
+        else:
+            mol.props[cache_prop] = base64.b64encode(pickle.dumps(list(scaled)))
+            return scaled
+    else:
+        native_am1_failure = "disabled via TM_NATIVE_AM1=0"
     if GASTEIGER_CHARGE_CACHE in mol.props and not strict_base_charges():
         # a previous call on this mol already fell back (and warned once);
         # degraded charges live under their OWN key so they can never
@@ -184,17 +228,18 @@ def compute_or_load_base_charges(mol: Mol, mode: str = "AM1ELF10"):
         return np.array(charges, dtype=np.float64)
     if strict_base_charges():
         raise MissingBaseChargesError(
-            f"No {mode} charge cache on mol {mol.name!r} and no QM backend available. "
-            "Strict charge mode is on (TM_STRICT_CHARGES=1): supply per-atom charges via "
-            "the mol's 'PartialCharges' property or a cached AM1 property, or unset "
+            f"No {mode} charge cache on mol {mol.name!r} and the native AM1 backend "
+            f"could not produce charges ({native_am1_failure}). Strict charge mode is on "
+            "(TM_STRICT_CHARGES=1): supply per-atom charges via the mol's "
+            "'PartialCharges' property or a cached AM1 property, or unset "
             "TM_STRICT_CHARGES to accept the Gasteiger (PEOE) fallback."
         )
     warnings.warn(
-        f"No {mode} charge cache on mol {mol.name!r} and no QM backend available; "
-        "falling back to native Gasteiger (PEOE) base charges. This CHANGES THE "
-        "PHYSICS relative to the reference's AM1-family electrostatics — cache AM1 "
-        "charges on the molecule (or set TM_STRICT_CHARGES=1 to make this an error) "
-        "for production-accuracy results.",
+        f"No {mode} charge cache on mol {mol.name!r} and the native AM1 backend could "
+        f"not produce charges ({native_am1_failure}); falling back to native Gasteiger "
+        "(PEOE) base charges. This CHANGES THE PHYSICS relative to AM1-family "
+        "electrostatics — supply charges (or set TM_STRICT_CHARGES=1 to make this an "
+        "error) for production-accuracy results.",
         GasteigerFallbackWarning,
     )
     from timemachine_tpu.ff.gasteiger import gasteiger_charges
