@@ -17,7 +17,6 @@ from timemachine_tpu.qm.integrals import element_multipoles, sto_overlap
 from timemachine_tpu.qm.params import AM1_ELEMENTS, BOHR_PER_ANGSTROM
 from timemachine_tpu.qm.scf import atomic_eisol, heat_of_formation_kcal
 
-pytestmark = pytest.mark.nogpu
 
 
 def _opt(elements, x0, **kw):

@@ -4,10 +4,16 @@ as digests. Any change to chem/smarts.py, the aromaticity models, or the
 handler match logic that silently shifts a single parameter assignment fails
 here (VERDICT round 1, weak #5: typing was previously self-validated only).
 
-Digests generated 2026-08-17 with the default forcefield
+Digests generated 2026-08-19 with the default forcefield
 (smirnoff_2_0_0_ccc); rounding to 8 decimals keeps them stable across
 benign float-noise changes. If an INTENTIONAL typing change lands, review
 the per-term diff carefully and regenerate (see generate() below).
+
+History: regenerated 2026-08-19 after the native AM1 SCF backend (qm/)
+replaced the Gasteiger fallback as the default base-charge source — only
+the nonbonded charge column changed (the landing commit touched only
+ff/handlers.py + qm/, no SMARTS/typing code). SMARTS semantics themselves
+are pinned independently of charges in test_smirks_external.py.
 """
 
 import hashlib
@@ -19,19 +25,21 @@ import pytest
 
 HIF2A_SDF = Path("/root/reference/timemachine/testsystems/fep_benchmark/hif2a/ligands.sdf")
 
+# NOTE: digests are specific to the suite's x64 config (conftest.py enables
+# jax_enable_x64); regenerate with x64 on.
 GOLDEN_DIGESTS = {
-    "338": "5a4841641e9798dd",
-    "43": "b02e00491228d58a",
-    "235": "be4948f017a0ef37",
-    "234": "3282e335543340bb",
-    "30": "c2e5c7763c0cefab",
-    "1": "6ff2cadff6b1d745",
-    "237": "a5697cc5bf897564",
-    "227": "6a597b0f07ffc00f",
-    "266": "a0ecbc731da7fc7b",
-    "206": "c08a7140ebb7aa01",
-    "67": "eb360bc4d76e3ac2",
-    "156": "67d651c526be39a5",
+    "338": "bd169c4e1cde1e29",
+    "43": "3c98ecf5bc95f1d8",
+    "235": "55f60c9da19ac818",
+    "234": "b50d1adc592646b5",
+    "30": "cf129e52679cd2e4",
+    "1": "14e88a9666b72ed7",
+    "237": "0930b9e352cb72ed",
+    "227": "426d49ee28d022f9",
+    "266": "6c8efe5e1e552e12",
+    "206": "e677b58162326899",
+    "67": "1857ff3f413c2d04",
+    "156": "60ea2d65ad86d08b",
 }
 
 
