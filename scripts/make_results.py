@@ -171,9 +171,10 @@ def render():
             "",
             f"Windowed solvent-leg decoupling, {s['n_windows']} windows x {s['n_frames']} frames x "
             f"{s['steps_per_frame']} steps, {s['box_width']} nm box, platform {d['platform']}. "
-            "Base charges follow the framework's charge policy (AM1BCC cache or loud "
-            "Gasteiger fallback — ABSOLUTE estimates are base-charge-sensitive, see "
-            "ARCHITECTURE.md charge policy; deviations below include that model error).",
+            "Base charges follow the framework's charge policy (cached charges first, "
+            "else the native AM1 SCF + BCC corrections — see ARCHITECTURE.md charge "
+            "policy; deviations below include charge-model + sampling error at these "
+            "reduced settings).",
             "",
             "| molecule | calc (kcal/mol) | expt (kcal/mol) | dev |",
             "|---|---|---|---|",

@@ -83,7 +83,7 @@ def main():
     timed_scan("a. canonical apply (gather cm + unsort epi)", step_a, (conf, state0))
 
     # shared pieces for sorted variants
-    from timemachine_tpu.ops.pallas.rowscan_kernel import _scalars, chop_row_counts, rowscan_sweep_cm
+    from timemachine_tpu.ops.pallas.rowscan_kernel import ROW, _scalars, chop_row_counts, rowscan_sweep_cm
 
     h_coeffs, p_coeffs = es_energy_force_series(beta, cutoff)
     tiles = state0[:-3]
@@ -95,12 +95,12 @@ def main():
         box_diag = jnp.diagonal(box)
         wrapped = x_s - box_diag * jnp.floor(x_s / box_diag)
         z1 = jnp.zeros((n_pad, 1), jnp.float32)
-        atomsT = jnp.concatenate([wrapped, prowsT.T[:, :4], z1], axis=1)  # (Npad, 8)
+        atomsT = jnp.concatenate([wrapped, prowsT, z1], axis=1)  # (Npad, 8)
         atoms_cm = atoms_cm_builder(wrapped)
         rc = chop_row_counts(atoms_cm, rank_mat, row_count, box, cutoff)
         out = rowscan_sweep_cm(
             atoms_cm, atomsT, row_start, rc, col_ids, _scalars(box, cutoff),
-            n_pad, mp, h_coeffs, p_coeffs, compute_u=False, triangular=True,
+            n_pad // ROW, mp, h_coeffs, p_coeffs, compute_u=False, triangular=True,
             rcen_q=rcen_q,
         )
         return out[:, 1:4]

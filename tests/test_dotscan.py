@@ -104,10 +104,10 @@ def test_dotscan_md_provider_matches_rowscan_provider():
     mp_r = suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True)
     mp_d = dk.suggest_max_pairs(conf, box, CUTOFF + 0.1, margin=1.4, triangular=True, sort="hilbert")
 
-    init_r, apply_r, energy_r, _, ewp_r = make_nonbonded_rowscan_md(
+    init_r, apply_r, energy_r, _, ewp_r, *_ = make_nonbonded_rowscan_md(
         BETA, CUTOFF, mp_r, skin=0.1, interpret=True, triangular=True
     )
-    init_d, apply_d, energy_d, _, ewp_d = dk.make_nonbonded_dotscan_md(
+    init_d, apply_d, energy_d, _, ewp_d, *_ = dk.make_nonbonded_dotscan_md(
         BETA, CUTOFF, mp_d, skin=0.1, interpret=True, triangular=True, sort="hilbert"
     )
     sr = init_r(conf, params, box)

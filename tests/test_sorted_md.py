@@ -1,0 +1,95 @@
+"""Sorted-state MD fast path (md/context.py): the Context carries x/v in the
+Pallas provider's pad_order space, eliminating the per-step coordinate
+gathers and the un-sort force epilogue (measured 1.167 -> 0.688 ms/step at
+23k atoms, scripts/probe_sorted.py).
+
+Equivalence contract tested here: with friction=0 (cc == 0, so the
+differently-shaped noise draw is multiplied away) the sorted and canonical
+paths are BITWISE identical — every per-atom operation is the same f32
+arithmetic on permuted arrays, the canonical round-trip gathers are exact,
+and mover energies go through the same canonical evaluators. With
+friction > 0 the noise realization differs by design (drawn per sorted slot)
+so only the sorted path's own determinism/chunking invariance is pinned.
+"""
+
+import numpy as np
+import pytest
+
+from timemachine_tpu.integrators import LangevinIntegrator
+from timemachine_tpu.md.barostat import MonteCarloBarostat
+from timemachine_tpu.md.builders import build_water_system
+from timemachine_tpu.md.context import Context
+from timemachine_tpu.md.utils import sample_velocities
+
+
+@pytest.fixture(scope="module")
+def water_pallas():
+    host_config = build_water_system(2.5)
+    bps = host_config.host_system.get_U_fns()
+    nb = host_config.host_system.nonbonded_all_pairs.potential
+    nb.configure_pallas(host_config.box, host_config.conf, interpret=True)
+    # f64 carry: the suite enables x64 and the barostat promotes under it; on
+    # TPU the whole loop runs f32 without x64. Parity below only needs both
+    # paths on the SAME dtype.
+    x0 = np.asarray(host_config.conf, np.float64)
+    box = np.asarray(host_config.box, np.float64)
+    masses = np.asarray(host_config.masses)
+    groups = list(host_config.host_topology.group_idxs)
+    return x0, box, masses, bps, groups
+
+
+def _run(water_pallas, friction, n_steps, store_interval, monkeypatch, sorted_mode, seed=2026):
+    x0, box, masses, bps, groups = water_pallas
+    if not sorted_mode:
+        monkeypatch.setenv("TM_SORTED_MD", "0")
+    else:
+        monkeypatch.delenv("TM_SORTED_MD", raising=False)
+    intg = LangevinIntegrator(300.0, 1e-3, friction, masses, seed=seed)
+    baro = MonteCarloBarostat(len(masses), 1.013, 300.0, groups, 7, seed=seed + 1)
+    v0 = sample_velocities(masses, 300.0, seed=seed + 2).astype(np.float64)
+    ctxt = Context(x0, v0, box, intg, bps, movers=[baro])
+    xs, boxes = ctxt.multiple_steps(n_steps, store_x_interval=store_interval)
+    activated = ctxt._sorted_machinery is not None
+    return xs, boxes, ctxt.get_x_t(), ctxt.get_v_t(), ctxt.get_box(), activated
+
+
+def test_sorted_path_bitwise_matches_canonical_at_zero_friction(water_pallas, monkeypatch):
+    xs_c, boxes_c, x_c, v_c, b_c, act_c = _run(water_pallas, 0.0, 30, 10, monkeypatch, sorted_mode=False)
+    xs_s, boxes_s, x_s, v_s, b_s, act_s = _run(water_pallas, 0.0, 30, 10, monkeypatch, sorted_mode=True)
+    assert not act_c, "TM_SORTED_MD=0 must force the canonical path"
+    assert act_s, "sorted fast path did not activate on the Pallas-configured Context"
+    np.testing.assert_array_equal(xs_s, xs_c)
+    np.testing.assert_array_equal(boxes_s, boxes_c)
+    np.testing.assert_array_equal(x_s, x_c)
+    np.testing.assert_array_equal(v_s, v_c)
+    np.testing.assert_array_equal(b_s, b_c)
+
+
+def test_sorted_path_chunking_invariance(water_pallas, monkeypatch):
+    """fold_in(key, global_step) + per-sorted-slot noise: bitwise-identical
+    trajectories regardless of frame chunking (same contract as the
+    canonical path, test_context.py::test_context_determinism...)."""
+    x0, box, masses, bps, groups = water_pallas
+    monkeypatch.delenv("TM_SORTED_MD", raising=False)
+
+    def run(chunks):
+        intg = LangevinIntegrator(300.0, 1e-3, 1.0, masses, seed=7)
+        baro = MonteCarloBarostat(len(masses), 1.013, 300.0, groups, 7, seed=8)
+        v0 = sample_velocities(masses, 300.0, seed=9).astype(np.float64)
+        ctxt = Context(x0, v0, box, intg, bps, movers=[baro])
+        for n in chunks:
+            ctxt.multiple_steps(n)
+        assert ctxt._sorted_machinery is not None
+        return ctxt.get_x_t(), ctxt.get_v_t(), ctxt.get_box()
+
+    x1, v1, b1 = run([30])
+    x2, v2, b2 = run([10, 5, 15])
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_sorted_path_stays_finite_with_noise(water_pallas, monkeypatch):
+    xs, boxes, x_t, v_t, b_t, act = _run(water_pallas, 1.0, 40, 20, monkeypatch, sorted_mode=True)
+    assert act
+    assert np.all(np.isfinite(xs)) and np.all(np.isfinite(x_t)) and np.all(np.isfinite(v_t))

@@ -21,6 +21,7 @@ TPU design:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Sequence
 
@@ -252,7 +253,10 @@ class Context:
                     total = total + pot(x, params_list[i], box)
             return total
 
-        def total_force(x, box, params_list, prov_states, t):
+        def residual_force(x, box, params_list):
+            """Canonical-space force of everything EXCEPT the stateful
+            providers: grad-evaluated terms, fused terms, and the shared
+            contribution plan (bonded + exclusion tails)."""
             force = jnp.zeros_like(x)
             if grad_idx:
 
@@ -271,6 +275,10 @@ class Context:
                     if extra is not None:
                         force = force + extra
                 force = force + assemble_forces(contrib_plan, all_contribs)
+            return force
+
+        def total_force(x, box, params_list, prov_states, t):
+            force = residual_force(x, box, params_list)
             new_states = []
             for k, i in enumerate(self._stateful_provider_idx):
                 _, f, st = stateful[i][1](prov_states[k], x, params_list[i], box, t)
@@ -341,6 +349,119 @@ class Context:
 
             return (x, v, box, t + 1, tuple(new_mover_states), prov_states), None
 
+        # ---- sorted-state fast path (TPU Pallas providers) ------------------
+        # Carry coordinates/velocities in the nonbonded provider's pad_order
+        # space so the per-step (N,3) coordinate gather, the three chunk-major
+        # column gathers and the un-sort force epilogue all disappear
+        # (measured 1.167 -> 0.688 ms/step at 23k atoms INCLUDING the
+        # canonical round-trip for bonded terms, scripts/probe_sorted.py).
+        # Bonded/exclusion-tail terms stay canonical: one (N,3) un-sort gather
+        # of x feeds them, their summed force joins the sweep force through
+        # one sort gather. Movers run canonically inside their firing cond
+        # (amortized). Restricted to Langevin + no free_mask + exactly one
+        # stateful provider + no nonlocal movers; everything else falls back
+        # to the canonical step_fn above.
+        self._sorted_machinery = None
+        if (
+            not is_verlet
+            and free_mask is None
+            and len(self._stateful_provider_idx) == 1
+            and not any(getattr(m, "moves_atoms_nonlocally", False) for m in self.movers)
+            and os.environ.get("TM_SORTED_MD", "1") != "0"
+        ):
+            nb_i = self._stateful_provider_idx[0]
+            sorted_m = getattr(self.potentials[nb_i], "md_force_provider_sorted", None)
+            info = sorted_m() if sorted_m is not None else None
+            if info is not None:
+                n_atoms = self._x.shape[0]
+                init_nb = stateful[nb_i][0]
+                rebuild_interval = info.rebuild_interval
+                cb_j = jnp.asarray(cb)
+                cc_j = jnp.asarray(cc)
+
+                def _tail_mask(n_pad):
+                    # pad slots are always the static trailing Npad - N slots
+                    # (pad_order = concat([argsort(keys), zeros]))
+                    return (jnp.arange(n_pad) >= n_atoms)[:, None]
+
+                def to_sorted(x_c, v_c, state, dtype):
+                    """Canonical (N,3) x/v -> sorted carry aligned to state's
+                    pad_order, with per-atom integrator rows re-sorted and
+                    pad slots zeroed so they never move."""
+                    po = info.pad_order(state)
+                    tail = _tail_mask(po.shape[0])
+                    zero = jnp.zeros((), dtype)
+                    x_s = x_c[po]
+                    v_s = jnp.where(tail, zero, v_c[po])
+                    cb_s = jnp.where(tail, zero, jnp.asarray(cb_j, dtype)[po])
+                    cc_s = jnp.where(tail, zero, jnp.asarray(cc_j, dtype)[po])
+                    return x_s, v_s, cb_s, cc_s
+
+                def sorted_step_fn(carry, params_list, base_key):
+                    x_s, v_s, box, t, mover_states, prov_states, cb_s, cc_s = carry
+                    key_t = jax.random.fold_in(base_key if base_key is not None else self._base_key, t)
+                    k_int, k_movers = jax.random.split(key_t)
+                    dtype = x_s.dtype
+
+                    def rebuild(args):
+                        x_s, v_s, cb_s, cc_s, st = args
+                        x_c = x_s[info.inv(st)]
+                        v_c = v_s[info.inv(st)]
+                        st2 = init_nb(x_c, params_list[nb_i], box)
+                        return (*to_sorted(x_c, v_c, st2, dtype), st2)
+
+                    x_s, v_s, cb_s, cc_s, st = jax.lax.cond(
+                        (t % rebuild_interval) == 0,
+                        rebuild,
+                        lambda args: args,
+                        (x_s, v_s, cb_s, cc_s, prov_states[0]),
+                    )
+                    po = info.pad_order(st)
+                    inv = info.inv(st)
+                    tail = _tail_mask(po.shape[0])
+
+                    out = info.sweep(st, x_s, box)  # (Npad, 8), poisoned on overflow
+                    f_s = -out[:, 1:4].astype(dtype)
+                    x_c = x_s[inv]
+                    f_c = residual_force(x_c, box, params_list)
+                    if info.canonical_force is not None:
+                        f_c = f_c + info.canonical_force(x_c, params_list[nb_i], box)
+                    f_s = jnp.where(tail, jnp.zeros((), dtype), f_s + f_c[po])
+
+                    noise = jax.random.normal(k_int, x_s.shape, dtype=dtype)
+                    v_mid = v_s + cb_s * f_s
+                    v_s = jnp.asarray(ca, dtype) * v_mid + cc_s * noise
+                    x_s = x_s + 0.5 * dt * (v_mid + v_s)
+
+                    prov_states = (st,)
+                    new_mover_states = []
+                    for i, mover in enumerate(self.movers):
+                        mk = jax.random.fold_in(k_movers, i)
+                        rigid = getattr(mover, "rigid_group_move", False)
+                        move_fn = mover.make_move_fn(
+                            lambda xx, bb, _r=rigid: energy_with_states(
+                                xx, bb, params_list, prov_states, rigid_only=_r
+                            )
+                        )
+                        due = (t + 1) % mover.interval == 0
+
+                        def do_move(args):
+                            st_m, x_s, v_s, bb = args
+                            xx, vv = x_s[inv], v_s[inv]
+                            st_m, xx, vv, bb = move_fn(st_m, xx, vv, bb, mk)
+                            x_s2 = xx[po]
+                            v_s2 = jnp.where(tail, jnp.zeros((), dtype), vv[po])
+                            return st_m, x_s2, v_s2, bb
+
+                        st_m, x_s, v_s, box = jax.lax.cond(
+                            due, do_move, lambda args: args, (mover_states[i], x_s, v_s, box)
+                        )
+                        new_mover_states.append(st_m)
+
+                    return (x_s, v_s, box, t + 1, tuple(new_mover_states), prov_states, cb_s, cc_s), None
+
+                self._sorted_machinery = (sorted_step_fn, to_sorted, info)
+
         return step_fn
 
     def _init_provider_states(self, x, box):
@@ -356,6 +477,36 @@ class Context:
             return self._runner_cache[cache_key]
 
         step_fn = self._make_step_fn(free_mask)
+
+        if self._sorted_machinery is not None:
+            sorted_step_fn, to_sorted, info = self._sorted_machinery
+
+            # sorted-state runner: same external contract as the canonical
+            # runner (canonical x/v in and out, canonical frames), sorted
+            # carry inside the scans. The entry sort / exit un-sort / per-
+            # frame un-sort are amortized over steps_per_frame steps.
+            @jax.jit
+            def run_sorted(x, v, box, t0, mover_states, prov_states, params_list, base_key):
+                st0 = prov_states[0]
+                x_s, v_s, cb_s, cc_s = to_sorted(x, v, st0, x.dtype)
+
+                def frame_body(carry, _):
+                    def step_body(c, _):
+                        return sorted_step_fn(c, params_list, base_key)
+
+                    carry, _ = jax.lax.scan(step_body, carry, None, length=steps_per_frame)
+                    x_sf, _, box_f = carry[0], carry[1], carry[2]
+                    inv_f = info.inv(carry[5][0])
+                    return carry, (x_sf[inv_f], box_f)
+
+                carry = (x_s, v_s, box, t0, mover_states, (st0,), cb_s, cc_s)
+                carry, (xs, boxes) = jax.lax.scan(frame_body, carry, None, length=n_frames)
+                x_s, v_s, box_out, t_out, mover_states, prov_states, _, _ = carry
+                inv_out = info.inv(prov_states[0])
+                return (x_s[inv_out], v_s[inv_out], box_out, t_out, mover_states, prov_states), xs, boxes
+
+            self._runner_cache[cache_key] = run_sorted
+            return run_sorted
 
         # base_key is a runtime argument (NOT a trace-time closure constant)
         # so reset_for_state's reseeding reaches already-compiled runners

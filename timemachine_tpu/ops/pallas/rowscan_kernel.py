@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -876,6 +877,20 @@ def make_param_rows_fn(atom_mask):
     return _param_rows
 
 
+class SortedSweepProtocol(NamedTuple):
+    """Sorted-state sweep surface attached as element [5] of the tile MD
+    provider tuple (see make_tile_md_provider). `sweep(state, x_sorted, box)`
+    evaluates the kernel directly on pad_order-space coordinates;
+    `pad_order(state)` / `inv(state)` expose the state's permutation so the
+    Context can own the sorted<->canonical round-trips and rebuild-time
+    re-sorts; `rebuild_interval` mirrors apply_fn's internal schedule."""
+
+    sweep: object
+    pad_order: object
+    inv: object
+    rebuild_interval: int
+
+
 def make_tile_md_provider(build_fn, sweep_fn, param_rows_fn, rebuild_interval: int = 20, sweep_cm_fn=None):
     """Shared stateful-provider state machine for the tile-sweep kernels
     (rowscan / quadscan / dotscan), so the rebuild/cache/poison logic exists
@@ -895,13 +910,14 @@ def make_tile_md_provider(build_fn, sweep_fn, param_rows_fn, rebuild_interval: i
     provider state at every `multiple_steps` call; set_params only happens
     between calls).
 
-    Returns (init_fn, apply_fn, energy_fn, energy_fn, energy_with_params_fn)
-    — the md/context.py energy_with_states tuple contract: [2] energy
-    through cached tiles+params; [3] the rigid-move energy variant (same
-    here — the nonbonded term is never rigid-invariant); [4] tile-reusing
-    energy under DIFFERENT params (HREX banded-U_kl path,
+    Returns (init_fn, apply_fn, energy_fn, energy_fn, energy_with_params_fn,
+    sorted_protocol) — the md/context.py energy_with_states tuple contract:
+    [2] energy through cached tiles+params; [3] the rigid-move energy variant
+    (same here — the nonbonded term is never rigid-invariant); [4]
+    tile-reusing energy under DIFFERENT params (HREX banded-U_kl path,
     parallel/replica_exchange.py), valid for any conf within skin/2 of the
-    tiles' build conf.
+    tiles' build conf; [5] a SortedSweepProtocol (cm providers only, else
+    None) for the Context's sorted-state MD fast path.
 
     sweep_cm_fn(tiles, atoms_cm, atomsT, box, compute_u), if given, switches
     the per-step assemble to CHUNK-MAJOR: the (nC, 8, COL) column array is
@@ -982,7 +998,46 @@ def make_tile_md_provider(build_fn, sweep_fn, param_rows_fn, rebuild_interval: i
         out = _sweep_from_state(refreshed, conf, box, compute_u=True)
         return _poison(state, jnp.sum(out[:, 0]))
 
-    return init_fn, apply_fn, energy_fn, energy_fn, energy_with_params_fn
+    sorted_protocol = None
+    if sweep_cm_fn is not None:
+        # Sorted-state MD protocol (md/context.py sorted fast path): the
+        # Context carries coordinates in the provider's pad_order space, so
+        # the per-step (N,3) row gather, the three 1-D chunk-major column
+        # gathers and the un-sort force epilogue all disappear — the column
+        # array is built by strided slices of the sorted carry instead.
+        # Measured on the 23k water box (scripts/probe_sorted.py, v5e):
+        # 1.167 -> 0.688 ms/step INCLUDING the canonical round-trip the
+        # Context pays for bonded terms (the round-trip overlaps with the
+        # sweep). Force parity vs the canonical apply is bitwise (rel err 0).
+        def sweep_sorted(state, x_sorted, box, compute_u=False):
+            """(Npad, 3) sorted raw coords -> (Npad, 8) kernel output
+            [u_atom, du/dx(3), ...] in sorted order, NaN-poisoned when the
+            state's build overflowed. Rows at pad slots (the static tail,
+            pad_order[i]==0 duplicates of atom 0) carry zero q/eps so their
+            contributions vanish; callers mask the tail before integrating."""
+            tiles = state[:-3]
+            prows, prowsT = state[-2], state[-1]
+            n_pad = tiles[0].shape[0]
+            box32 = jnp.asarray(box, jnp.float32)
+            box_diag = jnp.diagonal(box32)
+            x32 = jnp.asarray(x_sorted, jnp.float32)
+            wrapped = x32 - box_diag * jnp.floor(x32 / box_diag)
+            z1 = jnp.zeros((n_pad, 1), jnp.float32)
+            atomsT = jnp.concatenate([wrapped, prowsT, z1], axis=1)  # (Npad, 8)
+            nc = n_pad // COL
+            xyz_cm = [wrapped[:, k].reshape(nc, 1, COL) for k in range(3)]
+            atoms_cm = jnp.concatenate(xyz_cm + [prows], axis=1)  # (nC, 8, COL)
+            out = sweep_cm_fn(tiles, atoms_cm, atomsT, box, compute_u)
+            return _poison(state, out)
+
+        sorted_protocol = SortedSweepProtocol(
+            sweep=sweep_sorted,
+            pad_order=lambda state: state[0],
+            inv=lambda state: state[-3],
+            rebuild_interval=rebuild_interval,
+        )
+
+    return init_fn, apply_fn, energy_fn, energy_fn, energy_with_params_fn, sorted_protocol
 
 
 def make_nonbonded_rowscan_md(

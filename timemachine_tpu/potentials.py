@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 from dataclasses import dataclass
-from typing import Optional, TypeVar
+from typing import NamedTuple, Optional, TypeVar
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,21 @@ import numpy as np
 from timemachine_tpu.ops import bonded, chiral, nonbonded
 
 _P = TypeVar("_P", bound="Potential")
+
+
+class SortedNBInfo(NamedTuple):
+    """Sorted-state MD protocol handed to md/context.py's sorted fast path
+    (see ops/pallas/rowscan_kernel.SortedSweepProtocol). `sweep(state, x_s,
+    box)` evaluates the nonbonded kernel on pad_order-space coords;
+    `canonical_force(conf, params, box)`, when not None, is the potential's
+    canonical-space force correction (water-exclusion grad) the Context
+    adds before its single canonical→sorted gather."""
+
+    sweep: object
+    pad_order: object
+    inv: object
+    rebuild_interval: int
+    canonical_force: object
 
 Conf = jax.Array
 Params = jax.Array
@@ -557,6 +572,19 @@ class NonbondedAllPairs(Potential):
         rebuilds, or None. apply(state, x, params, box, t) -> (u, f, state')."""
         return getattr(self, "_pallas_md", None) if self.impl == "pallas" else None
 
+    def md_force_provider_sorted(self):
+        """SortedNBInfo for the Context's sorted-state MD fast path, or None
+        when the configured provider has no sorted protocol (non-cm kernels,
+        tiled/dense impls)."""
+        prov = self.md_force_provider()
+        if prov is None or len(prov) < 6 or prov[5] is None:
+            return None
+        ss = prov[5]
+        return SortedNBInfo(
+            sweep=ss.sweep, pad_order=ss.pad_order, inv=ss.inv,
+            rebuild_interval=ss.rebuild_interval, canonical_force=None,
+        )
+
     def __call__(self, conf, params, box):
         if self.impl == "pallas":
             return self._pallas_energy(conf, params, box)
@@ -780,6 +808,46 @@ class Nonbonded(Potential):
             return [[-g_l, -g_r]], None
 
         return (init_ap, apply_fn, energy_fn, energy_ap), [tail_idxs], tail_fn
+
+    def md_force_provider_sorted(self):
+        """SortedNBInfo for the Context's sorted-state MD fast path, or None.
+
+        The sorted step composes the force as: sweep_sorted (pad_order
+        space) + canonical residual (bonded terms, the exclusion tail
+        through the shared contribution plan, and this info's
+        `canonical_force` — the leading-water exclusion grad) gathered to
+        sorted space once. All ENERGY paths (MC movers, HREX) stay on the
+        canonical provider tuple this class already registers via
+        md_force_provider / md_force_provider_split, so only the per-step
+        force path changes. Requires the polynomial-ES rowscan-cm provider
+        (exact exclusion cancellation)."""
+        prov = self._all_pairs.md_force_provider()
+        if prov is None or len(prov) < 6 or prov[5] is None:
+            return None
+        h_coeffs = self._all_pairs.es_h_coeffs()
+        if h_coeffs is None:
+            return None
+        ss = prov[5]
+        exc_idxs, exc_scales = self._filtered
+        nw = nonbonded.leading_water_exclusions(exc_idxs, exc_scales)
+        beta, cutoff = self.beta, self.cutoff
+
+        canonical_force = None
+        if nw:
+            def canonical_force(conf, params, box):
+                # the exclusion CORRECTION subtracts U_exc from the total, so
+                # its contribution to the force (-dU/dx) is +dU_exc/dx
+                _, g_w = jax.value_and_grad(
+                    lambda c: nonbonded.water_exclusion_energy(
+                        c, params, box, nw, beta, cutoff, es_poly_coeffs=h_coeffs
+                    )
+                )(conf)
+                return g_w
+
+        return SortedNBInfo(
+            sweep=ss.sweep, pad_order=ss.pad_order, inv=ss.inv,
+            rebuild_interval=ss.rebuild_interval, canonical_force=canonical_force,
+        )
 
     def __call__(self, conf, params, box):
         if self.impl in ("tiled", "pallas"):
