@@ -158,10 +158,18 @@ def render():
             f"| dG(B->A) | {d['dg_rev_kj']:+.2f} +- {d['dg_rev_err_kj']:.2f} |",
             f"| **cycle closure** | **{d['cycle_kj']:+.2f} +- {d['cycle_err_kj']:.2f}** |",
             "",
-            "Closure is consistent with zero within error; regression-pinned by",
-            "`tests/test_rbfe_cycle.py` (nightly).",
-            "",
         ]
+        # data-dependent conclusion (ADVICE r3: never assert closure the
+        # numbers don't support)
+        nsig = abs(d["cycle_kj"]) / max(d["cycle_err_kj"], 1e-12)
+        if nsig <= 2.0:
+            lines.append(f"Closure is consistent with zero within 2 sigma ({nsig:.1f} sigma).")
+        else:
+            lines.append(
+                f"Closure deviates from zero by {nsig:.1f} sigma at these settings — "
+                "see the platform/sampling discussion below."
+            )
+        lines += ["Regression-pinned by `tests/test_rbfe_cycle.py` (nightly).", ""]
     ah = RESULTS_DIR / "freesolv_ahfe.json"
     if ah.exists():
         d = json.loads(ah.read_text())

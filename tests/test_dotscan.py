@@ -232,7 +232,7 @@ def test_dotscan_provider_poisons_forces_on_invalid_tiles():
     conf, params, box = lattice_fluid(n, 18, 0.05, seed=7, spacing=0.31)
 
     # overflow: deliberately undersized max_pairs
-    init_fn, apply_fn, energy_fn, _, _ = dk.make_nonbonded_dotscan_md(
+    init_fn, apply_fn, energy_fn, *_ = dk.make_nonbonded_dotscan_md(
         BETA, CUTOFF, max_pairs=8, skin=0.1, interpret=True, triangular=True, sort="hilbert"
     )
     state = init_fn(conf, params, box)

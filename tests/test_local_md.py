@@ -119,3 +119,42 @@ def test_sample_with_local_md_params(water_ctxt_factory):
     coords = np.concatenate([b[0] for b in batches])
     assert coords.shape == (3, hc.conf.shape[0], 3)
     assert np.isfinite(coords).all()
+
+
+def test_local_md_explicit_selection(water_ctxt_factory):
+    """multiple_steps_local_selection: ONLY the caller-chosen atoms move,
+    the reference is frozen, everything else is bitwise-unmoved (ref
+    Context::multiple_steps_local_selection, context.cu:111-161)."""
+    ctxt, hc = water_ctxt_factory()
+    x_before = ctxt.get_x_t()
+
+    # select the two water molecules nearest atom 0 (excluding its own)
+    box_diag = np.diagonal(hc.box)
+    diff = x_before - x_before[0]
+    diff -= box_diag * np.floor(diff / box_diag + 0.5)
+    d0 = np.linalg.norm(diff, axis=1)
+    order = np.argsort(d0)
+    sel = np.array([i for i in order if i not in (0, 1, 2)][:6], dtype=np.int32)
+
+    frames, boxes = ctxt.multiple_steps_local_selection(50, 0, sel, store_x_interval=25, radius=0.5, k=10_000.0)
+    assert frames.shape == (2, x_before.shape[0], 3)
+    x_after = ctxt.get_x_t()
+    moved = np.linalg.norm(x_after - x_before, axis=1)
+
+    assert (moved[sel] > 0).all()  # every selected atom moved
+    not_sel = np.setdiff1d(np.arange(x_before.shape[0]), sel)
+    assert (moved[not_sel] == 0).all()  # everyone else bitwise-unmoved
+    assert moved[0] == 0.0  # the reference is frozen
+
+    # the flat-bottom tether holds the free atoms near the reference
+    diff_a = ctxt.get_x_t()[sel] - x_before[0]
+    diff_a -= box_diag * np.floor(diff_a / box_diag + 0.5)
+    assert (np.linalg.norm(diff_a, axis=1) < 0.5 + 0.3).all()
+
+
+def test_local_md_selection_validation(water_ctxt_factory):
+    ctxt, _ = water_ctxt_factory()
+    with pytest.raises(ValueError, match="reference_idx"):
+        ctxt.multiple_steps_local_selection(10, 0, np.array([0, 4, 5]))
+    with pytest.raises(ValueError, match="out of range"):
+        ctxt.multiple_steps_local_selection(10, 0, np.array([10**6]))

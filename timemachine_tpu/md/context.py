@@ -59,6 +59,16 @@ class Context:
         self._step = 0
         self._runner_cache: dict = {}
         self._stateful_provider_idx: list = []
+        # stateful-provider (tile list) states carried across multiple_steps
+        # calls. Re-initializing at every entry rebuilt the tile lists at
+        # chunk boundaries, so f32 sweep summation order — and hence the
+        # trajectory — depended on how steps were split across calls,
+        # breaking the chunking-determinism contract
+        # (tests/test_sorted_md.py::test_sorted_path_chunking_invariance).
+        # Carrying them preserves the exact unchunked rebuild schedule
+        # (t % rebuild_interval == 0). Invalidated by any external state
+        # mutation (set_x_t / set_box / set_params / local MD).
+        self._prov_states = None
 
         def energy_fn(x, box, params_list):
             total = 0.0
@@ -81,12 +91,14 @@ class Context:
 
     def set_x_t(self, x):
         self._x = np.asarray(x)
+        self._prov_states = None
 
     def set_v_t(self, v):
         self._v = np.asarray(v)
 
     def set_box(self, box):
         self._box = np.asarray(box)
+        self._prov_states = None
 
     def get_params(self):
         return [np.asarray(p) for p in self._params]
@@ -96,6 +108,7 @@ class Context:
         path; ref free_energy.py:1485-1531)."""
         assert len(params_list) == len(self._params)
         self._params = [jnp.asarray(p) for p in params_list]
+        self._prov_states = None
 
     def set_water_sampler_params(self, params):
         """Swap the water exchange mover's nonbonded params (carried in its
@@ -277,6 +290,9 @@ class Context:
                 force = force + assemble_forces(contrib_plan, all_contribs)
             return force
 
+        # exposed for equivalence diagnostics (tests/test_sorted_md.py)
+        self._residual_force = residual_force
+
         def total_force(x, box, params_list, prov_states, t):
             force = residual_force(x, box, params_list)
             new_states = []
@@ -420,6 +436,18 @@ class Context:
                     inv = info.inv(st)
                     tail = _tail_mask(po.shape[0])
 
+                    # Refresh the pad-tail slots to the CURRENT atom-0 row
+                    # every step. The canonical apply re-gathers
+                    # wrapped[pad_order] per step, so its tail slots track
+                    # atom 0 live; the sorted carry would otherwise freeze
+                    # them at rebuild-time positions. Tail coordinates feed
+                    # the per-step tile chop / preshift geometry, so stale
+                    # tails shift summation images and break the bitwise
+                    # equivalence contract (tests/test_sorted_md.py) and
+                    # chunking invariance (to_sorted at chunk entry derives
+                    # tails from the current frame).
+                    x_s = jnp.where(tail, x_s[inv[0]], x_s)
+
                     out = info.sweep(st, x_s, box)  # (Npad, 8), poisoned on overflow
                     f_s = -out[:, 1:4].astype(dtype)
                     x_c = x_s[inv]
@@ -559,9 +587,12 @@ class Context:
         t0 = jnp.asarray(self._step, dtype=jnp.result_type(int))
 
         # build the step fn (populates stateful-provider detection), then
-        # initialize provider states from the current coordinates
+        # reuse the carried provider states (exact unchunked rebuild
+        # schedule) or initialize them from the current coordinates
         self._get_runner(interval if n_frames > 0 else tail, max(n_frames, 1), free_mask_key, free_mask)
-        prov_states = self._init_provider_states(x, box)
+        prov_states = self._prov_states
+        if prov_states is None:
+            prov_states = self._init_provider_states(x, box)
 
         if n_frames > 0:
             run = self._get_runner(interval, n_frames, free_mask_key, free_mask)
@@ -582,6 +613,7 @@ class Context:
         self._box = np.asarray(box)
         self._step = int(t0)
         self._mover_states = list(mover_states)
+        self._prov_states = prov_states
 
         self._validate_state()
 
@@ -754,6 +786,40 @@ class Context:
         # False: it moves too, and the frozen shell is tethered to it by the
         # log-complement restraint inside the runner
         free[reference_idx] = 0.0 if freeze_reference else 1.0
+        return self._run_local(n_steps, reference_idx, free, k, radius, store_x_interval, freeze_reference)
+
+    def multiple_steps_local_selection(
+        self,
+        n_steps: int,
+        reference_idx: int,
+        selection_idxs,
+        store_x_interval: int = 0,
+        radius: float = 1.2,
+        k: float = 10_000.0,
+        freeze_reference: bool = True,
+    ):
+        """Advance n_steps moving ONLY the explicitly-selected atoms, each
+        flat-bottom-restrained (r_max=radius, stiffness k) to reference_idx
+        (ref Context::multiple_steps_local_selection, context.cu:111-161;
+        custom_ops.pyi:95). Unlike multiple_steps_local, the free set is
+        caller-chosen rather than probabilistically sampled. The reference
+        atom must not be in the selection; it is frozen unless
+        freeze_reference=False (reference: setup_local_md flag), in which
+        case it moves and the frozen shell tracks it via the log-complement
+        restraint. Returns (frames, boxes) like multiple_steps."""
+        selection_idxs = np.asarray(selection_idxs, dtype=np.int64)
+        assert selection_idxs.ndim == 1 and len(selection_idxs) > 0
+        n_atoms = self._x.shape[0]
+        if np.any((selection_idxs < 0) | (selection_idxs >= n_atoms)):
+            raise ValueError("selection_idxs out of range")
+        if reference_idx in selection_idxs:
+            raise ValueError("reference_idx must not be part of selection_idxs")
+        free = np.zeros(n_atoms, dtype=np.float64)
+        free[selection_idxs] = 1.0
+        free[reference_idx] = 0.0 if freeze_reference else 1.0
+        return self._run_local(n_steps, int(reference_idx), free, k, radius, store_x_interval, freeze_reference)
+
+    def _run_local(self, n_steps, reference_idx, free, k, radius, store_x_interval, freeze_reference):
         if free.sum() == 0:
             raise RuntimeError("local MD selection has no free particles")
 
@@ -780,6 +846,8 @@ class Context:
         self._v = np.asarray(v)
         self._box = np.asarray(box)
         self._step = int(t0)
+        # local MD moved atoms outside the provider-carry bookkeeping
+        self._prov_states = None
         self._validate_state()
 
         if xs_out:
