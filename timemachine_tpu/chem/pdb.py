@@ -103,6 +103,8 @@ _CAP_BONDS = {
 # heavy-atom name aliases (old Amber conventions) → PDB v3 names
 _ATOM_ALIASES = {
     "ILE": {"CD": "CD1"},
+    # NMA-style N-methylamide caps name the methyl CA (or C)
+    "NME": {"CA": "CH3", "C": "CH3"},
 }
 
 # any-residue aliases (CHARMM-style C-terminal carboxylate naming)

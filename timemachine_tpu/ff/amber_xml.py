@@ -337,11 +337,20 @@ def assign_protein_parameters(structure, protein_mol, ff: AmberForceField) -> Am
 
         match = None
         tried = []
-        for cand in _candidate_names(res.name, is_first, is_last):
+        cands = _candidate_names(res.name, is_first, is_last)
+        if not any(c in ff.residues for c in cands):
+            # PDB spelling has no direct template (e.g. NMA -> NME,
+            # HSD -> HIS); retry with the canonical residue name
+            canon = _RES_ALIASES.get(res.name, res.name)
+            cands = _candidate_names(canon, is_first, is_last)
+        for cand in cands:
+            # require the crosslinked template when a disulfide is present:
+            # every candidate for a cysteine residue ends in CYS/CYX/CYM
+            # (optionally N-/C-prefixed), so skipping all non-CYX names is
+            # exact. (A former lstrip("NC") == "CYS" check stripped ALL
+            # leading N/C characters — 'CCYS' -> 'YS' — and never fired.)
             if is_cyx and not cand.endswith("CYX"):
-                # require the crosslinked template when a disulfide is present
-                if cand.lstrip("NC") == "CYS" or cand in ("CYS", "CYM"):
-                    continue
+                continue
             tpl = ff.residues.get(cand)
             if tpl is None:
                 continue
@@ -394,10 +403,25 @@ def assign_protein_parameters(structure, protein_mol, ff: AmberForceField) -> Am
     classes = [ff.type_class.get(t, t) for t in types]
     masses = np.array([ff.type_mass.get(t, 0.0) for t in types])
     if not ff.charge_from_residue and any(t in ff.type_charge for t in types):
-        # old-style XML with per-type charges: only trust them when the
-        # residue templates carry no charge info at all
-        if all(c == 0.0 for c in charges):
-            charges = np.array([ff.type_charge.get(t, 0.0) for t in types])
+        # OpenMM semantics: without <UseAttributeFromResidue name="charge"/>,
+        # the NonbondedForce per-type charges are authoritative and template
+        # charges are ignored. One pragmatic exception: XMLs whose
+        # NonbondedForce charges are ALL zero while templates carry real
+        # charges (a common hand-written style) keep the template charges —
+        # zeroing the whole protein silently would be strictly worse.
+        type_q = np.array([ff.type_charge.get(t, 0.0) for t in types])
+        if np.any(type_q != 0.0) or np.all(charges == 0.0):
+            if np.any(type_q != 0.0) and np.any(charges != 0.0) and not np.allclose(type_q, charges):
+                import warnings
+
+                warnings.warn(
+                    "Amber XML carries both NonbondedForce per-type charges and "
+                    "residue-template charges that disagree; using the per-type "
+                    "charges (OpenMM precedence). Add <UseAttributeFromResidue "
+                    "name=\"charge\"/> to select template charges.",
+                    stacklevel=2,
+                )
+            charges = type_q
     lj = np.array([ff.type_lj[t] for t in types])
 
     # ---- bonded terms from the graph + class lookup ------------------------
@@ -464,7 +488,11 @@ def assign_protein_parameters(structure, protein_mol, ff: AmberForceField) -> Am
         ns = [x for x in nbrs[c]]
         if len(ns) < 3:
             continue
-        for cls4, terms in ff.impropers:
+        # specificity-ranked entry selection (OpenMM: a fully-specified
+        # entry beats any wildcard entry regardless of XML order; among
+        # equal wildcard counts the first XML entry wins)
+        best = None  # (n_wild, xml_order, picked, terms)
+        for order, (cls4, terms) in enumerate(ff.impropers):
             c_cen, c2, c3, c4 = cls4
             if c_cen != WILD and c_cen != classes[c]:
                 continue
@@ -489,15 +517,18 @@ def assign_protein_parameters(structure, protein_mol, ff: AmberForceField) -> Am
             for m in range(3):
                 if picked[m] is None:
                     picked[m] = rest.pop(0)
-            n1, n2, n3 = picked
-            for kk, phase, per in terms:
+            n_wild = sum(1 for w in cls4 if w == WILD)
+            if best is None or n_wild < best[0]:
+                best = (n_wild, order, tuple(picked), terms)
+        if best is not None:
+            n1, n2, n3 = best[2]
+            for kk, phase, per in best[3]:
                 if kk == 0.0:
                     continue
                 # OpenMM emits (n1, n2, central, n3): exactly one internal
                 # angle — the downstream splitter classifies it improper
                 improper_idxs.append((n1, n2, c, n3))
                 improper_p.append((kk, phase, per))
-            break  # at most one improper entry per center
 
     # ---- exclusions (1-2, 1-3 full; 1-4 scaled) ----------------------------
     excl: dict = {}

@@ -252,14 +252,13 @@ def build_protein_system(host_pdbfile, protein_ff: str, water_ff: str, mols=None
     - OpenMM present: reference-parity Amber templates (`protein_ff`,
       e.g. amber99sbildn) via openmm.app.ForceField + the framework's
       System deserializer.
-    - OpenMM absent (native): the protein graph is perceived directly from
-      the PDB (chem/pdb.py) and typed with the framework's own SMIRKS
-      engine using the default small-molecule forcefield; charges follow
-      the standard base-charge policy (cached / precomputed / loud
-      Gasteiger+CCC fallback; TM_STRICT_CHARGES=1 to make missing charges
-      an error). This executes the full complex-leg pipeline without any
-      external dependency, at SMIRNOFF-host (not Amber-parity) physics —
-      a loud warning says so."""
+    - OpenMM absent (native, the default here): Amber host physics from
+      the shipped reconstructed amber99sb set (ff/params/amber99sb.xml,
+      assigned natively by ff/amber_xml.py) for any amber* protein_ff;
+      TM_AMBER_XML / a path-like protein_ff overrides the XML. Residues
+      the Amber templates cannot match — or TM_FORCE_SMIRNOFF_HOST=1 —
+      fall back to the framework's SMIRKS-engine parameterization
+      (SMIRNOFF-host physics, loud warning)."""
     try:
         import openmm  # noqa: F401
         from openmm import app, unit
@@ -387,14 +386,46 @@ def _build_protein_system_native(host_pdbfile, protein_ff: str, water_ff: str, m
         amber_paths = [protein_ff]
     elif _os.path.exists(f"{protein_ff}.xml"):
         amber_paths = [f"{protein_ff}.xml"]
+    elif protein_ff.startswith("amber") and _os.environ.get("TM_FORCE_SMIRNOFF_HOST") != "1":
+        # DEFAULT complex-leg path: the shipped reconstructed ff99SB set
+        # (ff/params/amber99sb.xml, generated by scripts/gen_amber99sb.py
+        # from the published parm94/parm99/ff99SB tables — see its
+        # docstring for provenance and fidelity notes). Amber-parity host
+        # physics out of the box, no OpenMM required.
+        from timemachine_tpu.ff.params import AMBER99SB_XML
+
+        amber_paths = [str(AMBER99SB_XML)]
+        if "ildn" in protein_ff:
+            warnings.warn(
+                f"protein_ff={protein_ff!r}: using the shipped reconstructed "
+                "amber99sb parameter set; the ILDN side-chain chi corrections "
+                "are NOT included (supply a real XML via TM_AMBER_XML for "
+                "certified amber99sbildn physics).",
+                stacklevel=2,
+            )
 
     amber_masses = None
+    ap = None
     if amber_paths is not None:
         from timemachine_tpu.constants import ONE_4PI_EPS0
-        from timemachine_tpu.ff.amber_xml import AmberForceField, assign_protein_parameters
+        from timemachine_tpu.ff.amber_xml import (
+            AmberAssignmentError,
+            AmberForceField,
+            assign_protein_parameters,
+        )
 
-        aff = AmberForceField.parse(amber_paths)
-        ap = assign_protein_parameters(structure, protein, aff)
+        try:
+            aff = AmberForceField.parse(amber_paths)
+            ap = assign_protein_parameters(structure, protein, aff)
+        except AmberAssignmentError as e:
+            if env_xml or protein_ff.endswith(".xml"):
+                raise  # an explicitly-supplied XML failing is an error
+            warnings.warn(
+                f"Amber template assignment failed ({e}); falling back to "
+                "native SMIRNOFF-host parameterization (not Amber-parity).",
+                stacklevel=2,
+            )
+    if ap is not None:
         bond_idxs, bond_params = ap.bond_idxs, ap.bond_params
         angle_idxs, angle_params = ap.angle_idxs, ap.angle_params
         proper_idxs, proper_params = ap.proper_idxs, ap.proper_params
@@ -407,10 +438,11 @@ def _build_protein_system_native(host_pdbfile, protein_ff: str, water_ff: str, m
     else:
         ff = Forcefield.load_default()
         warnings.warn(
-            f"OpenMM not available: protein_ff={protein_ff!r} requires Amber templates "
-            "(supply the XML via TM_AMBER_XML for native Amber-parity physics). "
-            "Falling back to NATIVE SMIRNOFF-host parameterization (framework SMIRKS typing "
-            "+ standard base-charge policy). This is not Amber-parity physics."
+            f"protein_ff={protein_ff!r} is not an Amber forcefield name/XML (or the "
+            "Amber path was disabled): using NATIVE SMIRNOFF-host parameterization "
+            "(framework SMIRKS typing + standard base-charge policy). This is not "
+            "Amber-parity physics; pass protein_ff='amber99sbildn' (shipped set) or "
+            "TM_AMBER_XML for Amber hosts."
         )
 
         # parameterize the protein like any molecule

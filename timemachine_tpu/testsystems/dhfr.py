@@ -3,12 +3,12 @@
 The reference parameterizes 5dfr_solv_equil.pdb through OpenMM's
 amber99sbildn (dhfr.py:9-23). This framework builds the SAME solvated
 protein system natively: the protein graph is perceived from the PDB
-(chem/pdb.py), typed with the framework's SMIRKS engine, and the 7023
-pre-equilibrated waters + CRYST1 box are kept as shipped — no OpenMM.
-Charges follow the standard base-charge policy (loud Gasteiger+CCC
-fallback), so the physics is SMIRNOFF-host rather than Amber-parity; the
-system composition (protein + equilibrated solvent, atom count, box) is the
-reference benchmark's.
+(chem/pdb.py), parameterized with the shipped reconstructed amber99sb set
+(ff/params/amber99sb.xml via ff/amber_xml.py — Amber host physics, no
+OpenMM), and the 7023 pre-equilibrated waters + CRYST1 box are kept as
+shipped. The system composition (protein + equilibrated solvent, atom
+count, box) and the host physics class match the reference benchmark's
+(ILDN chi corrections excepted — see scripts/gen_amber99sb.py).
 
 `setup_dhfr_scale_waterbox` remains as the pure-water fallback host."""
 
