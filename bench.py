@@ -138,16 +138,58 @@ def main():
     ns_simulated = n_steps * DT_PS / 1000.0
     ns_per_day = ns_simulated / elapsed * 86_400.0
 
-    print(
-        json.dumps(
-            {
-                "metric": f"apo_md_{metric_system}_npt_{n_atoms}atoms",
-                "value": round(ns_per_day, 3),
-                "unit": "ns/day",
-                "vs_baseline": round(ns_per_day / BASELINE_NS_PER_DAY, 4),
-            }
-        )
-    )
+    record = {
+        "metric": f"apo_md_{metric_system}_npt_{n_atoms}atoms",
+        "value": round(ns_per_day, 3),
+        "unit": "ns/day",
+        "vs_baseline": round(ns_per_day / BASELINE_NS_PER_DAY, 4),
+    }
+
+    # tracked spatial-decomposition surface (VERDICT r3 item 7): compile the
+    # sharded spatial step through Mosaic on a 1-device mesh each round and
+    # record its D=1 throughput alongside the headline metric. >1-chip rows
+    # in ARCHITECTURE.md scaling tables remain cost-model projections; this
+    # is the measured single-chip anchor. TM_BENCH_SPATIAL=0 skips.
+    import os
+
+    if os.environ.get("TM_BENCH_SPATIAL", "1") != "0" and jax.devices()[0].platform != "cpu":
+        try:
+            record["spatial_d1_ns_per_day"] = round(bench_spatial_d1(), 3)
+        except Exception as e:  # never break the headline metric
+            record["spatial_d1_error"] = repr(e)[:200]
+
+    print(json.dumps(record))
+
+
+def bench_spatial_d1(n_steps: int = 300):
+    """Spatially-decomposed MD step (parallel/spatial_md.py) on a 1-device
+    mesh over the 23k-atom water system — the same system
+    scripts/probe_spatial_tpu.py measured (59.3 ns/day, round 3)."""
+    import jax
+    import numpy as np
+
+    from timemachine_tpu.md.builders import build_water_system
+    from timemachine_tpu.md.utils import sample_velocities
+    from timemachine_tpu.parallel.spatial_md import make_spatial_md_runner
+
+    box_width = (N_ATOMS_TARGET / 3 / 33.3) ** (1 / 3)
+    host_config = build_water_system(box_width)
+    bps = [bp.potential.bind(np.asarray(bp.params, np.float32)) for bp in host_config.host_system.get_U_fns()]
+    x0 = np.asarray(host_config.conf, np.float32)
+    box = np.asarray(host_config.box, np.float32)
+    v0 = np.asarray(sample_velocities(host_config.masses, TEMP, seed=3), np.float32)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("spatial",))
+    make_run = make_spatial_md_runner(bps, host_config.masses, mesh, interpret=False, conf0=x0, box0=box)
+    run = make_run(TEMP, DT_PS, FRICTION, n_steps=n_steps)
+    x_out, v_out, _ = run(x0, v0, box, jax.random.key(7))  # compile + warm
+    jax.block_until_ready(x_out)
+    t0 = time.perf_counter()
+    x_out, v_out, _ = run(x0, v0, box, jax.random.key(7))
+    jax.block_until_ready(x_out)
+    dt = (time.perf_counter() - t0) / n_steps
+    assert np.all(np.isfinite(np.asarray(x_out)))
+    return DT_PS / 1000.0 / (dt / 86_400.0)
 
 
 if __name__ == "__main__":

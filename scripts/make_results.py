@@ -35,7 +35,10 @@ CYCLE_SETTINGS = dict(n_frames=60, n_eq_steps=2000, steps_per_frame=200, n_windo
 AHFE_SETTINGS = dict(n_frames=50, n_eq_steps=5000, steps_per_frame=200, n_windows=8, box_width=3.0)
 
 
-def run_cycle():
+def run_cycle(scale: int = 1, tag: str = ""):
+    """hif2a vacuum cycle at `scale`x the base sampling. tag != "" writes a
+    side artifact (cycle_hif2a_vacuum_<tag>.json) for cross-platform
+    comparisons instead of the canonical regression-pinned artifact."""
     import warnings
 
     warnings.simplefilter("ignore")
@@ -46,33 +49,50 @@ def run_cycle():
 
     mol_a, mol_b, core = get_hif2a_ligand_pair_single_topology()
     ff = Forcefield.load_default()
-    s = CYCLE_SETTINGS
+    s = dict(CYCLE_SETTINGS)
+    s["n_frames"] = s["n_frames"] * scale
     md_params = MDParams(
         n_frames=s["n_frames"], n_eq_steps=s["n_eq_steps"], steps_per_frame=s["steps_per_frame"],
         seed=2026, hrex_params=HREXParams(n_frames_bisection=20),
     )
+
+    def leg(ma, mb, c):
+        res = run_vacuum(ma, mb, c, ff, None, md_params=md_params,
+                         n_windows=s["n_windows"], min_overlap=s["min_overlap"])
+        fr = res.final_result
+        diag = getattr(res, "hrex_diagnostics", None)
+        swap = None
+        if diag is not None and getattr(diag, "cumulative_swap_acceptance_rates", None) is not None:
+            rates = np.asarray(diag.cumulative_swap_acceptance_rates)
+            if rates.size:
+                swap = [float(r) for r in np.atleast_1d(rates[-1])]
+        return dict(
+            dg_kj=float(np.sum(fr.dGs)),
+            err_kj=float(np.linalg.norm(fr.dG_errs)),
+            dgs_kj=[float(d) for d in fr.dGs],
+            dg_errs_kj=[float(e) for e in fr.dG_errs],
+            overlaps=[float(o) for o in fr.overlaps] if fr.overlaps is not None else None,
+            final_swap_rates=swap,
+        )
+
     t0 = time.time()
-    res_fwd = run_vacuum(mol_a, mol_b, core, ff, None, md_params=md_params,
-                         n_windows=s["n_windows"], min_overlap=s["min_overlap"])
-    dg_fwd = float(np.sum(res_fwd.final_result.dGs))
-    err_fwd = float(np.linalg.norm(res_fwd.final_result.dG_errs))
-    res_rev = run_vacuum(mol_b, mol_a, core[:, ::-1], ff, None, md_params=md_params,
-                         n_windows=s["n_windows"], min_overlap=s["min_overlap"])
-    dg_rev = float(np.sum(res_rev.final_result.dGs))
-    err_rev = float(np.linalg.norm(res_rev.final_result.dG_errs))
+    fwd = leg(mol_a, mol_b, core)
+    rev = leg(mol_b, mol_a, core[:, ::-1])
     out = dict(
         kind="hif2a_vacuum_cycle",
         settings=s,
-        dg_fwd_kj=dg_fwd, dg_fwd_err_kj=err_fwd,
-        dg_rev_kj=dg_rev, dg_rev_err_kj=err_rev,
-        cycle_kj=dg_fwd + dg_rev,
-        cycle_err_kj=float(np.sqrt(err_fwd**2 + err_rev**2)),
+        dg_fwd_kj=fwd["dg_kj"], dg_fwd_err_kj=fwd["err_kj"],
+        dg_rev_kj=rev["dg_kj"], dg_rev_err_kj=rev["err_kj"],
+        cycle_kj=fwd["dg_kj"] + rev["dg_kj"],
+        cycle_err_kj=float(np.sqrt(fwd["err_kj"] ** 2 + rev["err_kj"] ** 2)),
+        fwd_detail=fwd, rev_detail=rev,
         wall_s=time.time() - t0,
         platform=_platform(),
     )
     RESULTS_DIR.mkdir(exist_ok=True)
-    (RESULTS_DIR / "cycle_hif2a_vacuum.json").write_text(json.dumps(out, indent=1))
-    print(json.dumps(out))
+    name = f"cycle_hif2a_vacuum_{tag}.json" if tag else "cycle_hif2a_vacuum.json"
+    (RESULTS_DIR / name).write_text(json.dumps(out, indent=1))
+    print(json.dumps({k: v for k, v in out.items() if k not in ("fwd_detail", "rev_detail")}))
 
 
 def _platform():
@@ -208,11 +228,13 @@ def render():
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cycle", action="store_true")
+    parser.add_argument("--scale", type=int, default=1, help="sampling multiplier for --cycle")
+    parser.add_argument("--tag", default="", help="write cycle artifact under a side name (e.g. cpu3x)")
     parser.add_argument("--ahfe", type=int, default=0)
     parser.add_argument("--render", action="store_true")
     args = parser.parse_args()
     if args.cycle:
-        run_cycle()
+        run_cycle(scale=args.scale, tag=args.tag)
     if args.ahfe:
         run_ahfe(args.ahfe)
     if args.render:

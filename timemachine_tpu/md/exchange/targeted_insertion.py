@@ -213,12 +213,21 @@ class TIBDExchangeMove:
 
             x = jnp.where(accept, x_new, x)
             weights = jnp.where(accept, w_after, weights)
-            return (x, box, params, weights, n_acc + accept.astype(jnp.int32)), None
+            # per-proposal trace record: the full proposal (selection,
+            # geometry, randomness) plus the mover's verdict, enough for an
+            # external implementation to re-judge the SAME proposal stream
+            # move-for-move (tests/test_exchange.py cross-validation; ref
+            # tests/test_cuda_targeted_insertion_mover.py strategy)
+            rec = dict(
+                chosen=chosen, i2o=i2o, site=site, rot=rot,
+                raw_log_p=raw_log_p, log_u=log_u, accept=accept, n1=n1,
+            )
+            return (x, box, params, weights, n_acc + accept.astype(jnp.int32)), rec
 
-        def move(state: TIBDState, x, v, box, key):
+        def move(state: TIBDState, x, v, box, key, with_trace=False):
             weights = batch_log_weights(state.params, x, box)
             keys = jax.random.split(key, self.n_proposals)
-            (x, box, _, _, n_acc), _ = jax.lax.scan(
+            (x, box, _, _, n_acc), recs = jax.lax.scan(
                 one_proposal, (x, box, state.params, weights, jnp.asarray(0, jnp.int32)), keys
             )
             new_state = TIBDState(
@@ -226,9 +235,21 @@ class TIBDExchangeMove:
                 n_proposed=state.n_proposed + jnp.asarray(self.n_proposals, jnp.int32),
                 params=state.params,
             )
+            if with_trace:
+                return new_state, x, v, box, recs
             return new_state, x, v, box
 
         return move
+
+    def move_traced(self, state: TIBDState, x, v, box, key):
+        """Run one firing and ALSO return the stacked per-proposal trace
+        (chosen/i2o/site/rot/raw_log_p/log_u/accept/n1 arrays of leading dim
+        n_proposals) for move-for-move cross-validation against the python
+        prototype (md/exchange/exchange_mover.py)."""
+        import functools
+
+        move = self.make_move_fn()
+        return jax.jit(functools.partial(move, with_trace=True))(state, x, v, box, key)
 
     def impl(self, *_args):
         return self
