@@ -37,6 +37,15 @@ def main():
     parser.add_argument("--steps_per_iter", type=int, default=400)
     parser.add_argument("--leg", default="solvent", choices=["vacuum", "solvent"])
     parser.add_argument("--tiny", action="store_true", help="vacuum leg, tiny segments (virtual-mesh smoke)")
+    parser.add_argument(
+        "--bisect", action="store_true",
+        help="derive the ladder with the production greedy bisection at "
+        "min_overlap=0.667 (short sampling) instead of an even grid — the "
+        "reference's window-placement policy (free_energy.py:1383-1531). "
+        "Expect healthy (>~0.2) neighbor swap rates; an even grid at K=8 "
+        "measured 0.07 in round 3 (VERDICT r3 item 3).",
+    )
+    parser.add_argument("--max_windows", type=int, default=24, help="bisection window cap")
     args = parser.parse_args()
     if args.tiny:
         args.leg, args.n_iters, args.steps_per_iter = "vacuum", 2, 10
@@ -60,10 +69,27 @@ def main():
     st = SingleTopology(mol_a, mol_b, core, ff)
     host = _get_host(args.leg, mol_a, mol_b, ff)
 
-    K = args.n_states
-    lambdas = bisection_lambda_schedule(K)
     t0 = time.time()
-    states = [setup_initial_state(st, float(lamb), host, TEMP, SEED) for lamb in lambdas]
+    if args.bisect:
+        from timemachine_tpu.fe.free_energy import MDParams, run_sims_bisection
+
+        bisect_md = MDParams(n_frames=5, n_eq_steps=2000, steps_per_frame=200, seed=SEED)
+        results, _ = run_sims_bisection(
+            [0.0, 1.0],
+            lambda lamb: setup_initial_state(st, float(lamb), host, TEMP, SEED),
+            bisect_md,
+            n_bisections=args.max_windows - 2,
+            temperature=TEMP,
+            min_overlap=0.667,
+        )
+        states = list(results[-1].initial_states)
+        lambdas = [s.lamb for s in states]
+        print(f"# bisected ladder ({len(states)} windows): "
+              + " ".join(f"{l:.3f}" for l in lambdas), flush=True)
+    else:
+        lambdas = bisection_lambda_schedule(args.n_states)
+        states = [setup_initial_state(st, float(lamb), host, TEMP, SEED) for lamb in lambdas]
+    K = len(states)
     print(f"# built {K} {args.leg} windows ({states[0].x0.shape[0]} atoms) in {time.time()-t0:.0f} s", flush=True)
 
     context = get_context(states[0])
@@ -90,10 +116,14 @@ def main():
     runner.advance_frame(args.steps_per_iter)  # compile + settle
     t0 = time.perf_counter()
     acc = prop = 0
+    acc_by_pair = np.zeros(K - 1)
+    prop_by_pair = np.zeros(K - 1)
     for _ in range(args.n_iters):
         r = runner.advance_frame(args.steps_per_iter)
         acc += int(np.sum(r.accepted_by_pair))
         prop += int(np.sum(r.proposed_by_pair))
+        acc_by_pair += np.asarray(r.accepted_by_pair, dtype=float)
+        prop_by_pair += np.asarray(r.proposed_by_pair, dtype=float)
     elapsed = time.perf_counter() - t0
 
     s_per_iter = elapsed / args.n_iters
@@ -108,6 +138,9 @@ def main():
                 "s_per_iteration": round(s_per_iter, 3),
                 "per_replica_ns_day": round(agg / K, 3),
                 "swap_rate": round(acc / max(prop, 1), 4),
+                "per_pair_swap_rates": [round(a / max(p, 1.0), 4) for a, p in zip(acc_by_pair, prop_by_pair)],
+                "ladder": "bisected(min_overlap=0.667)" if args.bisect else "even_grid",
+                "lambdas": [round(float(l), 4) for l in lambdas],
             }
         ),
         flush=True,
