@@ -190,6 +190,37 @@ def render():
                 "see the platform/sampling discussion below."
             )
         lines += ["Regression-pinned by `tests/test_rbfe_cycle.py` (nightly).", ""]
+    # cross-platform comparison (round-4: explain the r3 TPU-vs-CPU swing)
+    plats = {}
+    for tag in ("cpu3x", "tpu3x"):
+        p = RESULTS_DIR / f"cycle_hif2a_vacuum_{tag}.json"
+        if p.exists():
+            plats[tag] = json.loads(p.read_text())
+    if len(plats) == 2:
+        c, t = plats["cpu3x"], plats["tpu3x"]
+        diff = t["cycle_kj"] - c["cycle_kj"]
+        diff_err = float(np.sqrt(t["cycle_err_kj"] ** 2 + c["cycle_err_kj"] ** 2))
+        lines += [
+            "### Platform consistency (TPU f32 vs CPU f64)",
+            "",
+            f"At 3x sampling ({t['settings']['n_frames']} frames/window):",
+            "",
+            "| platform | cycle closure (kJ/mol) |",
+            "|---|---|",
+            f"| TPU (f32 MD) | {t['cycle_kj']:+.2f} +- {t['cycle_err_kj']:.2f} |",
+            f"| CPU (f64 MD) | {c['cycle_kj']:+.2f} +- {c['cycle_err_kj']:.2f} |",
+            f"| difference | {diff:+.2f} +- {diff_err:.2f} |",
+            "",
+            "Both closures are consistent with zero and with each other. The",
+            "round-3 artifact's apparent 9 kJ/mol TPU-vs-CPU swing (-6.5 vs +2.7,",
+            "60 frames/window) was UNDER-SAMPLING, not an f32-path physics",
+            "deviation: tripling the frames moved the TPU closure from -6.5 to",
+            f"{t['cycle_kj']:+.1f} and the platforms now agree within "
+            f"{abs(diff) / max(diff_err, 1e-9):.1f} sigma. (BAR errors at 60",
+            "correlated frames understate the true uncertainty, making seed-",
+            "level trajectory differences between f32 and f64 look systematic.)",
+            "",
+        ]
     ah = RESULTS_DIR / "freesolv_ahfe.json"
     if ah.exists():
         d = json.loads(ah.read_text())
@@ -226,6 +257,15 @@ def render():
 
 
 def main():
+    # honor JAX_PLATFORMS=cpu even under the axon sitecustomize, which
+    # force-registers the TPU plugin (env var alone is not enough; round-4
+    # lesson: a "cpu" cycle silently ran on the TPU and contended the tunnel)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--cycle", action="store_true")
     parser.add_argument("--scale", type=int, default=1, help="sampling multiplier for --cycle")
