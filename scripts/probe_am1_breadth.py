@@ -80,12 +80,12 @@ def diatomic(r):
 
 
 def methyl_x(rcx, rch=1.10, theta=109.0):
-    """CH3-X along +z."""
+    """CH3-X along +z (theta = H-C-X angle, so H z-component = cos(theta) < 0)."""
     th = np.radians(theta)
     out = [[0, 0, 0.0], [0, 0, rcx]]
     for k in range(3):
         phi = 2 * np.pi * k / 3
-        out.append([rch * np.sin(th) * np.cos(phi), rch * np.sin(th) * np.sin(phi), -rch * np.cos(th)])
+        out.append([rch * np.sin(th) * np.cos(phi), rch * np.sin(th) * np.sin(phi), rch * np.cos(th)])
     return np.asarray(out)
 
 
@@ -106,7 +106,7 @@ def pyramid(r, ang_deg):
         v2 = np.array([np.sin(th) * np.cos(2 * np.pi / 3), np.sin(th) * np.sin(2 * np.pi / 3), np.cos(th)])
         return v1 @ v2 - np.cos(a)
 
-    th = brentq(f, 0.3, np.pi / 2 + 0.8)
+    th = brentq(f, 0.3, np.pi / 2)  # acute-polar root (bracket holds one root)
     out = [[0, 0, 0.0]]
     for k in range(3):
         phi = 2 * np.pi * k / 3
@@ -159,8 +159,8 @@ def main():
     report("CH3Cl", [6, 17, 1, 1, 1], methyl_x(1.785), -19.6)
     report("CH3Br", [6, 35, 1, 1, 1], methyl_x(1.933), -9.1)
     report("CH3I", [6, 53, 1, 1, 1], methyl_x(2.132), 3.5)
-    sh = np.radians(96.5)
-    ch3sh = np.vstack([methyl_x(1.819), [[1.34 * np.sin(sh), 0, 1.819 + 1.34 * np.cos(sh)]]])
+    sh = np.radians(96.5)  # C-S-H angle; H sits on the far side of S from C
+    ch3sh = np.vstack([methyl_x(1.819), [[1.34 * np.sin(sh), 0, 1.819 - 1.34 * np.cos(sh)]]])
     report("CH3SH", [6, 16, 1, 1, 1, 1], ch3sh, -5.5)
     report("CS2", [16, 6, 16], np.asarray([[0, 0, -1.553], [0, 0, 0], [0, 0, 1.553]]), 28.0)
     # dimethyl ether (C-O-C)
@@ -172,7 +172,7 @@ def main():
         x = np.cross(z, [0, 0, 1.0]); x = x / (np.linalg.norm(x) + 1e-12)
         if np.linalg.norm(x) < 0.5: x = np.cross(z, [0, 1.0, 0]); x = x / np.linalg.norm(x)
         y = np.cross(z, x)
-        th = np.radians(110.0)
+        th = np.radians(180.0 - 110.0)  # H-C-O = 110 deg; z points AWAY from O
         hs = []
         for k in range(3):
             phi = 2 * np.pi * k / 3
