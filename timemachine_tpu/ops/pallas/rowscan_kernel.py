@@ -126,6 +126,7 @@ def _rowscan_kernel(
     has_w: bool = True,
     preshift: bool = False,
     rpb: int = 1,
+    u_only: bool = False,
 ):
     if preshift:
         row_base_ref, row_start_ref, row_count_ref, col_ids_ref, rcen_ref = refs[:5]
@@ -134,7 +135,7 @@ def _rowscan_kernel(
         row_base_ref, row_start_ref, row_count_ref, col_ids_ref = refs[:4]
         rcen_ref = None
         rest = refs[4:]
-    if triangular:
+    if triangular and not u_only:
         rowT_ref, atoms_ref, scal_ref, out_ref, out_cols_ref = rest
     else:
         rowT_ref, atoms_ref, scal_ref, out_ref = rest
@@ -142,7 +143,7 @@ def _rowscan_kernel(
 
     gi = pl.program_id(0)
 
-    if triangular:
+    if triangular and not u_only:
         # sequential grid on one TensorCore: zero the shared column-force
         # accumulator once, then read-modify-write it every tile
         @pl.when(gi == 0)
@@ -183,6 +184,7 @@ def _rowscan_kernel(
             triangular=triangular,
             has_w=has_w,
             preshift=preshift,
+            u_only=u_only,
         )
 
 
@@ -206,7 +208,13 @@ def _rowscan_row_chunk(
     triangular: bool,
     has_w: bool,
     preshift: bool,
+    u_only: bool = False,
 ):
+    # u_only: energy-only sweep for MC-mover evaluations (barostat trial
+    # volumes, exchange insertions, HREX U_kl rows) — skips the force
+    # polynomial, the 3 force accumulators and, in triangular mode, the
+    # (8, Npad) column-reaction read-modify-write, which together are
+    # ~half the per-slot work of a full force+energy sweep.
     start = row_start_ref[i]
     count = row_count_ref[i]
 
@@ -293,16 +301,16 @@ def _rowscan_row_chunk(
         # while every intermediate stays finite, so off-diagonal tiles need
         # no r2 > tiny gate
         et6 = e4 * t6
-        # factored: de_r = (flj' + fes') * inv_r2 with
-        #   flj' = et6 * (6 - 12 t6)        [LJ: dU/dr / r * r2]
-        #   fes' = qq * P(t) * inv_r        [ES: qq P / r   * r2/r2 ...]
-        # saves two multiplies per slot vs scaling each term by inv_r2/inv_r3
-        flj = et6 * (6.0 - 12.0 * t6)
-
         r = r2s * inv_r
         t = k1 * r + k0
-        p = _horner(t, p_coeffs)
-        fes = qq * p * inv_r
+        if not u_only:
+            # factored: de_r = (flj' + fes') * inv_r2 with
+            #   flj' = et6 * (6 - 12 t6)        [LJ: dU/dr / r * r2]
+            #   fes' = qq * P(t) * inv_r        [ES: qq P / r   * r2/r2 ...]
+            # saves two multiplies per slot vs scaling each term by inv_r2/inv_r3
+            flj = et6 * (6.0 - 12.0 * t6)
+            p = _horner(t, p_coeffs)
+            fes = qq * p * inv_r
 
         if triangular:
             gate = r2 < cut2
@@ -315,22 +323,23 @@ def _rowscan_row_chunk(
         else:
             # symmetric lists visit self pairs: the r2 > tiny gate kills them
             gate = (r2 < cut2) & (r2 > 1e-7)
-        de_r = jnp.where(gate, (flj + fes) * inv_r2, 0.0)
+        if not u_only:
+            de_r = jnp.where(gate, (flj + fes) * inv_r2, 0.0)
 
-        tx = de_r * dx
-        ty = de_r * dy
-        tz = de_r * dz
-        acc_fx = acc_fx + tx
-        acc_fy = acc_fy + ty
-        acc_fz = acc_fz + tz
-        if triangular:
-            # column-side reaction forces, accumulated into the shared buffer
-            zc = jnp.zeros((1, COL), jnp.float32)
-            neg = jnp.concatenate(
-                [zc, -jnp.sum(tx, axis=0, keepdims=True), -jnp.sum(ty, axis=0, keepdims=True),
-                 -jnp.sum(tz, axis=0, keepdims=True), zc, zc, zc, zc], axis=0)
-            cur = out_cols_ref[:, pl.ds(cid * COL, COL)]
-            out_cols_ref[:, pl.ds(cid * COL, COL)] = cur + neg
+            tx = de_r * dx
+            ty = de_r * dy
+            tz = de_r * dz
+            acc_fx = acc_fx + tx
+            acc_fy = acc_fy + ty
+            acc_fz = acc_fz + tz
+            if triangular:
+                # column-side reaction forces, accumulated into the shared buffer
+                zc = jnp.zeros((1, COL), jnp.float32)
+                neg = jnp.concatenate(
+                    [zc, -jnp.sum(tx, axis=0, keepdims=True), -jnp.sum(ty, axis=0, keepdims=True),
+                     -jnp.sum(tz, axis=0, keepdims=True), zc, zc, zc, zc], axis=0)
+                cur = out_cols_ref[:, pl.ds(cid * COL, COL)]
+                out_cols_ref[:, pl.ds(cid * COL, COL)] = cur + neg
         if compute_u:
             h = _horner(t, h_coeffs)
             e_pair = et6 * (t6 - 1.0) + qq * h * inv_r
@@ -346,7 +355,10 @@ def _rowscan_row_chunk(
             acc = one_col(col_ids_ref[start + j + k], acc)
         return acc
 
-    if compute_u:
+    if u_only:
+        z1 = zeros[:, :1]  # dead 1-lane force accumulators
+        init = (z1, z1, z1, zeros)
+    elif compute_u:
         init = (zeros, zeros, zeros, zeros)
     else:
         init = (zeros, zeros, zeros, zeros[:, :1])  # dead 1-lane accumulator
@@ -363,9 +375,12 @@ def _rowscan_row_chunk(
         0, (count + UNROLL - 1) // UNROLL, body, init
     )
 
-    fx = jnp.sum(acc_fx, axis=1)
-    fy = jnp.sum(acc_fy, axis=1)
-    fz = jnp.sum(acc_fz, axis=1)
+    if u_only:
+        fx = fy = fz = jnp.zeros((ROW,), jnp.float32)
+    else:
+        fx = jnp.sum(acc_fx, axis=1)
+        fy = jnp.sum(acc_fy, axis=1)
+        fz = jnp.sum(acc_fz, axis=1)
     if compute_u:
         u = jnp.sum(acc_u, axis=1)
         if not triangular:
@@ -393,10 +408,14 @@ def _rowscan_call(
     interpret: bool,
     triangular: bool,
     has_w: bool = True,
+    u_only: bool = False,
 ):
     """Raw pallas invocation. Returns (out_rows (n_row_atoms, 8), out_cols
     (8, Npad) | None). Row blocks index atomsT locally, so a caller may pass
-    a row SHARD with matching row_start/row_count (col data stays whole)."""
+    a row SHARD with matching row_start/row_count (col data stays whole).
+    u_only (requires compute_u): energy-only sweep — no force math and, in
+    triangular mode, no column-reaction output (per-pair energies are
+    counted once on the row side)."""
     n_chunks = atoms_cm.shape[0]
     n_pad = n_chunks * COL
     n_row_atoms = n_rows * ROW
@@ -423,7 +442,23 @@ def _rowscan_call(
         has_w=has_w,
         preshift=preshift,
         rpb=rpb,
+        u_only=u_only,
     )
+    if u_only:
+        assert compute_u, "u_only requires compute_u"
+        grid_spec_u = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(n_rows // rpb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((ROW * rpb, 8), row_map),
+        )
+        out_rows = pl.pallas_call(
+            partial(kern, triangular=triangular),
+            grid_spec=grid_spec_u,
+            out_shape=jax.ShapeDtypeStruct((n_row_atoms, 8), jnp.float32),
+            interpret=interpret,
+        )(*prefetch, atomsT, atoms_cm, scalars)
+        return out_rows, None
     if not triangular:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
@@ -484,14 +519,18 @@ def rowscan_sweep(
     row-chunk center (rows once per grid step, columns once per tile)
     replaces the 9-op/slot per-pair minimum-image rounding; sound iff
     max periodic row half-extent + cutoff < box/2 per axis (the dotscan
-    image bound — build_dotscan_tiles rechecks it every rebuild)."""
+    image bound — build_dotscan_tiles rechecks it every rebuild).
+
+    compute_u is tri-valued: False (forces only), True (forces + energy),
+    "u_only" (energy only — ~half the per-slot work; force columns zero)."""
     n_pad = atoms8.shape[1]
     n_chunks = n_pad // COL
     atoms_cm = atoms8.reshape(8, n_chunks, COL).transpose(1, 0, 2)  # chunk-major
     out_rows, out_cols = _rowscan_call(
         atomsT, atoms_cm, row_start, row_count, col_ids, scalars, n_rows,
         rcen_q=rcen_q,
-        h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u,
+        h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=bool(compute_u),
+        u_only=compute_u == "u_only",
         interpret=interpret, triangular=triangular, has_w=has_w,
     )
     if out_cols is None:
@@ -522,11 +561,14 @@ def rowscan_sweep_cm(
     The per-step (3, Npad) lane<->sublane transpose inside rowscan_sweep is
     the dominant non-sweep cost of the MD provider (XLA lowers it at far
     below HBM bandwidth); the provider builds atoms_cm directly from three
-    1-D coordinate gathers instead (see make_tile_md_provider's cm assemble)."""
+    1-D coordinate gathers instead (see make_tile_md_provider's cm assemble).
+
+    compute_u is tri-valued like rowscan_sweep's ("u_only" = energy-only)."""
     out_rows, out_cols = _rowscan_call(
         atomsT, atoms_cm, row_start, row_count, col_ids, scalars, n_rows,
         rcen_q=rcen_q,
-        h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=compute_u,
+        h_coeffs=h_coeffs, p_coeffs=p_coeffs, compute_u=bool(compute_u),
+        u_only=compute_u == "u_only",
         interpret=interpret, triangular=triangular, has_w=has_w,
     )
     if out_cols is None:
@@ -986,7 +1028,9 @@ def make_tile_md_provider(build_fn, sweep_fn, param_rows_fn, rebuild_interval: i
         return jnp.zeros((), jnp.float32), _poison(state, force), state
 
     def energy_fn(state, conf, params, box):
-        out = _sweep_from_state(state, conf, box, compute_u=True)
+        # "u_only": energy-only sweep (rowscan skips force math + the column
+        # reaction writeback; other kernels treat it as truthy compute_u)
+        out = _sweep_from_state(state, conf, box, compute_u="u_only")
         return _poison(state, jnp.sum(out[:, 0]))
 
     def energy_with_params_fn(state, conf, params, box):
@@ -995,7 +1039,7 @@ def make_tile_md_provider(build_fn, sweep_fn, param_rows_fn, rebuild_interval: i
         if sweep_cm_fn is not None:
             prows = _prows_cm(prows)
         refreshed = (*state[:-2], prows, prowsT)
-        out = _sweep_from_state(refreshed, conf, box, compute_u=True)
+        out = _sweep_from_state(refreshed, conf, box, compute_u="u_only")
         return _poison(state, jnp.sum(out[:, 0]))
 
     sorted_protocol = None
