@@ -80,6 +80,7 @@ TYPES = {
     "N": ("N", 14.01, 1.8240, 0.1700),
     "N2": ("N", 14.01, 1.8240, 0.1700),
     "N3": ("N", 14.01, 1.8240, 0.1700),
+    "NT": ("N", 14.01, 1.8240, 0.1700),  # neutral sp3 amine N (parm99; LYN)
     "NA": ("N", 14.01, 1.8240, 0.1700),
     "NB": ("N", 14.01, 1.8240, 0.1700),
     "O": ("O", 16.00, 1.6612, 0.2100),
@@ -129,6 +130,7 @@ BONDS = {
     ("CT", "N"): (337.0, 1.449),
     ("CT", "N2"): (337.0, 1.463),
     ("CT", "N3"): (367.0, 1.471),
+    ("CT", "NT"): (367.0, 1.471),  # parm99 general amine
     ("CT", "OH"): (320.0, 1.410),
     ("CT", "S"): (227.0, 1.810),
     ("CT", "SH"): (237.0, 1.810),
@@ -136,6 +138,7 @@ BONDS = {
     ("H", "N2"): (434.0, 1.010),
     ("H", "N3"): (434.0, 1.010),
     ("H", "NA"): (434.0, 1.010),
+    ("H", "NT"): (434.0, 1.010),  # parm99 general amine
     ("HO", "OH"): (553.0, 0.960),
     ("HS", "SH"): (274.0, 1.336),
     ("S", "S"): (166.0, 2.038),
@@ -189,6 +192,12 @@ ANGLES = {
     ("CT", "N", "CT"): (50.0, 118.00),
     ("CT", "N3", "H"): (50.0, 109.50),
     ("H", "N3", "H"): (35.0, 109.50),
+    # parm99 general-amine NT set (LYN)
+    ("CT", "CT", "NT"): (80.0, 111.20),
+    ("H1", "CT", "NT"): (50.0, 109.50),
+    ("CT", "NT", "H"): (50.0, 109.50),
+    ("CT", "NT", "CT"): (50.0, 107.20),
+    ("H", "NT", "H"): (35.0, 109.50),
     ("CT", "N3", "CT"): (50.0, 109.50),
     ("H", "N", "H"): (35.0, 120.00),
     ("CT", "OH", "HO"): (55.0, 108.50),
@@ -285,6 +294,7 @@ GENERIC_PROPERS = {
     ("CT", "N"): [(6, 0.00, 0.0, 2)],
     ("CT", "N2"): [(6, 0.00, 0.0, 3)],
     ("CT", "N3"): [(9, 1.40, 0.0, 3)],
+    ("CT", "NT"): [(6, 1.80, 0.0, 3)],  # parm99 general amine
     ("CT", "OH"): [(3, 0.50, 0.0, 3)],
     ("CT", "S"): [(3, 1.00, 0.0, 3)],
     ("CT", "SH"): [(3, 0.75, 0.0, 3)],
@@ -493,6 +503,18 @@ aa("LYS", BB_CATION, -0.2400, 0.1426,
    [("CB", "HB2"), ("CB", "HB3"), ("CB", "CG"), ("CG", "HG2"), ("CG", "HG3"),
     ("CG", "CD"), ("CD", "HD2"), ("CD", "HD3"), ("CD", "CE"), ("CE", "HE2"), ("CE", "HE3"),
     ("CE", "NZ"), ("NZ", "HZ1"), ("NZ", "HZ2"), ("NZ", "HZ3")], formal=1)
+
+# neutral lysine (amino12-lineage LYN RESP set; unchanged through ff99SB).
+# Charges close to exactly 0 by construction of the published set.
+aa("LYN", BB_NEUTRAL, -0.07206, 0.0994,
+   [("CB", "CT", -0.04845)] + _h(["HB2", "HB3"], "HC", 0.0340)
+   + [("CG", "CT", 0.06612)] + _h(["HG2", "HG3"], "HC", 0.01041)
+   + [("CD", "CT", -0.03768)] + _h(["HD2", "HD3"], "HC", 0.01155)
+   + [("CE", "CT", 0.32604)] + _h(["HE2", "HE3"], "H1", -0.03358)
+   + [("NZ", "NT", -1.03581)] + _h(["HZ2", "HZ3"], "H", 0.38604),
+   [("CB", "HB2"), ("CB", "HB3"), ("CB", "CG"), ("CG", "HG2"), ("CG", "HG3"),
+    ("CG", "CD"), ("CD", "HD2"), ("CD", "HD3"), ("CD", "CE"), ("CE", "HE2"), ("CE", "HE3"),
+    ("CE", "NZ"), ("NZ", "HZ2"), ("NZ", "HZ3")], formal=0)
 
 aa("ARG", BB_CATION, -0.2637, 0.1560,
    [("CB", "CT", -0.0007)] + _h(["HB2", "HB3"], "HC", 0.0327)

@@ -146,4 +146,9 @@ def test_context_nonlocal_mover_triggers_rebuild(fluid):
     ctxt_fresh._step = 3
     ctxt.step()
     ctxt_fresh.step()
-    np.testing.assert_allclose(ctxt.get_x_t(), ctxt_fresh.get_x_t(), rtol=1e-5, atol=1e-5)
+    # the carried tile list (rebuilt in-jit at mover firing) and the fresh
+    # eager build cover the same interactions but may order atoms near cell
+    # boundaries differently, so forces agree only up to f32 reduction order;
+    # a MISSED rebuild (the failure this test guards) leaves the teleported
+    # atom's interactions out entirely and diverges at the 1e-2+ level.
+    np.testing.assert_allclose(ctxt.get_x_t(), ctxt_fresh.get_x_t(), rtol=1e-4, atol=1e-4)

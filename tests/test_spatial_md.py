@@ -41,12 +41,25 @@ def water_system():
 
 def reference_trajectory(bps, masses, x0, v0, box):
     """Single-device Context on the pallas rowscan path (interpret mode),
-    rng_seed matching the sharded runner's base key."""
+    rng_seed matching the sharded runner's base key. The spatial runner
+    mirrors the CANONICAL step's noise stream (per-atom noise drawn in
+    natural atom order), so the sorted-state fast path — which draws noise
+    in pad_order — must be disabled for the reference."""
+    import os
+
     nb = next(bp.potential for bp in bps if hasattr(bp.potential, "configure_pallas"))
     nb.configure_pallas(box, x0, interpret=True)
     intg = LangevinIntegrator(TEMP, DT, FRICTION, masses, seed=SEED)
-    ctxt = Context(x0, v0, box, intg, bps)
-    ctxt.multiple_steps(N_STEPS)
+    prev = os.environ.get("TM_SORTED_MD")
+    os.environ["TM_SORTED_MD"] = "0"
+    try:
+        ctxt = Context(x0, v0, box, intg, bps)
+        ctxt.multiple_steps(N_STEPS)
+    finally:
+        if prev is None:
+            del os.environ["TM_SORTED_MD"]
+        else:
+            os.environ["TM_SORTED_MD"] = prev
     return ctxt.get_x_t(), ctxt.get_v_t()
 
 
