@@ -1,0 +1,86 @@
+"""Regression pins on the shipped accuracy artifacts (results/*.json,
+RESULTS.md) — the in-repo analog of the reference's fixed_output dG pins
+(ref tests/test_hrex_rbfe.py). These do NOT re-run the simulations (hours
+of TPU); they pin the committed artifacts so a regression that silently
+degrades or deletes the accuracy record fails CI, and so the rendered
+RESULTS.md stays consistent with the data it claims to summarize."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+RESULTS = Path(__file__).resolve().parent.parent / "results"
+KCAL = 4.184
+
+
+def _load(name):
+    p = RESULTS / name
+    if not p.exists():
+        pytest.skip(f"{name} not generated in this checkout")
+    return json.loads(p.read_text())
+
+
+def test_cycle_artifact_pinned():
+    """hif2a vacuum cycle closure at 3x sampling: consistent with zero
+    within max(3 sigma, 6 kJ/mol) — the nightly bound of
+    tests/test_rbfe_cycle.py applied to the committed artifact."""
+    d = _load("cycle_hif2a_vacuum.json")
+    assert d["settings"]["n_windows"] == 12
+    assert d["settings"]["n_frames"] >= 60
+    bound = max(3.0 * d["cycle_err_kj"], 6.0)
+    assert abs(d["cycle_kj"]) < bound, (d["cycle_kj"], bound)
+    # each leg individually converged to a sane magnitude for this edge
+    assert abs(d["dg_fwd_kj"]) < 60.0
+    assert abs(d["dg_rev_kj"]) < 60.0
+
+
+def test_cycle_platform_consistency():
+    """TPU f32 and CPU f64 closures agree within 3 sigma at matched
+    settings (the round-3 'platform swing' resolution)."""
+    t = _load("cycle_hif2a_vacuum_tpu3x.json")
+    c = _load("cycle_hif2a_vacuum_cpu3x.json")
+    assert t["settings"] == c["settings"]
+    diff = t["cycle_kj"] - c["cycle_kj"]
+    err = float(np.hypot(t["cycle_err_kj"], c["cycle_err_kj"]))
+    assert abs(diff) < 3.0 * err + 1.0, (diff, err)
+
+
+def test_freesolv_ahfe_artifact_pinned():
+    """FreeSolv AHFE subset (TPU): every molecule produced a finite dG with
+    a finite error bar, and the subset RMSD vs experiment stays under
+    2.5 kcal/mol at the recorded reduced settings (production AM1BCC/GAFF
+    -class methods sit at ~1.1-1.5 at full sampling; 8 windows x 50 frames
+    carries a sampling penalty)."""
+    d = _load("freesolv_ahfe.json")
+    rows = [r for r in d["rows"] if "error" not in r]
+    assert len(rows) >= 8
+    devs = []
+    for r in rows:
+        assert np.isfinite(r["calc_kcal"]) and np.isfinite(r["calc_err_kj"])
+        assert r["calc_err_kj"] < 10.0, r  # BAR error sane
+        devs.append(r["calc_kcal"] - r["expt_kcal"])
+    rmsd = float(np.sqrt(np.mean(np.square(devs))))
+    assert rmsd < 2.5, rmsd
+    # correlation with experiment: the calc track must follow the expt track
+    # (guards against sign flips / decoupling-direction bugs that could still
+    # pass an RMSD bound this loose)
+    calc = np.array([r["calc_kcal"] for r in rows])
+    expt = np.array([r["expt_kcal"] for r in rows])
+    assert np.corrcoef(calc, expt)[0, 1] > 0.5
+
+
+def test_results_md_rendered_consistent():
+    """RESULTS.md exists and its headline numbers match the JSON artifacts
+    (the render is data-dependent — ADVICE r3: no hardcoded conclusions)."""
+    md = Path(__file__).resolve().parent.parent / "RESULTS.md"
+    if not md.exists():
+        pytest.skip("RESULTS.md not rendered in this checkout")
+    text = md.read_text()
+    d = _load("cycle_hif2a_vacuum.json")
+    assert f"{d['cycle_kj']:+.2f}" in text
+    a = _load("freesolv_ahfe.json")
+    devs = [r["calc_kcal"] - r["expt_kcal"] for r in a["rows"] if "error" not in r]
+    rmsd = float(np.sqrt(np.mean(np.square(devs))))
+    assert f"{rmsd:.2f}" in text
