@@ -173,6 +173,31 @@ def test_assert_potentials_compatible():
         assert_potentials_compatible(s1.potentials, s3.potentials)
 
 
+def test_assert_potentials_compatible_ignores_impl_switch():
+    """get_context flips a sampled state's Nonbonded impl dense->pallas in
+    place (free_energy.py get_context); a freshly built midpoint state in
+    run_sims_bisection still carries impl='dense'. The compatibility check
+    must treat the kernel switch (impl / tile sizing) as non-physics —
+    regression for the TPU bisection crash ('values differ at impl')."""
+    from timemachine_tpu.potentials import NonbondedAllPairs
+
+    def make(impl):
+        pot = NonbondedAllPairs(num_atoms=8, beta=2.0, cutoff=1.2, impl=impl)
+        if impl == "tiled":
+            pot.tiled_grid_dims = (2, 2, 2)
+            pot.tiled_capacity = 16
+        return [BoundPotential(pot, np.zeros((8, 4)))]
+
+    assert_potentials_compatible(make("dense"), make("pallas"))
+    assert_potentials_compatible(make("dense"), make("tiled"))
+
+    # physics differences must still be caught
+    changed = make("dense")
+    changed[0].potential.beta = 3.0
+    with pytest.raises(AssertionError):
+        assert_potentials_compatible(make("pallas"), changed)
+
+
 def test_assert_ensembles_compatible():
     s1, s2 = make_harmonic_state(0.0), make_harmonic_state(1.0)
     assert_ensembles_compatible(s1, s2)

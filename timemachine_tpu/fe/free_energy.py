@@ -714,8 +714,11 @@ def assert_potentials_compatible(bps1: Sequence[BoundPotential], bps2: Sequence[
     assert len(bps1) == len(bps2)
 
     def custom_assertion(path, x1, x2):
-        # ignore the values of the `params` field
-        return len(path) >= 1 and path[-1] == "params"
+        # ignore `params` values, and execution-configuration fields that
+        # get_context mutates on sampled states (dense->pallas impl switch,
+        # tile sizing) — they select a kernel, not physics, and set_params
+        # compatibility is governed by the context's own compiled program
+        return len(path) >= 1 and path[-1] in ("params", "impl", "tiled_grid_dims", "tiled_capacity")
 
     for bp1, bp2 in zip(bps1, bps2):
         assert type(bp1.potential) is type(bp2.potential)
