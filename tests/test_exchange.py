@@ -357,3 +357,88 @@ def test_scan_mover_matches_prototype_move_for_move():
     assert n_accepted == int(new_state.n_accepted)
     assert n_accepted > 0  # the stream must exercise accepted moves
     np.testing.assert_allclose(x, x_fin, rtol=0, atol=1e-9)
+
+
+def test_scan_mover_convergence_two_starts():
+    """Physics-level convergence with REAL interactions (ref
+    tests/test_examples.py:171-219 buckyball strategy, scaled to the unit
+    suite): two opposite initializations — every sampler water packed INSIDE
+    the ligand sphere vs every water pushed OUTSIDE it — must relax to the
+    same equilibrium sphere occupancy under the production scan mover. The
+    ligand carries repulsive LJ so the sphere has genuine excluded volume and
+    the equilibrium is interaction-determined, not ideal-gas."""
+    n_waters = 24
+    box_width = 2.2
+    radius = 0.7
+    # uncharged LJ waters: gas-like, fast-mixing (charged waters cluster into
+    # a droplet whose location is multimodal — unusable at unit-test length)
+    conf, params, water_idxs, box = make_water_box(n_waters, box_width, seed=31, charged=False)
+    params = params.copy()
+    params[3::3, 1] = 0.315 / 2  # LJ on every water oxygen
+    params[3::3, 2] = np.sqrt(0.2)
+    ligand_idxs = np.array([0, 1, 2], dtype=np.int32)
+    # make the "ligand" (first water's atoms) a rigid repulsive blob at the
+    # box center: no charge, sizeable LJ
+    center0 = np.array([box_width / 2] * 3)
+    conf[ligand_idxs] = conf[ligand_idxs] - conf[ligand_idxs].mean(0) + center0
+    params[ligand_idxs, 0] = 0.0
+    params[ligand_idxs, 1] = 0.35 / 2  # sigma/2
+    params[ligand_idxs, 2] = np.sqrt(0.8)  # sqrt(eps)
+    sampler_waters = np.asarray([g for g in water_idxs[1:]], dtype=np.int32)
+
+    rng = np.random.default_rng(32)
+
+    def place(inside: bool):
+        """Random rigid placements of every sampler water in/out of the sphere."""
+        x = conf.copy()
+        for g in sampler_waters:
+            while True:
+                loc = rng.uniform(0, box_width, 3)
+                r = np.linalg.norm(em.delta_r_np(loc, center0, box))
+                if (r < radius * 0.95) == inside and (inside or r > radius * 1.05):
+                    break
+            x[g] = em.randomly_rotate_and_translate(conf[g], loc, rng)
+        return x
+
+    def trace(x0, seed):
+        mover = TIBDScanMove(
+            n_atoms=conf.shape[0],
+            ligand_idxs=ligand_idxs,
+            water_idxs=sampler_waters,
+            params=params,
+            temperature=TEMP,
+            beta=BETA,
+            cutoff=CUTOFF,
+            radius=radius,
+            seed=seed,
+            n_proposals=200,
+            interval=400,
+        )
+        move = jax.jit(mover.make_move_fn(None))
+        state = mover.init_state()
+        x = jnp.asarray(x0)
+        key = jax.random.key(seed)
+        counts = []
+        for _ in range(14):
+            key, sub = jax.random.split(key)
+            state, x, _, _ = move(state, x, jnp.zeros_like(x), jnp.asarray(box), sub)
+            inner, _ = em.get_water_groups(np.asarray(x), box, center0, sampler_waters, radius)
+            counts.append(len(inner))
+        assert int(state.n_accepted) > 0
+        return np.array(counts)
+
+    x_over = place(inside=True)
+    x_empty = place(inside=False)
+    n0_over, _ = em.get_water_groups(x_over, box, center0, sampler_waters, radius)
+    n0_empty, _ = em.get_water_groups(x_empty, box, center0, sampler_waters, radius)
+    assert len(n0_over) == n_waters - 1 and len(n0_empty) == 0
+
+    c_over = trace(x_over, seed=33)
+    c_empty = trace(x_empty, seed=34)
+
+    # both chains move decisively away from their initializations...
+    assert c_over[-7:].mean() < (n_waters - 1) * 0.5
+    assert c_empty[-7:].mean() > 0.0
+    # ...and meet at the same equilibrium occupancy (loose: short
+    # autocorrelated chains)
+    assert abs(c_over[-7:].mean() - c_empty[-7:].mean()) < 3.0, (c_over, c_empty)
