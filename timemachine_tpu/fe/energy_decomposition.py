@@ -66,11 +66,22 @@ def make_batch_u_fn(potential, params, kBT: float, chunk_size: int = 50):
             xs_c = xs[start : start + chunk_size]
             boxes_c = boxes[start : start + chunk_size]
             n_real = len(xs_c)
+            # Corrupt-frame poisoning (ref fixed_point.hpp overflow->NaN and
+            # free_energy.py:843-855 NaN->+inf in MBAR): the energy kernels
+            # use where-guards for d==0 gradient safety, which also swallow
+            # NaN coordinates into finite energies — restore NaN semantics
+            # here, the layer whose output feeds MBAR.
+            bad = ~np.isfinite(xs_c).all(axis=(1, 2))
+            if bad.any():
+                xs_c = np.where(bad[:, None, None], 0.0, xs_c)  # keep math finite
             if n_real < chunk_size:  # pad to the shared shape
                 xs_c = np.concatenate([xs_c, np.repeat(xs_c[-1:], chunk_size - n_real, axis=0)])
                 boxes_c = np.concatenate([boxes_c, np.repeat(boxes_c[-1:], chunk_size - n_real, axis=0)])
             out = np.asarray(batched(jnp.asarray(xs_c), jnp.asarray(boxes_c), params_j))
-            us.append(out[:n_real])
+            out = out[:n_real]
+            if bad.any():
+                out = np.where(bad, np.nan, out)
+            us.append(out)
         return np.concatenate(us) / kBT
 
     return batch_u_fn
