@@ -176,6 +176,16 @@ def test_batch_u_fn_chunk_padding_and_nan_passthrough():
     expected = float(bond(xs[7], params, box))
     np.testing.assert_allclose(us[7], expected, rtol=1e-6)
 
+    # a corrupt BOX must poison its frame too (ADVICE r4): the kernels'
+    # where-guards could otherwise fold a NaN box into a finite energy
+    xs2 = rng.normal(0, 0.2, size=(7, 2, 3))
+    boxes2 = np.repeat(box[None], 7, axis=0)
+    boxes2[2, 0, 0] = np.nan
+    boxes2[5] = np.inf
+    us2 = fn(xs2, boxes2)
+    assert np.isnan(us2[2]) and np.isnan(us2[5])
+    assert np.isfinite(np.delete(us2, [2, 5])).all()
+
 
 # -- fe/plots -----------------------------------------------------------------
 

@@ -198,6 +198,35 @@ def test_assert_potentials_compatible_ignores_impl_switch():
         assert_potentials_compatible(make("pallas"), changed)
 
 
+def test_assert_potentials_compatible_exec_config_scoping():
+    """The impl/tile exemption is scoped to classes that declare the field in
+    _EXEC_CONFIG_FIELDS: (a) it still applies when the Nonbonded is nested in
+    a SummedPotential; (b) an unrelated potential with a physics field that
+    happens to be named `impl` is still checked (ADVICE r4)."""
+    import dataclasses
+
+    from timemachine_tpu.potentials import NonbondedAllPairs, Potential, SummedPotential
+
+    def make_summed(impl):
+        nb = NonbondedAllPairs(num_atoms=8, beta=2.0, cutoff=1.2, impl=impl)
+        summed = SummedPotential(potentials=[nb], params_init=[np.zeros((8, 4))])
+        return [BoundPotential(summed, np.zeros((8 * 4,)))]
+
+    assert_potentials_compatible(make_summed("dense"), make_summed("pallas"))
+
+    @dataclasses.dataclass(eq=False)
+    class FakePhysicsPot(Potential):
+        impl: float = 1.0  # physics-meaningful, same name as the exec switch
+
+        def __call__(self, conf, params, box):
+            return 0.0
+
+    a = [BoundPotential(FakePhysicsPot(impl=1.0), np.zeros(1))]
+    b = [BoundPotential(FakePhysicsPot(impl=2.0), np.zeros(1))]
+    with pytest.raises(AssertionError):
+        assert_potentials_compatible(a, b)
+
+
 def test_assert_ensembles_compatible():
     s1, s2 = make_harmonic_state(0.0), make_harmonic_state(1.0)
     assert_ensembles_compatible(s1, s2)

@@ -72,8 +72,12 @@ def make_batch_u_fn(potential, params, kBT: float, chunk_size: int = 50):
             # NaN coordinates into finite energies — restore NaN semantics
             # here, the layer whose output feeds MBAR.
             bad = ~np.isfinite(xs_c).all(axis=(1, 2))
+            # a non-finite box is just as corrupt as non-finite coords: the
+            # kernels' where-guards could fold it into a finite energy
+            bad |= ~np.isfinite(boxes_c).reshape(len(boxes_c), -1).all(axis=1)
             if bad.any():
                 xs_c = np.where(bad[:, None, None], 0.0, xs_c)  # keep math finite
+                boxes_c = np.where(bad[:, None, None], np.eye(3, dtype=boxes_c.dtype) * 10.0, boxes_c)
             if n_real < chunk_size:  # pad to the shared shape
                 xs_c = np.concatenate([xs_c, np.repeat(xs_c[-1:], chunk_size - n_real, axis=0)])
                 boxes_c = np.concatenate([boxes_c, np.repeat(boxes_c[-1:], chunk_size - n_real, axis=0)])

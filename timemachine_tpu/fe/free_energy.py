@@ -713,15 +713,27 @@ def assert_potentials_compatible(bps1: Sequence[BoundPotential], bps2: Sequence[
     (ref free_energy.py:931-946)."""
     assert len(bps1) == len(bps2)
 
-    def custom_assertion(path, x1, x2):
-        # ignore `params` values, and execution-configuration fields that
-        # get_context mutates on sampled states (dense->pallas impl switch,
-        # tile sizing) — they select a kernel, not physics, and set_params
-        # compatibility is governed by the context's own compiled program
-        return len(path) >= 1 and path[-1] in ("params", "impl", "tiled_grid_dims", "tiled_capacity")
-
     for bp1, bp2 in zip(bps1, bps2):
         assert type(bp1.potential) is type(bp2.potential)
+        root = bp1.potential
+
+        def custom_assertion(path, x1, x2):
+            # ignore `params` values, and execution-configuration fields that
+            # get_context mutates on sampled states (dense->pallas impl switch,
+            # tile sizing) — they select a kernel, not physics, and set_params
+            # compatibility is governed by the context's own compiled program.
+            # Exec-config fields are exempted only where their own class
+            # declares them (_EXEC_CONFIG_FIELDS), so a future potential with
+            # a physics-meaningful field of the same name still gets checked.
+            if len(path) < 1 or not isinstance(path[-1], str):
+                return False
+            if path[-1] == "params":
+                return True
+            parent = root
+            for p in path[1:-1]:  # path[0] is the "$" sentinel
+                parent = parent[p] if isinstance(p, int) else getattr(parent, p)
+            return path[-1] in getattr(type(parent), "_EXEC_CONFIG_FIELDS", frozenset())
+
         assert_deep_eq(bp1.potential, bp2.potential, custom_assertion)
 
 

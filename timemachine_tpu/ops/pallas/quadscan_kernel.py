@@ -572,6 +572,11 @@ def make_nonbonded_quadscan_md(
         )
 
     def sweep_fn(tiles, atoms8, atomsT, box, compute_u):
+        # compute_u is tri-valued at the provider layer (False / True /
+        # "u_only" — rowscan_kernel's energy-only sweep). This kernel has no
+        # energy-only fast path, so normalize to bool: "u_only" computes
+        # (and discards) forces but still returns correct energies.
+        compute_u = bool(compute_u)
         pad_order, row_start, row_count, entries, _ = tiles
         return quadscan_sweep(
             atoms8,

@@ -331,6 +331,11 @@ class NonbondedAllPairs(Potential):
     tiled_grid_dims: Optional[tuple] = None
     tiled_capacity: Optional[int] = None
 
+    # execution-config fields: select a kernel, not physics. Consumed by
+    # fe.free_energy.assert_potentials_compatible, which exempts exactly
+    # these names on exactly this class from state-compatibility checks.
+    _EXEC_CONFIG_FIELDS = frozenset({"impl", "tiled_grid_dims", "tiled_capacity"})
+
     def __post_init__(self):
         self._atom_mask = None
         if self.atom_idxs is not None:
@@ -624,6 +629,9 @@ class Nonbonded(Potential):
     atom_idxs: Optional[np.ndarray] = None
     impl: str = "dense"
     nblist_padding: float = 0.2
+
+    # see NonbondedAllPairs._EXEC_CONFIG_FIELDS
+    _EXEC_CONFIG_FIELDS = frozenset({"impl"})
 
     def __post_init__(self):
         self._filtered = (self.exclusion_idxs, self.scale_factors)
