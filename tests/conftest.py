@@ -39,6 +39,31 @@ from hypothesis import settings
 settings.register_profile("no-deadline", deadline=None)
 settings.load_profile("no-deadline")
 
+# -- quick lane (VERDICT r4 item 8) ------------------------------------------
+# The default suite runs ~40 min wall; the reference keeps its inner loop
+# fast by splitting nocuda/unit from nightly (pytest.ini markers). Here the
+# split is by module: everything NOT in _SLOW_MODULES is auto-marked `quick`,
+# so `pytest -m quick` is the <10 min inner loop and `pytest` (default) stays
+# the full pre-commit gate. Curated from --durations of the r5 suite run.
+_SLOW_MODULES = {
+    "test_examples.py",  # subprocess-run example scripts (dominates the suite)
+    "test_exchange.py",  # two-start water-occupancy convergence runs
+    "test_smc_enhanced.py",  # SMC annealing + enhanced-sampling integration
+    "test_rbfe_default.py",  # small end-to-end RBFE legs
+    "test_sorted_md.py",  # dual-path MD trajectory-contract sweeps
+    "test_local_md.py",  # local-MD trajectory comparisons
+    "test_fixed_output.py",  # golden-digest trajectory regeneration
+    "test_rbfe_cycle.py",  # nightly-scale cycle closure (mostly deselected)
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture
 def rng():
