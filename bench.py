@@ -158,6 +158,24 @@ def main():
         except Exception as e:  # never break the headline metric
             record["spatial_d1_error"] = repr(e)[:200]
 
+    # TPU-native headline #2 (VERDICT r4 item 6): aggregate replica-ns/day of
+    # production bisected-ladder HREX at healthy mixing. The full measurement
+    # is bench_hrex_production.py --bisect (minutes of ladder derivation +
+    # sampling); bench.py ingests its artifact so the driver captures the
+    # metric in BENCH_r*.json every round, with the measurement timestamp for
+    # freshness.
+    try:
+        import pathlib
+
+        hrex_path = pathlib.Path(__file__).resolve().parent / "results" / "hrex_production_bisected.json"
+        hrex = json.loads(hrex_path.read_text())
+        record["hrex_aggregate_replica_ns_day"] = hrex["value"]
+        record["hrex_swap_rate"] = hrex["swap_rate"]
+        record["hrex_n_states"] = int(hrex["metric"].split("_")[-2].replace("states", ""))
+        record["hrex_measured_at"] = hrex.get("timestamp", "round 4 (pre-timestamp artifact)")
+    except Exception as e:
+        record["hrex_artifact_error"] = repr(e)[:200]
+
     print(json.dumps(record))
 
 

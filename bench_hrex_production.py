@@ -129,22 +129,25 @@ def main():
     s_per_iter = elapsed / args.n_iters
     total_steps = K * args.n_iters * args.steps_per_iter
     agg = total_steps * DT_PS / 1000.0 / elapsed * 86_400.0
-    print(
-        json.dumps(
-            {
-                "metric": f"hrex_production_{args.leg}_hif2a_{states[0].x0.shape[0]}atoms_{K}states_{n_dev}dev",
-                "value": round(agg, 3),
-                "unit": "aggregate replica ns/day",
-                "s_per_iteration": round(s_per_iter, 3),
-                "per_replica_ns_day": round(agg / K, 3),
-                "swap_rate": round(acc / max(prop, 1), 4),
-                "per_pair_swap_rates": [round(a / max(p, 1.0), 4) for a, p in zip(acc_by_pair, prop_by_pair)],
-                "ladder": "bisected(min_overlap=0.667)" if args.bisect else "even_grid",
-                "lambdas": [round(float(l), 4) for l in lambdas],
-            }
-        ),
-        flush=True,
-    )
+    record = {
+        "metric": f"hrex_production_{args.leg}_hif2a_{states[0].x0.shape[0]}atoms_{K}states_{n_dev}dev",
+        "value": round(agg, 3),
+        "unit": "aggregate replica ns/day",
+        "s_per_iteration": round(s_per_iter, 3),
+        "per_replica_ns_day": round(agg / K, 3),
+        "swap_rate": round(acc / max(prop, 1), 4),
+        "per_pair_swap_rates": [round(a / max(p, 1.0), 4) for a, p in zip(acc_by_pair, prop_by_pair)],
+        "ladder": "bisected(min_overlap=0.667)" if args.bisect else "even_grid",
+        "lambdas": [round(float(l), 4) for l in lambdas],
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    print(json.dumps(record), flush=True)
+    if args.bisect and jax.devices()[0].platform != "cpu":
+        # refresh the driver-tracked artifact (ingested by bench.py each round)
+        import pathlib
+
+        out = pathlib.Path(__file__).resolve().parent / "results" / "hrex_production_bisected.json"
+        out.write_text(json.dumps(record, indent=1))
 
 
 if __name__ == "__main__":
