@@ -471,8 +471,14 @@ class PrecomputedChargeHandler(SerializableMixIn):
     def parameterize(self, mol):
         if "PartialCharges" in mol.props:
             q = np.array([float(x) for x in str(mol.props["PartialCharges"]).split()])
+        elif "atom.dprop.PartialCharge" in mol.props:
+            # RDKit's atom-property serialization in SDF — the format the
+            # reference's own charged test data uses
+            # (testsystems/water_exchange/bb_centered_espaloma.sdf)
+            q = np.array([float(x) for x in str(mol.props["atom.dprop.PartialCharge"]).split()])
         else:
             q = np.array([float(mol.props[f"PartialCharge_{i}"]) for i in range(mol.num_atoms)])
+        assert len(q) == mol.num_atoms
         return q * np.sqrt(constants.ONE_4PI_EPS0)
 
     def partial_parameterize(self, _, mol):

@@ -241,6 +241,42 @@ def build_water_system(
     return HostConfig(system, conf, box, 3 * n_waters, topology, masses)
 
 
+def build_water_system_from_pdb(water_pdb) -> HostConfig:
+    """Pure-water box read from a PDB file (path or raw text): coordinates
+    and box come from the file, TIP3P parameters from the native tables.
+
+    Loads the reference's prepared water-exchange systems
+    (ref md/builders.py build_host_config + testsystems/water_exchange/
+    bb_K_waters.pdb — pre-equilibrated boxes with exactly K waters inside
+    the buckyball cavity region).
+    """
+    from timemachine_tpu.chem.pdb import parse_pdb
+
+    structure = parse_pdb(water_pdb)
+    if structure.residues or structure.ions:
+        raise NotImplementedError("build_water_system_from_pdb supports pure-water PDBs")
+    if structure.box is None:
+        raise ValueError("water PDB must carry a CRYST1 record")
+
+    waters = []
+    for res in structure.waters:
+        # order O, H, H regardless of file order (elements are symbols)
+        order = np.argsort([0 if str(el).upper() in ("O", "8") else 1 for el in res.elements])
+        coords = np.asarray(res.coords, dtype=np.float64)[order] / 10.0  # Å → nm
+        elements = [str(res.elements[i]).upper() for i in order]
+        if elements not in (["O", "H", "H"], ["8", "1", "1"]):
+            raise ValueError(f"water residue with elements {elements}")
+        waters.append(coords)
+    n_waters = len(waters)
+    conf = np.concatenate(waters, axis=0)
+
+    system, masses = _build_water_potentials(n_waters)
+    group_idxs = [np.arange(3 * w, 3 * w + 3) for w in range(n_waters)]
+    residues = [HostResidue("HOH", [8, 1, 1], [(0, 1), (0, 2)]) for _ in range(n_waters)]
+    topology = HostTopology(residues=residues, group_idxs=group_idxs)
+    return HostConfig(system, conf, structure.box.copy(), 3 * n_waters, topology, masses)
+
+
 def strip_units(coords):
     return np.asarray(coords)
 
