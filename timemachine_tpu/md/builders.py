@@ -435,8 +435,12 @@ def _build_protein_system_native(host_pdbfile, protein_ff: str, water_ff: str, m
             warnings.warn(
                 f"protein_ff={protein_ff!r}: using the shipped reconstructed "
                 "amber99sb parameter set; the ILDN side-chain chi corrections "
-                "are NOT included (supply a real XML via TM_AMBER_XML for "
-                "certified amber99sbildn physics).",
+                "are NOT included (their fitted amplitudes are not "
+                "reproducible offline with confidence — deliberately not "
+                "guessed). Supply a real XML via TM_AMBER_XML for certified "
+                "amber99sbildn physics, and certify any amber99sb source "
+                "value-for-value with scripts/certify_amber99sb.py / "
+                "TM_AMBER_REFERENCE_XML (tests/test_amber_certification.py).",
                 stacklevel=2,
             )
 
