@@ -23,9 +23,16 @@ DEFAULT_MAXIMUM_ITERATIONS = 1_000
 
 
 def self_consistent_update(f_k, u_kn, log_n_k):
-    """One MBAR fixed-point update: f_k <- -log sum_n exp(-u_kn - log_denom_n)."""
+    """One MBAR fixed-point update: f_k <- -log sum_n exp(-u_kn - log_denom_n).
+
+    A sample with u = +inf in EVERY state (overflow-poisoned frame,
+    fe/energy_decomposition NaN→+inf semantics) has log_denom = -inf; the
+    naive -u - log_denom would be (-inf) + inf = NaN. Such samples contribute
+    zero measure, so their term is forced to -inf (exp → 0)."""
     log_denom_n = logsumexp(f_k[:, None] + log_n_k[:, None] - u_kn, axis=0)
-    return -logsumexp(-u_kn - log_denom_n[None, :], axis=1)
+    terms = -u_kn - log_denom_n[None, :]
+    terms = jnp.where(jnp.isneginf(log_denom_n)[None, :], -jnp.inf, terms)
+    return -logsumexp(terms, axis=1)
 
 
 from functools import lru_cache, partial
@@ -137,10 +144,16 @@ def kln_to_kn(u_kln, N_k=None):
 
 
 def mbar_weights(f_k, u_kn, n_k):
-    """W[n, k] = exp(f_k - u_kn) / sum_l n_l exp(f_l - u_ln); columns sum to 1."""
+    """W[n, k] = exp(f_k - u_kn) / sum_l n_l exp(f_l - u_ln); columns sum to 1.
+
+    A sample with u = +inf in EVERY state (an overflow-poisoned frame, see
+    fe/energy_decomposition NaN→+inf semantics) has log-denominator -inf;
+    the naive ratio would be (-inf) - (-inf) = NaN and poison downstream
+    covariance SVDs. Such samples carry zero weight by definition."""
     log_n_k = jnp.log(jnp.asarray(n_k, dtype=u_kn.dtype))
     log_denom_n = logsumexp(f_k[:, None] + log_n_k[:, None] - u_kn, axis=0)
     log_w = f_k[:, None] - u_kn - log_denom_n[None, :]
+    log_w = jnp.where(jnp.isneginf(log_denom_n)[None, :], -jnp.inf, log_w)
     return jnp.exp(log_w).T  # (N, K)
 
 
