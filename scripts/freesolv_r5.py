@@ -76,6 +76,11 @@ def run_one(mol, ff, *, n_frames, n_eq_steps, steps_per_frame, n_windows, box_wi
 
 def phase_a(mols_by_name, ff):
     out_path = RESULTS_DIR / "freesolv_outlier_diag.json"
+    if out_path.exists():
+        done = {r.get("label") for r in json.loads(out_path.read_text())["runs"]}
+        if {"16w_1x_seed2026", "8w_3x_seed2027", "16w_3x_seed2027"} <= done:
+            print("phase A already complete; skipping", flush=True)
+            return
     mol = mols_by_name[OUTLIER]
     diag = dict(
         kind="freesolv_outlier_diagnosis",
