@@ -5,6 +5,7 @@ surface, not documentation).
 Marked nightly: each example compiles its own jit programs in a fresh
 process (~1-5 min each on CPU)."""
 
+import json
 import os
 import subprocess
 import sys
@@ -53,6 +54,30 @@ def test_water_sampling_mc():
             "--seed", "2026",
         ],
     )
+
+
+def test_water_sampling_buckyball(tmp_path):
+    """The REAL reference buckyball system end-to-end at smoke scale
+    (espaloma-charged C90 + 2077-water PDB box, production TIBD mover)."""
+    wx = "/root/reference/timemachine/testsystems/water_exchange"
+    if not Path(wx).exists():
+        pytest.skip("reference water_exchange data absent")
+    out = tmp_path / "bb.json"
+    run_example(
+        "water_sampling_buckyball.py",
+        [
+            "--water_pdb", f"{wx}/bb_6_waters.pdb",
+            "--ligand_sdf", f"{wx}/bb_centered_espaloma.sdf",
+            "--iterations", "2",
+            "--md_steps_per_batch", "5",
+            "--mc_proposals_per_batch", "20",
+            "--equilibration_steps", "0",
+            "--out_json", str(out),
+        ],
+    )
+    d = json.loads(out.read_text())
+    assert d["initial_occupancy"] == 6
+    assert len(d["occupancy_trace"]) == 2
 
 
 def test_water_sampling_hrex():
