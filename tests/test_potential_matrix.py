@@ -112,6 +112,45 @@ def test_per_potential_tolerance_matrix(state_fixture, request):
         assert any("Nonbonded" in s for s in seen)
 
 
+def test_restraint_family_tolerance_matrix(solvent_state):
+    """The restraint potentials local MD relies on (FlatBottomBond,
+    LogFlatBottomBond, CentroidRestraint), at real solvated coordinates,
+    f32 vs f64 oracle (ref tests/test_potentials.py covers these classes in
+    its zoo; the vacuum/solvent RBFE states don't instantiate them)."""
+    bps, x0, box = solvent_state
+    rng = np.random.default_rng(11)
+    n = len(x0)
+    lig = np.arange(n - 30, n, dtype=np.int32)
+
+    pairs = np.stack([rng.choice(n - 30, 40, replace=False).astype(np.int32),
+                      rng.choice(lig, 40).astype(np.int32)], axis=1)
+    # params [k, r_min, r_max]; put real distances both inside and outside
+    # the flat region so over/under branches both carry gradients
+    fb_params = np.stack([np.full(40, 500.0), np.full(40, 0.1), np.full(40, 0.4)], axis=1)
+
+    # log-flat-bottom diverges (by design) for pairs INSIDE the flat region
+    # (-log(1-e^0)); the production use restrains pairs sitting outside it,
+    # so use a tiny flat region that every real distance exceeds
+    lfb_params = np.stack([np.full(40, 500.0), np.zeros(40), np.full(40, 0.01)], axis=1)
+
+    cases = [
+        P.BoundPotential(P.FlatBottomBond(pairs), fb_params),
+        P.BoundPotential(P.LogFlatBottomBond(pairs, beta=0.4), lfb_params),
+        P.BoundPotential(
+            P.CentroidRestraint(np.arange(30, dtype=np.int32), lig, kb=200.0, b0=0.5),
+            np.zeros(0),
+        ),
+    ]
+    for bp in cases:
+        name = type(bp.potential).__name__
+        u64, F64, _ = _eval(bp, x0, box, np.float64)
+        assert np.isfinite(u64) and np.all(np.isfinite(F64)), name
+        assert np.abs(F64).max() > 0, name  # restraints must actually engage
+        u32, F32, _ = _eval(bp, x0, box, np.float32)
+        assert _rel(u32, u64) < 5e-4, (name, _rel(u32, u64))
+        assert _rel(F32, F64) < 1e-3, (name, _rel(F32, F64))
+
+
 def test_nonbonded_tiled_impl_both_precisions(solvent_state):
     """The neighborlisted production impl against the dense oracle on the
     solvated system, both dtypes (ref tests/nonbonded/test_consistency.py)."""
