@@ -55,7 +55,7 @@ def test_freesolv_ahfe_artifact_pinned():
     carries a sampling penalty)."""
     d = _load("freesolv_ahfe.json")
     rows = [r for r in d["rows"] if "error" not in r]
-    assert len(rows) >= 8
+    assert len(rows) >= 18  # widened to 20 molecules in round 5
     devs = []
     for r in rows:
         assert np.isfinite(r["calc_kcal"]) and np.isfinite(r["calc_err_kj"])
@@ -63,12 +63,15 @@ def test_freesolv_ahfe_artifact_pinned():
         devs.append(r["calc_kcal"] - r["expt_kcal"])
     rmsd = float(np.sqrt(np.mean(np.square(devs))))
     assert rmsd < 2.5, rmsd
-    # correlation with experiment: the calc track must follow the expt track
-    # (guards against sign flips / decoupling-direction bugs that could still
-    # pass an RMSD bound this loose)
+    # tightened r5 (measured n=20: RMSD 2.15, corr 0.87, bias +1.64): the
+    # calc track must follow the expt track closely — the residual error is a
+    # near-uniform under-solvation shift from the reduced protocol, so
+    # correlation is the sensitive regression surface, and the bias bound
+    # catches decoupling-direction bugs the RMSD bound alone would miss
     calc = np.array([r["calc_kcal"] for r in rows])
     expt = np.array([r["expt_kcal"] for r in rows])
-    assert np.corrcoef(calc, expt)[0, 1] > 0.5
+    assert np.corrcoef(calc, expt)[0, 1] > 0.7
+    assert 0.0 < np.mean(devs) < 2.5, np.mean(devs)
 
 
 def test_rbfe_hif2a_solvent_artifact():
