@@ -58,9 +58,15 @@ def leg_result(res):
 
 
 def main():
+    import argparse
+
     from timemachine_tpu.fe.free_energy import HREXParams, MDParams
     from timemachine_tpu.fe.rbfe import run_solvent
     from timemachine_tpu.ff import Forcefield
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--eg5_only", action="store_true", help="skip the hif2a cycle")
+    args = parser.parse_args()
 
     ff = Forcefield.load_default()
     s = SETTINGS
@@ -75,6 +81,10 @@ def main():
     mol_a, mol_b, core = get_hif2a_ligand_pair_single_topology()
     out_path = RESULTS_DIR / "rbfe_hif2a_solvent.json"
     out = dict(kind="rbfe_hif2a_solvent_cycle", settings=s, platform=_platform())
+
+    if args.eg5_only:
+        run_eg5(ff, md_params, s)
+        return
 
     t0 = time.time()
     res_fwd, _ = run_solvent(mol_a, mol_b, core, ff, None, md_params=md_params,
@@ -96,14 +106,35 @@ def main():
     print(f"hif2a solvent cycle: {out['cycle_kj']:.2f} ± {out['cycle_err_kj']:.2f} kJ/mol", flush=True)
     out_path.write_text(json.dumps(out, indent=1))
 
-    # -- 2. eg5 benchmark-set edge, solvent, one direction ------------------
+    run_eg5(ff, md_params, s)
+
+
+def run_eg5(ff, md_params, s):
+    """One eg5 benchmark-set edge, solvent leg, one direction. The pair is
+    the first congeneric pair with MATCHED formal charge (single topology
+    requires net-charge-conserving edges; eg5 ligands 0/1 differ 0 vs +1)."""
     from timemachine_tpu.chem import read_sdf
     from timemachine_tpu.constants import DEFAULT_ATOM_MAPPING_KWARGS
     from timemachine_tpu.fe.atom_mapping import get_cores
+    from timemachine_tpu.fe.rbfe import run_solvent
 
     eg5 = read_sdf("/root/reference/timemachine/testsystems/fep_benchmark/eg5/ligands.sdf")
-    ma, mb = eg5[0], eg5[1]
-    core_eg5 = get_cores(ma, mb, **DEFAULT_ATOM_MAPPING_KWARGS)[0]
+    ma = mb = core_eg5 = None
+    for i in range(len(eg5)):
+        for j in range(i + 1, min(i + 4, len(eg5))):
+            if eg5[i].total_charge() != eg5[j].total_charge():
+                continue
+            try:
+                cores = get_cores(eg5[i], eg5[j], **DEFAULT_ATOM_MAPPING_KWARGS)
+            except Exception:
+                continue
+            if cores and len(cores[0]) >= 10:
+                ma, mb, core_eg5 = eg5[i], eg5[j], cores[0]
+                break
+        if ma is not None:
+            break
+    assert ma is not None, "no mappable same-charge eg5 pair found"
+    print(f"eg5 edge: {ma.name} -> {mb.name} (core {len(core_eg5)})", flush=True)
     t2 = time.time()
     res_eg5, _ = run_solvent(ma, mb, core_eg5, ff, None, md_params=md_params,
                              n_windows=s["n_windows"], min_overlap=s["min_overlap"])
