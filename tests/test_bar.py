@@ -129,3 +129,49 @@ def test_mbar_differentiable():
     # dF/d(constant energy shift) == 1 exactly
     g = jax.grad(df_of_shift)(0.0)
     np.testing.assert_allclose(float(g), 1.0, rtol=1e-4)
+
+
+def test_mbar_poisoned_samples_zero_measure():
+    """Overflow-poisoned samples (u = +inf in EVERY state, the
+    fe/energy_decomposition NaN→+inf semantics) must carry exactly zero
+    weight and not corrupt f_k, weights, or the covariance SVD (the r5
+    end-to-end overflow test exposed inf-inf=NaN here; fe/mbar.py drops
+    zero-measure samples explicitly)."""
+    from timemachine_tpu.fe.mbar import mbar_weights
+
+    u_fn, sample_fn, exact = make_gaussian_testsystem()
+    lambdas = np.linspace(0, 1, 3)
+    n = 2000
+    samples = [sample_fn(l, n, seed=10 + i) for i, l in enumerate(lambdas)]
+    x_all = np.concatenate(samples)
+    u_kn = np.stack([u_fn(x_all, l) for l in lambdas])
+    n_k = np.full(len(lambdas), n)
+
+    # clean solution
+    f_clean, _ = solve_mbar(u_kn, n_k)
+
+    # poison 7 scattered samples in every state (a corrupt frame is corrupt
+    # under every evaluation fn)
+    u_poisoned = u_kn.copy()
+    bad = [3, 100, 999, 2000, 2500, 4500, 5999]
+    u_poisoned[:, bad] = np.inf
+    f_poisoned, _ = solve_mbar(u_poisoned, n_k)
+    assert np.all(np.isfinite(np.asarray(f_poisoned)))
+    # 7 of 6000 samples: estimate barely moves
+    np.testing.assert_allclose(np.asarray(f_poisoned), np.asarray(f_clean), atol=0.02)
+
+    w = np.asarray(mbar_weights(np.asarray(f_poisoned), u_poisoned, n_k))
+    assert np.all(np.isfinite(w))
+    assert np.all(w[bad] == 0.0)  # zero measure, exactly
+    # columns sum to 1 up to the dropped measure (n_k still counts the
+    # poisoned draws, so the normalization shifts by ~n_bad/N)
+    np.testing.assert_allclose(w.sum(axis=0), 1.0, atol=2 * len(bad) / u_kn.shape[1])
+
+    # partially-poisoned samples (inf in SOME states) remain standard MBAR
+    u_partial = u_kn.copy()
+    u_partial[0, [5, 6]] = np.inf
+    f_partial, _ = solve_mbar(u_partial, n_k)
+    assert np.all(np.isfinite(np.asarray(f_partial)))
+    mbar = MBAR(u_partial, n_k)
+    res = mbar.compute_free_energy_differences()
+    assert np.all(np.isfinite(res["Delta_f"])) and np.all(np.isfinite(res["dDelta_f"]))
