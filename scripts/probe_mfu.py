@@ -38,39 +38,48 @@ CUDA_FLOPS_PER_PAIR = 2 * FLOPS_PER_SLOT_FORCE  # erfc + fixed-point; same order
 
 
 def measure_vpu_peak():
-    """Pure-FMA Pallas kernel: 8 independent chains on an (8, 1024) f32
-    block, inner-unrolled, grid-repeated. Reports sustained f32 FLOP/s."""
+    """UNRELIABLE — kept for the record. Every variant tried (serial FMA
+    chains, cross-coupled chains, grid-blocked IO) is collapsed by
+    Mosaic/LLVM: measured time is INNER-invariant (~0.03 ms/call whether
+    INNER=64 or 512), so the 'peak' it reports (100-300+ TF) is fictitious.
+    The roofline instead anchors on the real kernel's measured issue rate
+    (see main: ~1 vector-op/lane/cycle)."""
     from jax.experimental import pallas as pl
 
-    SHAPE = (8, 1024)
+    BLK = (8, 1024)
     INNER = 512
-    GRID = 512
+    GRID = 256
 
     def kernel(x_ref, o_ref):
+        # cross-coupled chains: no affine closed form, nothing to collapse
         a0 = x_ref[...]
         a1 = a0 * 1.0000001
         a2 = a0 * 1.0000002
         a3 = a0 * 1.0000003
-        b = a0 * 0.999999
         for _ in range(INNER):
-            a0 = a0 * b + 1e-7
-            a1 = a1 * b + 1e-7
-            a2 = a2 * b + 1e-7
-            a3 = a3 * b + 1e-7
+            t0 = a0 * a1 + 1e-7
+            t1 = a1 * a2 + 1e-7
+            t2 = a2 * a3 + 1e-7
+            t3 = a3 * a0 + 1e-7
+            a0, a1, a2, a3 = t0, t1, t2, t3
         o_ref[...] = a0 + a1 + a2 + a3
 
-    x = jnp.ones(SHAPE, jnp.float32)
+    x = jnp.ones((GRID * BLK[0], BLK[1]), jnp.float32)
     fn = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(SHAPE, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
         grid=(GRID,),
+        in_specs=[pl.BlockSpec(BLK, lambda i: (i, 0))],
+        out_specs=pl.BlockSpec(BLK, lambda i: (i, 0)),
     )
     run = jax.jit(lambda x: fn(x))
     jax.block_until_ready(run(x))
     t0 = time.perf_counter()
-    jax.block_until_ready(run(x))
-    dt = time.perf_counter() - t0
-    flops = GRID * 4 * INNER * SHAPE[0] * SHAPE[1] * 2  # FMA = 2
+    for _ in range(10):
+        out = run(x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / 10
+    flops = GRID * 4 * INNER * BLK[0] * BLK[1] * 2  # FMA = 2
     return flops / dt
 
 
@@ -97,8 +106,10 @@ def main():
     )
     from timemachine_tpu.testsystems.dhfr import setup_dhfr_native
 
-    vpu_peak = measure_vpu_peak()
-    print(f"VPU f32 sustained peak (pure FMA): {vpu_peak / 1e12:.2f} TFLOP/s", flush=True)
+    # NOTE: a DIY 'VPU peak' FMA micro-kernel is compiler-collapsed on this
+    # toolchain (see measure_vpu_peak docstring) — the roofline below anchors
+    # on the measured issue rate of the real kernel instead.
+    vpu_peak = 2 * 1024 * 4 * 1.67e9  # nominal upper bound: 4-issue FMA/lane
 
     cfg = setup_dhfr_native(waters_first=True)
     conf = jnp.asarray(cfg.conf[:, :3], jnp.float32)
@@ -171,9 +182,16 @@ def main():
     useful = n_ideal * FLOPS_PER_SLOT_FORCE / dt_sweep
     print(f"sweep: {dt_sweep * 1e3:.3f} ms/step -> {slot_rate / 1e9:.1f} Gslot/s", flush=True)
     print(f"achieved swept-slot rate: {achieved / 1e12:.2f} TFLOP/s "
-          f"({achieved / vpu_peak:.1%} of measured VPU peak)", flush=True)
+          f"({achieved / vpu_peak:.1%} of the nominal 4-issue VPU bound)", flush=True)
     print(f"useful-pair rate: {useful / 1e12:.2f} TFLOP/s "
-          f"({useful / vpu_peak:.1%} of VPU peak)", flush=True)
+          f"({useful / vpu_peak:.1%} of nominal bound)", flush=True)
+    # clock-normalized issue anchor: VPU has 1024 lanes; static count ~40
+    # issued vector ops/slot (FMAs fused). ops/lane/cycle ≈ 1 ⇒ the sweep is
+    # ALU-issue-bound, not memory- or bandwidth-bound.
+    CLOCK = 1.67e9  # v5e TensorCore clock (public spec ballpark)
+    issues_per_slot = 40.0
+    print(f"issue anchor: {slot_rate * issues_per_slot / (1024 * CLOCK):.2f} "
+          f"vector-ops/lane/cycle at {CLOCK / 1e9:.2f} GHz assumed clock", flush=True)
 
     # the same accounting for the assumed CUDA reference
     step_s = 2.5e-6 / ASSUMED_CUDA_NS_DAY * 86400  # s/step at dt=2.5fs

@@ -56,7 +56,7 @@ COL = 128  # atoms per column chunk (inner loop iteration) == lane width
 # env knob is a probe surface only — builder and kernel read the same constant.
 # Default 4: measured -2.8% sweep on DHFR vs 1, forces bitwise-identical
 # (round-3 TPU session, ARCHITECTURE.md kernel A/B table).
-RPB = int(os.environ.get("TM_ROWSCAN_RPB", "4"))
+RPB = int(os.environ.get("TM_ROWSCAN_RPB", "8"))  # r5 A/B: sweep 2.008->1.982 ms, apply -2.1% vs 4; 16/23 regress
 SWITCH_CUTOFF = 1.2  # pinned, matching ops/nonbonded.py
 CEN_SCALE = 1e-4  # row-center quantization (nm per int unit; preshift mode)
 
