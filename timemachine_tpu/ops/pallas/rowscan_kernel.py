@@ -46,7 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW = 32  # atoms per row chunk (culling granularity)
+ROW = int(os.environ.get("TM_ROWSCAN_ROW", "32"))  # atoms per row chunk (culling granularity)
 # column chunks per inner-loop iteration (builder pads to match); env knob is
 # a probe surface only — builder and kernel read the same module constant
 UNROLL = int(os.environ.get("TM_ROWSCAN_UNROLL", "4"))
