@@ -305,6 +305,29 @@ def render():
                 "known hard case), not with a decoupling-direction or sampling bug.",
                 "",
             ]
+    chk = RESULTS_DIR / "freesolv_16w_check.json"
+    if chk.exists():
+        d = json.loads(chk.read_text())
+        if "bias_16w" in d:
+            lines += [
+                "### Protocol-fix generalization: the 5 worst deviators at 16 windows",
+                "",
+                "| molecule | expt | 8-window calc | 16-window calc |",
+                "|---|---|---|---|",
+            ]
+            for r in d["rows"]:
+                if "error" in r:
+                    continue
+                lines.append(f"| {r['mol']} | {r['expt_kcal']:+.2f} | {r['calc_8w_kcal']:+.2f} | "
+                             f"{r['calc_16w_kcal']:+.2f} |")
+            lines += [
+                "",
+                f"Mean signed deviation {d['bias_8w']:+.2f} → {d['bias_16w']:+.2f} kcal/mol and RMSD "
+                f"{d['rmsd_8w']:.2f} → {d['rmsd_16w']:.2f} on this subset when the ladder doubles to 16",
+                "windows at identical sampling/seed — direct confirmation that the",
+                "positive bias above is protocol, not physics.",
+                "",
+            ]
     sol = RESULTS_DIR / "rbfe_hif2a_solvent.json"
     if sol.exists():
         d = json.loads(sol.read_text())
