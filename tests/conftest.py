@@ -46,14 +46,24 @@ settings.load_profile("no-deadline")
 # so `pytest -m quick` is the <10 min inner loop and `pytest` (default) stays
 # the full pre-commit gate. Curated from --durations of the r5 suite run.
 _SLOW_MODULES = {
-    "test_examples.py",  # subprocess-run example scripts (dominates the suite)
+    # curated from the r5 full-suite --durations run (aggregate s/module)
+    "test_consistency.py",  # 325s: dense-oracle impl/dtype matrices on the DHFR crop
+    "test_sorted_md.py",  # 281s: dual-path MD trajectory-contract sweeps
+    "test_potential_matrix.py",  # 202s: per-potential tolerance matrices on RBFE states
+    "test_spatial_md.py",  # 112s: mesh-decomposed MD parity runs
+    "test_builders_minimizer.py",  # 105s: FIRE + NPT water-box integration
+    "test_dotscan.py",  # 100s: MXU-kernel A/B parity
+    "test_rbfe_default.py",  # 99s: small end-to-end RBFE legs
+    "test_mtm.py",  # 91s: MTM reference-vs-optimized equivalence
+    "test_examples.py",  # subprocess-run example scripts (nightly anyway)
     "test_exchange.py",  # two-start water-occupancy convergence runs
     "test_smc_enhanced.py",  # SMC annealing + enhanced-sampling integration
-    "test_rbfe_default.py",  # small end-to-end RBFE legs
-    "test_sorted_md.py",  # dual-path MD trajectory-contract sweeps
     "test_local_md.py",  # local-MD trajectory comparisons
     "test_fixed_output.py",  # golden-digest trajectory regeneration
     "test_rbfe_cycle.py",  # nightly-scale cycle closure (mostly deselected)
+    "test_quadscan.py",  # packed-tile kernel parity
+    "test_rowscan_sharded.py",  # sharded-sweep parity over virtual meshes
+    "test_provider_rebuild.py",  # skin/rebuild trajectory comparisons
 }
 
 
