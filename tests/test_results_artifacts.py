@@ -74,6 +74,20 @@ def test_freesolv_ahfe_artifact_pinned():
     assert 0.0 < np.mean(devs) < 2.5, np.mean(devs)
 
 
+def test_freesolv_16w_protocol_check():
+    """The 16-window re-run of the worst 8-window deviators must confirm the
+    protocol diagnosis: mean signed deviation (under-solvation bias) shrinks
+    when the ladder doubles at identical sampling."""
+    p = RESULTS / "freesolv_16w_check.json"
+    if not p.exists():
+        pytest.skip("16-window check not produced in this checkout")
+    d = json.loads(p.read_text())
+    if "bias_16w" not in d:
+        pytest.skip("16-window check incomplete")
+    assert d["bias_16w"] < d["bias_8w"] - 0.5, (d["bias_8w"], d["bias_16w"])
+    assert d["rmsd_16w"] < d["rmsd_8w"], d
+
+
 def test_rbfe_hif2a_solvent_artifact():
     """First solvated RBFE accuracy artifact (VERDICT r4 item 2): the hif2a
     solvent-leg cycle closes within 3 sigma + 2 kJ/mol, every window pair
