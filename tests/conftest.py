@@ -69,7 +69,16 @@ _SLOW_MODULES = {
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if os.path.basename(str(item.fspath)) in _SLOW_MODULES:
+        # nightly/tpu tests must never enter the quick lane: running
+        # `-m quick` REPLACES the default `-m 'not nightly and not tpu'`
+        # filter, so without this guard a nightly full-RBFE test would leak
+        # in and blow the <10 min budget (measured r5: test_charge_sensitivity
+        # ground the lane for 50+ min)
+        if (
+            os.path.basename(str(item.fspath)) in _SLOW_MODULES
+            or "nightly" in item.keywords
+            or "tpu" in item.keywords
+        ):
             item.add_marker(pytest.mark.slow)
         else:
             item.add_marker(pytest.mark.quick)
