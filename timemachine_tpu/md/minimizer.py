@@ -28,7 +28,13 @@ from timemachine_tpu.md.fire import FireMinimizationConfig, ScipyMinimizationCon
 from timemachine_tpu.md.utils import get_bond_list, get_group_indices
 from timemachine_tpu.ops.bonded import harmonic_positional_restraint
 from timemachine_tpu import potentials
-from timemachine_tpu.potentials import BoundPotential, HarmonicBond, get_potential_by_type
+from timemachine_tpu.potentials import (
+    BoundPotential,
+    HarmonicBond,
+    Nonbonded,
+    SummedPotential,
+    get_potential_by_type,
+)
 
 
 class MinimizationError(Exception):
@@ -209,6 +215,23 @@ def pre_equilibrate_host(
     )
     pots, params = parameterize_system(hgt, ff, 0.0)
     bps = [pot.bind(p) for pot, p in zip(pots, params)]
+
+    # same kernel policy as fe.free_energy.get_context: large condensed-phase
+    # hosts route the all-pairs term through the Pallas tile kernel. The
+    # dense N² path materializes (N, N) f32 intermediates — at complex-leg
+    # size (~14k atoms ⇒ ~0.8 GB per intermediate) that crashes the TPU
+    # worker outright (measured r5: reproducible worker fault in this
+    # function on the hif2a complex leg).
+    for pot in pots:
+        inner = pot.potentials if isinstance(pot, SummedPotential) else [pot]
+        for p in inner:
+            if (
+                isinstance(p, Nonbonded)
+                and p.impl == "dense"
+                and p.num_atoms >= 4096
+                and jax.default_backend() != "cpu"
+            ):
+                p.configure_pallas(box, combined_coords)
 
     bond_pot = get_potential_by_type(pots, HarmonicBond)
     group_idxs = get_group_indices(get_bond_list(bond_pot), combined_coords.shape[0])
