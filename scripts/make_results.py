@@ -371,6 +371,23 @@ def render():
             "`tests/test_results_artifacts.py`.",
             "",
         ]
+    cs = RESULTS_DIR / "rbfe_complex_smoke.json"
+    if cs.exists():
+        d = json.loads(cs.read_text())
+        lines += [
+            "## Complex leg end-to-end ON TPU (round 5, plumbing record)",
+            "",
+            f"run_complex on the real hif2a receptor ({d['n_atoms']} atoms solvated,",
+            "native amber99sb host physics) through the full production pipeline",
+            "(native protein build → FIRE + NPT pre-equilibration → bisection →",
+            f"replica-parallel HREX → pair BAR) on the TPU chip, wall {d['wall_s']:.0f} s at",
+            f"smoke settings ({d['settings']['n_windows']} windows × {d['settings']['n_frames']} frames). All outputs",
+            "finite; the dG is NOT meaningful at these settings (near-zero window",
+            "overlap by design) — this records that the complex leg runs at real",
+            "scale on the accelerator, and regression-guards the round-5 fix for",
+            "the dense-N² pre-equilibration TPU worker crash (md/minimizer.py).",
+            "",
+        ]
     bb = [RESULTS_DIR / f"water_sampling_buckyball_{k}.json" for k in (0, 6)]
     if all(p.exists() for p in bb):
         d0, d6 = (json.loads(p.read_text()) for p in bb)

@@ -117,6 +117,22 @@ def test_rbfe_eg5_solvent_artifact():
     assert min(lg["overlaps"]) > 0.1
 
 
+def test_rbfe_complex_smoke_artifact():
+    """The complex leg executes end-to-end ON TPU at real scale (14k atoms,
+    native amber99sb host physics): plumbing pins only — finite dGs and
+    diagnostics present. NOT an accuracy claim (6 windows x 20 frames has
+    ~zero overlap by design; the artifact says so). The run also regression-
+    guards the r5 fix for the dense-N² pre-equilibration TPU worker crash."""
+    p = RESULTS / "rbfe_complex_smoke.json"
+    if not p.exists():
+        pytest.skip("complex smoke not produced in this checkout")
+    d = json.loads(p.read_text())
+    assert d["platform"] == "tpu"
+    assert d["n_atoms"] > 10_000
+    assert np.all(np.isfinite(d["dgs_kj"]))
+    assert len(d["overlaps"]) == len(d["dgs_kj"])
+
+
 def test_training_demo_artifact():
     """Forcefield training end-to-end (VERDICT r4 item 7): gradient steps
     through the sampled-endpoint reweighting estimator recover a 25%
